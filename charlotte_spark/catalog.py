@@ -1,0 +1,48 @@
+"""Table loading for the driver's synthetic parquet tables.
+
+Loads with :mod:`charlotte_spark.schemas` declared schemas so column
+pruning / predicate pushdown see stable types, and registers temp views
+so SQL-form queries work too.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import schemas
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLE_NAMES = tuple(schemas.TABLES)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table as a DataFrame (schema-pinned parquet scan)."""
+    if name not in schemas.TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    # TIMESTAMP(NANOS) parquet columns arrive as epoch-nanos longs (see
+    # session.py nanosAsLong); truncate to micros like DuckDB's reader.
+    for fld, want in zip(df.schema.fields, schemas.TABLES[name].fields):
+        if isinstance(fld.dataType, T.LongType) and isinstance(want.dataType, T.TimestampType):
+            df = df.withColumn(
+                fld.name, F.timestamp_micros(F.floor(F.col(fld.name) / 1000).cast("long"))
+            )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every test table; returns {name: DataFrame}."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables and register each as a temp view (for spark.sql)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,54 @@
+"""SparkSession factory for the engine.
+
+Pins the settings the DuckDB oracle comparison depends on (UTC session
+timezone, ANSI off for permissive casts) and the settings a 100 TB
+deployment needs from day one (AQE + skew-join handling, Arrow for the
+Python boundary). On a real cluster only ``master``/memory change; the
+SQL-level configs are identical, so plans tested locally are the plans
+that run at scale.
+
+Reference parity: charlotte has no session concept — it is a daemon
+(/root/reference/scripts/charlotte:42-52). Our equivalent of its Config
+validation (charlotte/__init__.py:123-153) is this explicit builder.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partitions: match local cores while testing; on a real cluster
+# AQE coalesces the post-shuffle partitions anyway, so a higher initial
+# number (e.g. 2000 for 100 TB inputs) only affects the pre-AQE plan.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "charlotte-spark", cpus: str | int | None = None) -> SparkSession:
+    """Return the shared SparkSession, creating it on first call."""
+    cpus = str(cpus or _DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # --- correctness-critical (oracle parity, SURVEY §2 caveats) ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet INT64(TIMESTAMP(NANOS)) (events.ts) has no native Spark
+        # type; read as epoch-nanos long and convert in catalog.load_table
+        # (truncating to micros, exactly what DuckDB's reader does).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- scale-critical: identical on the 1000-executor cluster ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- local-mode only ---
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/charlotte_spark_warehouse")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,40 @@
+"""The main correctness gate: every registered query vs its DuckDB oracle.
+
+Parametrized over the full registry, so adding a query to any module in
+charlotte_spark/queries/ automatically adds its oracle test here —
+identical in spirit to the driver's CORRECTNESS_r{N}.json run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from charlotte_spark.registry import load_all_queries
+
+from .conftest import assert_oracle_match
+
+REGISTRY = load_all_queries()
+HASH_CHECKED = [q for q in REGISTRY.values() if q.oracle and not q.approximate]
+APPROX = [q for q in REGISTRY.values() if q.oracle and q.approximate]
+ROWS_ONLY = [q for q in REGISTRY.values() if q.oracle is None]
+
+
+@pytest.mark.parametrize("q", HASH_CHECKED, ids=lambda q: q.name)
+def test_hash_checked(q, spark, duck, sf_dir):
+    assert_oracle_match(q.fn(spark, sf_dir), duck, q.oracle, q.name)
+
+
+@pytest.mark.parametrize("q", APPROX, ids=lambda q: q.name)
+def test_approx_rowcount(q, spark, duck, sf_dir):
+    # A-rows: driver checks bounded relative error; locally we gate on the
+    # row-count contract plus each operator's own dedicated error test.
+    n_spark = q.fn(spark, sf_dir).count()
+    n_duck = duck.execute(f"SELECT count(*) FROM ({q.oracle})").fetchone()[0]
+    assert n_spark == n_duck, f"{q.name}: rowcount {n_spark} vs {n_duck}"
+
+
+@pytest.mark.parametrize("q", ROWS_ONLY, ids=lambda q: q.name)
+def test_rows_only(q, spark, sf_dir):
+    df = q.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
