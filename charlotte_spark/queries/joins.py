@@ -1,1 +1,365 @@
-"""Placeholder — queries land in a later phase of this round."""
+"""Join surface (SURVEY §2.2 D14-D23).
+
+Scale notes per query are in each docstring; the common rules:
+small dims (region/nation/supplier at any SF, the charlotte maps —
+R13/R14 at /root/reference/charlotte/__init__.py:183-204) broadcast;
+fact-fact joins shuffle on the join key and rely on AQE for skew; the
+as-of join uses the union+window operator (one linear shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round
+from ..operators.asof import asof_join
+from ..registry import query
+
+
+@query(
+    "d14_inner_equijoin",
+    tags=("D14",),
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           {sql_round("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def d14_inner_equijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact shuffle join on l_orderkey; Catalyst picks SMJ/SHJ + AQE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "d15_broadcast_dim_join",
+    tags=("D15", "R13", "R14"),
+    oracle=f"""
+    SELECT r_name, n_name,
+           count(*) AS n_cust,
+           {sql_round("sum(c_acctbal)", 2)} AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def d15_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through two broadcast dims — the R13/R14 enrichment shape
+    (signature/classification map lookups) at relational scale."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            pround(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "d16_left_outer_join",
+    tags=("D16",),
+    oracle=f"""
+    SELECT c_custkey,
+           count(o_orderkey) AS n_orders,
+           {sql_round("coalesce(sum(o_totalprice), 0.0)", 2)} AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def d16_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer keeps order-less customers (null-matching rows in check)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            pround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "d16_full_outer_join",
+    tags=("D16",),
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(c.k, s.k) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.k = s.k
+    ORDER BY nationkey
+    """,
+)
+def d16_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("ks"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c.k == s.ks, "full")
+        .select(
+            F.coalesce(c.k, s.ks).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "d17_left_semi_join",
+    tags=("D17",),
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    ORDER BY c_custkey
+    """,
+)
+def d17_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "d18_left_anti_join",
+    tags=("D18", "R16", "R17"),
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def d18_left_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — the dimension-upsert building block (charlotte R16/R17:
+    insert-if-absent at /root/reference/charlotte/__init__.py:541-594)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "d19_cross_join",
+    tags=("D19",),
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    ORDER BY r_name, n_name
+    """,
+)
+def d19_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cartesian (5 × 25); anything bigger must be pruned first."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@query(
+    "d20_range_join",
+    tags=("D20",),
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+               ('high', 150000.0, 100000000.0)
+    )
+    SELECT band, count(*) AS n_orders, {sql_round("sum(o_totalprice)", 2)} AS total
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def d20_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi theta join against a tiny band table → broadcast
+    nested-loop, the only sane physical plan for band joins at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e8)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            pround(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "d21_asof_join",
+    tags=("D21",),
+    oracle="""
+    WITH pairs AS (
+        SELECT p.event_id,
+               c.event_id AS click_id,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC
+               ) AS rn
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, pr.click_id
+    FROM events p
+    LEFT JOIN (SELECT event_id, click_id FROM pairs WHERE rn = 1) pr
+      ON pr.event_id = p.event_id
+    WHERE p.event_type = 'purchase'
+    ORDER BY p.event_id
+    """,
+)
+def d21_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase gets the user's latest prior
+    click. Uses the union+window operator (operators/asof.py): one linear
+    shuffle, no |purchases| x |clicks| intermediate. The oracle uses the
+    portable row_number formulation (SURVEY D21)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), "user_id", "ts"
+    )
+    return (
+        asof_join(
+            purchases,
+            clicks,
+            on="user_id",
+            time_probe="ts",
+            time_quote="ts",
+            attach={"click_id": "c_event_id"},
+            tiebreak_quote="c_event_id",
+        )
+        .select("event_id", "user_id", "click_id")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "d22_interval_join",
+    tags=("D22",),
+    oracle="""
+    SELECT e.event_id,
+           count(p.event_id) AS n_purchases_1h
+    FROM events e
+    LEFT JOIN events p
+      ON p.user_id = e.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts > e.ts
+     AND p.ts <= e.ts + INTERVAL 1 HOUR
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    ORDER BY e.event_id
+    """,
+)
+def d22_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/overlap join: purchases within 1h after each error, per
+    user. Equi-key on user_id keeps it a hash join with a range residual
+    (not a BNLJ), which is the scalable shape."""
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        errors.join(
+            purchases,
+            (F.col("p_user_id") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.count("p_event_id").alias("n_purchases_1h"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "d23_self_join",
+    tags=("D23",),
+    oracle="""
+    SELECT a.event_id AS first_id, b.event_id AS next_id, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'signup' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    ORDER BY first_id, next_id
+    """,
+)
+def d23_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join with aliases: purchases within 30min after a signup."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") == "signup")
+            & (F.col("b.event_type") == "purchase")
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 MINUTE")),
+        )
+        .select(
+            F.col("a.event_id").alias("first_id"),
+            F.col("b.event_id").alias("next_id"),
+            F.col("a.user_id").alias("user_id"),
+        )
+        .orderBy("first_id", "next_id")
+    )
