@@ -1,1 +1,367 @@
-"""Placeholder — queries land in a later phase of this round."""
+"""Deduplication operators (SURVEY §2.2 D65/A66 + training-data mandate).
+
+Four detectors over ``documents``: exact (md5 groupBy), MinHash-LSH
+(shingle → 12 minhashes → 6 bands → bucket join), SimHash (32-bit,
+hamming pairs), and exact n-gram Jaccard. The driver's corpus has no
+duplicates, so every query builds a corpus with *synthesized* dup/near-
+dup rows (originals unioned with exact or one-token-perturbed copies at
+``doc_id + 1_000_000``) — detection is therefore non-vacuous and the
+expected pairs are known by construction.
+
+All hash families are the portable md5-derived hash with fixed string
+seeds (SURVEY A66: "deterministic given fixed seeds → actually
+hash-checkable"), so even the LSH query is hash-compared, not
+error-bounded.
+
+Scale: LSH is the 100 TB path — candidate generation is a shuffle on
+(band_idx, band_hash) buckets, never an all-pairs join; signature
+computation is embarrassingly parallel projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round
+from ..registry import query
+
+N_HASHES = 12
+N_BANDS = 6  # rows-per-band = 2
+SIMHASH_BITS = 32
+
+
+def _spark_phash(col, seed: str):
+    """Portable md5-derived hash of a string column (engine-agnostic)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(seed), col)), 1, 8), 16, 10).cast("long")
+
+
+def _corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + exact copies of every 10th doc at doc_id+1e6."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+_SQL_CORPUS_EXACT = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + last-token-dropped copies of every 20th doc."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    near = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
+    )
+    return d.unionByName(near)
+
+
+_SQL_CORPUS_NEAR = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string((string_split(text, ' '))[1:len(string_split(text, ' ')) - 1], ' ') AS text
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+@query(
+    "d65_exact_dedup",
+    tags=("D65",),
+    oracle=f"""
+    WITH corpus AS ({_SQL_CORPUS_EXACT})
+    SELECT md5(text) AS text_md5,
+           CAST(min(doc_id) AS BIGINT) AS kept_id,
+           count(*) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    ORDER BY kept_id
+    """,
+)
+def d65_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5(text): keep min doc_id, report duplicate groups.
+    (The keep-one projection is this minus the HAVING.)"""
+    return (
+        _corpus_exact(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.min("doc_id").alias("kept_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("kept_id")
+    )
+
+
+def _minhash_sig(corpus: DataFrame) -> DataFrame:
+    """doc_id + mh0..mh{N-1} minhash signature over distinct 3-shingles."""
+    toks = F.split("text", " ")
+    df = corpus.filter(F.size(toks) >= 3).withColumn(
+        "shingles",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ),
+    )
+    def hasher(seed: str):
+        # NB: must stay a single-parameter lambda — a second (defaulted)
+        # parameter makes PySpark pass the array index into it.
+        return lambda s: _spark_phash(s, seed)
+
+    for j in range(N_HASHES):
+        df = df.withColumn(
+            f"mh{j}", F.array_min(F.transform("shingles", hasher(f"s{j}|")))
+        )
+    return df.select("doc_id", *[f"mh{j}" for j in range(N_HASHES)])
+
+
+def _sql_minhash_sig(corpus_sql: str) -> str:
+    shingle = "toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]"
+    mh = ", ".join(
+        "list_min(list_transform(shingles, s -> "
+        f"CAST('0x' || substring(md5('s{j}|' || s), 1, 8) AS BIGINT))) AS mh{j}"
+        for j in range(N_HASHES)
+    )
+    return f"""
+    SELECT doc_id, {mh}
+    FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                            i -> {shingle})) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ({corpus_sql}))
+        WHERE len(toks) >= 3
+    )
+    """
+
+
+@query(
+    "a66_minhash_lsh_neardup",
+    tags=("A66",),
+    oracle=f"""
+    WITH sig AS ({_sql_minhash_sig(_SQL_CORPUS_NEAR)}),
+    bands AS (
+        SELECT doc_id,
+               unnest([{", ".join(str(i) for i in range(N_BANDS))}]) AS band_idx,
+               unnest([{", ".join(
+                   f"md5(CAST(mh{2 * i} AS VARCHAR) || '_' || CAST(mh{2 * i + 1} AS VARCHAR))"
+                   for i in range(N_BANDS)
+               )}]) AS bhash
+        FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id,
+           {sql_round(
+               "(" + " + ".join(
+                   f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(N_HASHES)
+               ) + f") / {float(N_HASHES)}", 4)} AS est_jaccard
+    FROM pairs
+    JOIN sig sa ON sa.doc_id = a_id
+    JOIN sig sb ON sb.doc_id = b_id
+    WHERE ({" + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(N_HASHES)
+    )}) / {float(N_HASHES)} >= 0.49
+    ORDER BY a_id, b_id
+    """,
+)
+def a66_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: 12 minhashes over 3-token shingles,
+    6 bands of 2, candidate pairs from band-bucket join, kept when the
+    signature-estimated Jaccard >= 0.49. Fixed seeds → hash-checkable."""
+    sig = _minhash_sig(_corpus_near(spark, sf_dir))
+
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.md5(
+                F.concat(
+                    F.col(f"mh{2 * i}").cast("string"),
+                    F.lit("_"),
+                    F.col(f"mh{2 * i + 1}").cast("string"),
+                )
+            ).alias("bhash"),
+        )
+        for i in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.bhash").alias("bhash")
+    )
+    left = bands.select(
+        F.col("doc_id").alias("a_id"), "band_idx", F.col("bhash").alias("bhash_a")
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("bhash").alias("bhash_b"),
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("bhash_a") == F.col("bhash_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+    sa = sig.select(F.col("doc_id").alias("a_id"), *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(N_HASHES)])
+    sb = sig.select(F.col("doc_id").alias("b_id"), *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(N_HASHES)])
+    matches = sum(
+        F.when(F.col(f"a_mh{j}") == F.col(f"b_mh{j}"), 1).otherwise(0) for j in range(N_HASHES)
+    )
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("est_jaccard_raw", matches / float(N_HASHES))
+        .filter(F.col("est_jaccard_raw") >= 0.49)
+        .select("a_id", "b_id", pround("est_jaccard_raw", 4).alias("est_jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+@query(
+    "d66_simhash",
+    tags=("A66",),
+    oracle=f"""
+    WITH corpus AS ({_SQL_CORPUS_NEAR}),
+    tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(text, ' '))) AS t
+        FROM corpus
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5('sim|' || t), 1, 8) AS BIGINT) AS h
+        FROM tok
+    ),
+    bits AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS s{k}"
+                   for k in range(SIMHASH_BITS)
+               )}
+        FROM hashed GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               {" + ".join(
+                   f"CASE WHEN s{k} > 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END"
+                   for k in range(SIMHASH_BITS)
+               )} AS simhash
+        FROM bits
+    )
+    SELECT o.doc_id AS a_id, p.doc_id AS b_id,
+           bit_count(xor(o.simhash, p.simhash)) AS hamming
+    FROM sig o JOIN sig p ON p.doc_id = o.doc_id + 1000000
+    WHERE bit_count(xor(o.simhash, p.simhash)) <= 6
+    ORDER BY a_id
+    """,
+)
+def d66_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signatures from distinct-token hashes;
+    original vs perturbed twin kept when hamming distance <= 6."""
+    corpus = _corpus_near(spark, sf_dir)
+    hashed = corpus.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    ).withColumn("h", _spark_phash(F.col("t"), "sim|"))
+    bits = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{k}")
+            for k in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"s{k}") > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))
+        for k in range(SIMHASH_BITS)
+    )
+    sig = bits.select("doc_id", simhash.alias("simhash"))
+    orig = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"))
+    pert = sig.select((F.col("doc_id") - 1_000_000).alias("a_id_p"), F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"))
+    return (
+        orig.join(pert, orig.a_id == pert.a_id_p)
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 6)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id")
+    )
+
+
+@query(
+    "d66_ngram_jaccard",
+    tags=("A66",),
+    oracle=f"""
+    WITH corpus AS ({_SQL_CORPUS_NEAR}),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+        WHERE len(toks) >= 3
+    )
+    SELECT o.doc_id AS a_id, p.doc_id AS b_id,
+           {sql_round(
+               "CAST(len(list_intersect(o.shingles, p.shingles)) AS DOUBLE) / "
+               "(len(o.shingles) + len(p.shingles) - len(list_intersect(o.shingles, p.shingles)))",
+               4)} AS jaccard
+    FROM sh o JOIN sh p ON p.doc_id = o.doc_id + 1000000
+    WHERE CAST(len(list_intersect(o.shingles, p.shingles)) AS DOUBLE) /
+          (len(o.shingles) + len(p.shingles) - len(list_intersect(o.shingles, p.shingles))) >= 0.5
+    ORDER BY a_id
+    """,
+)
+def d66_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard between each original and its perturbed twin
+    (the ground truth the LSH estimator approximates)."""
+    toks = F.split("text", " ")
+    sh = (
+        _corpus_near(spark, sf_dir)
+        .filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                    ),
+                )
+            ).alias("shingles"),
+        )
+    )
+    o = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
+    p = sh.select(
+        (F.col("doc_id") - 1_000_000).alias("a_id_p"),
+        F.col("doc_id").alias("b_id"),
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        o.join(p, o.a_id == p.a_id_p)
+        .withColumn("jaccard_raw", inter / union)
+        .filter(F.col("jaccard_raw") >= 0.5)
+        .select("a_id", "b_id", pround("jaccard_raw", 4).alias("jaccard"))
+        .orderBy("a_id")
+    )

@@ -1,1 +1,298 @@
-"""Placeholder — queries land in a later phase of this round."""
+"""Similarity search over embeddings (SURVEY §2.2 D67/D68 + ANN mandate).
+
+Three tiers, mirroring how a 100 TB deployment scales up:
+- brute force (d67/d68): exact, crossJoin-pruned — the correctness
+  baseline and fine when probes are few;
+- IVF-style bucketing (d68_ivf): restrict the search to the probe's
+  coarse partition (here the ``label`` column stands in for a k-means
+  centroid assignment) — turns the |probes| x |corpus| join into
+  |probes| x |bucket|;
+- sign-LSH (a68_lsh): 8 deterministic hyperplanes derived from the
+  portable hash give a 256-bucket blocking key; candidates share the
+  probe's bucket. Fixed seeds → the whole thing is hash-checkable.
+
+Embedding near-dup detection (the dedup use-case over vectors) is
+d67_embedding_neardup: synthesized exact copies found via label-blocked
+cosine ≥ 0.9999.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round
+from ..functions.vectors import cosine, sql_cosine, to_double
+from ..registry import query
+
+DIM = 64
+N_PLANES = 8
+
+
+def _emb(spark, sf_dir, prefix: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias(f"{prefix}_id"),
+        to_double(F.col("embedding")).alias(f"{prefix}_v"),
+        F.col("label").alias(f"{prefix}_label"),
+    )
+
+
+@query(
+    "d67_cosine_pairwise",
+    tags=("D67",),
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           {sql_round(sql_cosine("a.embedding", "b.embedding"), 4)} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 20 AND b.vec_id < 20
+    ORDER BY a_id, b_id
+    """,
+)
+def d67_cosine_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded pairwise cosine (all pairs among the first 20 vectors)."""
+    a = _emb(spark, sf_dir, "a").filter(F.col("a_id") < 20)
+    b = _emb(spark, sf_dir, "b").filter(F.col("b_id") < 20)
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            pround(cosine(F.col("a_v"), F.col("b_v")), 4).alias("cos_sim"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+@query(
+    "d68_topk_bruteforce",
+    tags=("D68",),
+    oracle=f"""
+    WITH scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               {sql_cosine("p.embedding", "c.embedding")} AS cs
+        FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < 10
+    )
+    SELECT probe_id, neighbor_id, {sql_round("cs", 4)} AS cos_sim, rk FROM (
+        SELECT probe_id, neighbor_id, cs,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    ORDER BY probe_id, rk
+    """,
+)
+def d68_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 probes (the ANN baseline).
+    Corpus side stays partitioned; probe side broadcasts."""
+    p = _emb(spark, sf_dir, "probe").filter(F.col("probe_id") < 10)
+    c = _emb(spark, sf_dir, "neighbor")
+    w = W.partitionBy("probe_id").orderBy(F.col("cs").desc(), F.col("neighbor_id").asc())
+    return (
+        c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine(F.col("probe_v"), F.col("neighbor_v")).alias("cs"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("probe_id", "neighbor_id", pround("cs", 4).alias("cos_sim"), "rk")
+        .orderBy("probe_id", "rk")
+    )
+
+
+@query(
+    "d68_ivf_topk",
+    tags=("D68",),
+    oracle=f"""
+    WITH scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label,
+               {sql_cosine("p.embedding", "c.embedding")} AS cs
+        FROM embeddings p
+        JOIN embeddings c ON c.label = p.label AND c.vec_id <> p.vec_id
+        WHERE p.vec_id < 10
+    )
+    SELECT probe_id, neighbor_id, label, {sql_round("cs", 4)} AS cos_sim, rk FROM (
+        SELECT probe_id, neighbor_id, label, cs,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    ORDER BY probe_id, rk
+    """,
+)
+def d68_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: search only the probe's coarse partition (label ≡
+    centroid assignment) — the |corpus| side is partition-pruned, which
+    is the property that matters at 100 TB."""
+    p = _emb(spark, sf_dir, "probe").filter(F.col("probe_id") < 10)
+    c = _emb(spark, sf_dir, "neighbor")
+    w = W.partitionBy("probe_id").orderBy(F.col("cs").desc(), F.col("neighbor_id").asc())
+    return (
+        c.join(
+            F.broadcast(p),
+            (F.col("neighbor_label") == F.col("probe_label"))
+            & (F.col("neighbor_id") != F.col("probe_id")),
+        )
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.col("neighbor_label").alias("label"),
+            cosine(F.col("probe_v"), F.col("neighbor_v")).alias("cs"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("probe_id", "neighbor_id", "label", pround("cs", 4).alias("cos_sim"), "rk")
+        .orderBy("probe_id", "rk")
+    )
+
+
+def _sql_lsh_bucket(vec: str) -> str:
+    """256-value sign-LSH bucket from 8 md5-derived hyperplanes."""
+    bits = []
+    for s in range(N_PLANES):
+        proj = (
+            f"list_reduce(list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * "
+            f"(CAST(CAST('0x' || substring(md5('hp{s}|' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS DOUBLE) * 2 - 1)"
+            f"), (x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << s} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _spark_lsh_bucket(vec) -> F.Column:
+    def plane_term(s: int):
+        def f(pair):
+            # pair = struct(v double, i int) built below
+            sgn = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"hp{s}|"), pair.i.cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).cast("double") * 2 - 1
+            return pair.v * sgn
+
+        return f
+
+    indexed = F.zip_with(
+        vec,
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda v, i: F.struct(v.alias("v"), i.alias("i")),
+    )
+    bucket = F.lit(0)
+    for s in range(N_PLANES):
+        proj = F.aggregate(
+            F.transform(indexed, plane_term(s)), F.lit(0.0), lambda a, x: a + x
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << s)).otherwise(F.lit(0))
+    return bucket
+
+
+@query(
+    "a68_lsh_ann_topk",
+    tags=("D68", "A66"),
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_sql_lsh_bucket("embedding")} AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, p.bucket,
+               {sql_cosine("p.embedding", "c.embedding")} AS cs
+        FROM bucketed p
+        JOIN bucketed c ON c.bucket = p.bucket AND c.vec_id <> p.vec_id
+        WHERE p.vec_id < 10
+    )
+    SELECT probe_id, neighbor_id, bucket, {sql_round("cs", 4)} AS cos_sim, rk FROM (
+        SELECT probe_id, neighbor_id, bucket, cs,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    ORDER BY probe_id, rk
+    """,
+)
+def a68_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN: deterministic hyperplanes (portable hash of
+    (plane, dim) → ±1), 8-bit bucket, candidates restricted to the
+    probe's bucket, then exact cosine top-3 within candidates. This is
+    the blocking-key shape that scales: bucketing is a projection, the
+    join shuffles on (bucket), never all-pairs."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    bucketed = e.withColumn("bucket", _spark_lsh_bucket(F.col("v")))
+    p = bucketed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("probe_v"),
+        F.col("bucket").alias("probe_bucket"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("neighbor_v"),
+        F.col("bucket").alias("neighbor_bucket"),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cs").desc(), F.col("neighbor_id").asc())
+    return (
+        c.join(
+            F.broadcast(p),
+            (F.col("neighbor_bucket") == F.col("probe_bucket"))
+            & (F.col("neighbor_id") != F.col("probe_id")),
+        )
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.col("probe_bucket").alias("bucket"),
+            cosine(F.col("probe_v"), F.col("neighbor_v")).alias("cs"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("probe_id", "neighbor_id", "bucket", pround("cs", 4).alias("cos_sim"), "rk")
+        .orderBy("probe_id", "rk")
+    )
+
+
+@query(
+    "d67_embedding_neardup",
+    tags=("D67", "A66"),
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id % 50 = 0
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           {sql_round(sql_cosine("a.embedding", "b.embedding"), 4)} AS cos_sim
+    FROM corpus a JOIN corpus b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {sql_cosine("a.embedding", "b.embedding")} >= 0.9999
+    ORDER BY a_id, b_id
+    """,
+)
+def d67_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: synthesized exact copies (every 50th
+    vector) recovered via label-blocked cosine ≥ 0.9999."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.unionByName(
+        e.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+        )
+    ).select("vec_id", to_double(F.col("embedding")).alias("v"), "label")
+    a = corpus.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"), F.col("label").alias("a_label")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"), F.col("label").alias("b_label")
+    )
+    return (
+        a.join(b, (F.col("a_label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")))
+        .withColumn("cs", cosine(F.col("a_v"), F.col("b_v")))
+        .filter(F.col("cs") >= 0.9999)
+        .select("a_id", "b_id", pround("cs", 4).alias("cos_sim"))
+        .orderBy("a_id", "b_id")
+    )

@@ -1,1 +1,316 @@
-"""Placeholder — queries land in a later phase of this round."""
+"""Text analysis for training-data pipelines (SURVEY §2.2 D69-D71 +
+language-ID, quality scoring, token counting, fingerprinting).
+
+Everything is pure column expressions (codegen, zero Python) — at
+100 TB these run as a single projection/aggregation pass over the
+corpus. The heuristics are deliberately simple and deterministic so
+the DuckDB oracle replicates them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round
+from ..registry import query
+
+# tiny function-word dictionaries for the langid heuristic
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+
+@query(
+    "d69_normalize_tokenize",
+    tags=("D69",),
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g') AS ntext
+        FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(string_split(ntext, ' '), t -> length(t) > 0)) AS n_tokens,
+           array_to_string(list_filter(string_split(ntext, ' '), t -> length(t) > 0)[1:5], ' ') AS head5
+    FROM norm
+    ORDER BY doc_id
+    """,
+)
+def d69_normalize_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower + punctuation strip + whitespace tokenize (empty tokens
+    dropped so repeated separators don't count)."""
+    d = load_table(spark, sf_dir, "documents")
+    ntext = F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")
+    toks = F.filter(F.split(ntext, " "), lambda t: F.length(t) > 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("head5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "d70_tf_idf",
+    tags=("D70",),
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           {sql_round("tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)", 4)} AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE doc_id < 30
+    ORDER BY doc_id, term
+    """,
+)
+def d70_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed idf): explode → tf per (doc,term), df per term,
+    broadcast the term-df side. Projected for doc_id < 30 but computed
+    over the whole corpus (df is global)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    return (
+        tf.join(F.broadcast(df), "term")
+        .filter(F.col("doc_id") < 30)
+        .select(
+            "doc_id",
+            "term",
+            pround(
+                F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+@query(
+    "d71_language_stats",
+    tags=("D71",),
+    oracle=f"""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           {sql_round("avg(n_chars)", 2)} AS avg_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'es', 'zh')
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def d71_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang").isin("en", "es", "zh"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pround(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _sql_marker_score(lang: str) -> str:
+    toks = "string_split(lower(text), ' ')"
+    terms = " + ".join(
+        f"len(list_filter({toks}, t -> t = '{m}'))" for m in _LANG_MARKERS[lang]
+    )
+    return f"({terms})"
+
+
+@query(
+    "d71_langid_heuristic",
+    tags=("D71",),
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+             WHEN {_sql_marker_score("en")} >= {_sql_marker_score("es")}
+              AND {_sql_marker_score("en")} >= {_sql_marker_score("fr")}
+              AND {_sql_marker_score("en")} >= {_sql_marker_score("de")}
+              AND {_sql_marker_score("en")} > 0 THEN 'en'
+             WHEN {_sql_marker_score("es")} >= {_sql_marker_score("fr")}
+              AND {_sql_marker_score("es")} >= {_sql_marker_score("de")}
+              AND {_sql_marker_score("es")} > 0 THEN 'es'
+             WHEN {_sql_marker_score("fr")} >= {_sql_marker_score("de")}
+              AND {_sql_marker_score("fr")} > 0 THEN 'fr'
+             WHEN {_sql_marker_score("de")} > 0 THEN 'de'
+             ELSE 'und'
+           END AS predicted_lang
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def d71_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based language ID: CJK charset check, then function-word
+    counts with a fixed tie-break order (en > es > fr > de)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+
+    def matcher(marker: str):
+        # single-parameter lambda only — a second (defaulted) parameter
+        # makes PySpark pass the array index into it
+        return lambda t: t == F.lit(marker)
+
+    def score(lang: str):
+        s = F.lit(0)
+        for m in _LANG_MARKERS[lang]:
+            s = s + F.size(F.filter(toks, matcher(m)))
+        return s
+
+    en, es, fr, de = score("en"), score("es"), score("fr"), score("de")
+    pred = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when((en >= es) & (en >= fr) & (en >= de) & (en > 0), "en")
+        .when((es >= fr) & (es >= de) & (es > 0), "es")
+        .when((fr >= de) & (fr > 0), "fr")
+        .when(de > 0, "de")
+        .otherwise("und")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+@query(
+    "d69_quality_score",
+    tags=("D69", "D71"),
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars_actual,
+               length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS n_nonalpha,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t IN ({", ".join(f"'{s}'" for s in _STOPWORDS)}))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           {sql_round("CAST(n_stop AS DOUBLE) / n_tokens", 4)} AS stopword_ratio,
+           {sql_round("CAST(n_nonalpha AS DOUBLE) / n_chars_actual", 4)} AS nonalpha_ratio,
+           {sql_round(
+               "0.5 * least(CAST(n_tokens AS DOUBLE) / 100, 1.0)"
+               " + 0.3 * least(CAST(n_stop AS DOUBLE) / n_tokens * 5, 1.0)"
+               " + 0.2 * (1.0 - CAST(n_nonalpha AS DOUBLE) / n_chars_actual)", 4)} AS quality
+    FROM feat
+    ORDER BY doc_id
+    """,
+)
+def d69_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length + stopword ratio + non-alpha
+    ratio (the standard pre-training quality-filter features)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ltoks = F.split(F.lower("text"), " ")
+    n_tokens = F.size(toks)
+    n_chars_actual = F.length("text")
+    n_nonalpha = n_chars_actual - F.length(F.regexp_replace("text", "[^a-z ]", ""))
+    n_stop = F.size(F.filter(ltoks, lambda t: t.isin(*_STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    nonalpha_ratio = n_nonalpha.cast("double") / n_chars_actual
+    quality = (
+        0.5 * F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.2 * (1.0 - nonalpha_ratio)
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        pround(stop_ratio, 4).alias("stopword_ratio"),
+        pround(nonalpha_ratio, 4).alias("nonalpha_ratio"),
+        pround(quality, 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "d69_token_count",
+    tags=("D69",),
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS char_estimate
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def d69_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex pieces,
+    and the chars/4 rule-of-thumb estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("char_estimate"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "d69_fingerprint",
+    tags=("D69", "D65"),
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 5
+    )
+    SELECT doc_id,
+           list_min(list_transform(shingles, s -> CAST('0x' || substring(md5('fp|' || s), 1, 8) AS BIGINT))) AS fingerprint,
+           md5(array_to_string(list_sort(shingles), '|')) AS content_hash
+    FROM sh
+    ORDER BY doc_id
+    """,
+)
+def d69_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash over 5-token shingles (a
+    winnowing-style selective hash) + an order-insensitive content hash."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = d.filter(F.size(toks) >= 5).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                    F.element_at(toks, i + 4),
+                ),
+            )
+        ).alias("shingles"),
+    )
+    phash = lambda s: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit("fp|"), s)), 1, 8), 16, 10
+    ).cast("long")
+    return sh.select(
+        "doc_id",
+        F.array_min(F.transform("shingles", phash)).alias("fingerprint"),
+        F.md5(F.array_join(F.array_sort("shingles"), "|")).alias("content_hash"),
+    ).orderBy("doc_id")
