@@ -309,18 +309,33 @@ def d30_first_last_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a31_approx_count_distinct",
     tags=("A31",),
-    approximate=True,
     oracle="""
-    SELECT l_returnflag, count(DISTINCT l_partkey) AS approx_parts
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+           1 AS within_bound
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
 def a31_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct; driver/tests check bounded relative error vs exact."""
+    """HLL distinct, hash-checked via its error bound: the sketch result
+    must land within 3×rsd of the exact count (within_bound=1), and the
+    exact count itself hash-matches — so the approximate operator is
+    exercised for real while the compared output stays deterministic
+    (SURVEY §2 A-row rule, encoded in-query)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                 <= 0.06 * F.col("exact_parts")).cast("int")
+            ).alias("within_bound"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -328,21 +343,36 @@ def a31_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a32_approx_quantiles",
     tags=("A32",),
-    approximate=True,
     oracle=f"""
     SELECT event_type,
-           {sql_round("quantile_cont(value, 0.5)", 2)} AS p50,
-           {sql_round("quantile_cont(value, 0.95)", 2)} AS p95
+           {sql_round("quantile_disc(value, 0.5)", 2)} AS exact_p50,
+           1 AS p50_within_bound, 1 AS p95_within_bound
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
 def a32_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles, hash-checked via error
+    bounds (|approx-exact| ≤ 10% of exact ⇒ flag=1) plus the exact
+    discrete median, which both engines agree on (percentile_disc picks
+    an element, no interpolation)."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
         .agg(
-            pround(F.percentile_approx("value", 0.5), 2).alias("p50"),
-            pround(F.percentile_approx("value", 0.95), 2).alias("p95"),
+            F.percentile_approx("value", 0.5).alias("a50"),
+            F.percentile_approx("value", 0.95).alias("a95"),
+            F.expr("percentile(value, array(0.5, 0.95))").alias("ex"),
+            pround(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"), 2).alias(
+                "exact_p50"
+            ),
+        )
+        .select(
+            "event_type",
+            "exact_p50",
+            ((F.abs(F.col("a50") - F.col("ex")[0]) <= 0.10 * F.abs(F.col("ex")[0]))
+             .cast("int")).alias("p50_within_bound"),
+            ((F.abs(F.col("a95") - F.col("ex")[1]) <= 0.10 * F.abs(F.col("ex")[1]))
+             .cast("int")).alias("p95_within_bound"),
         )
         .orderBy("event_type")
     )

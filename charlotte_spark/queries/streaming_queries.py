@@ -1,1 +1,226 @@
-"""Placeholder — queries land in a later phase of this round."""
+"""Structured Streaming operator surface (SURVEY §2.2 D53-D60).
+
+Each query replays ``events`` as a chunked file stream (harness),
+runs the streaming DAG to completion, and returns the final sink —
+checked against DuckDB's *batch* answer over the same rows (the
+standard stream-equals-batch correctness harness). Watermark semantics
+(D56) and the stateful sequencer (D58) also have dedicated tests in
+tests/test_streaming.py; D58/D60 live in the charlotte pipeline module.
+
+Scale notes: these plans are the production plans — file source with
+admission control (maxFilesPerTrigger ≡ R5 backpressure), watermarked
+state eviction so state size is bounded by (watermark window ×
+key cardinality), not by stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import pround, sql_round
+from ..registry import query
+from ..streaming.harness import events_stream, run_to_memory
+
+
+@query(
+    "d53_tumbling_window",
+    tags=("D53",),
+    oracle=f"""
+    SELECT strftime(to_timestamp((epoch_us(ts) // 1000000) // 600 * 600), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n,
+           {sql_round("sum(value)", 2)} AS total
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def d53_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling event-time windows over the replayed stream."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), pround(F.sum("value"), 2).alias("total")
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        "total",
+    ).orderBy("win_start", "event_type")
+
+
+@query(
+    "d54_sliding_window",
+    tags=("D54",),
+    oracle=f"""
+    WITH slides AS (
+        SELECT e.*,
+               to_timestamp((epoch_us(ts) // 1000000) // 300 * 300 - s.k * 300) AS win_start
+        FROM events e,
+             (SELECT unnest([0, 1]) AS k) s
+        WHERE (epoch_us(ts) // 1000000) >= epoch(to_timestamp((epoch_us(ts) // 1000000) // 300 * 300 - s.k * 300))
+          AND (epoch_us(ts) // 1000000) < epoch(to_timestamp((epoch_us(ts) // 1000000) // 300 * 300 - s.k * 300)) + 600
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n,
+           {sql_round("sum(value)", 2)} AS total
+    FROM slides
+    GROUP BY 1
+    ORDER BY win_start
+    """,
+)
+def d54_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event lands in 2)."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"), pround(F.sum("value"), 2).alias("total")
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "n", "total"
+    ).orderBy("win_start")
+
+
+@query(
+    "d55_session_window",
+    tags=("D55",),
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 300000000
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def d55_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute-gap session windows per user; the DuckDB oracle is the
+    gaps-and-islands formulation of the same semantics (SURVEY §7 hard
+    part 5). Second-truncated session_start keys the comparison."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+@query(
+    "d56_watermark_late_drop",
+    tags=("D56",),
+    oracle=f"""
+    SELECT strftime(to_timestamp((epoch_us(ts) // 1000000) // 600 * 600), '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    ORDER BY win_start
+    """,
+)
+def d56_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows fed with shuffled chunk order.
+
+    The 40-day watermark exceeds the replay's chunk-level disorder
+    (~26 days), so no data is dropped, and the far-future sentinel row
+    advances the watermark past every real window so append mode
+    flushes them all — result equals the batch answer. Genuine
+    late-drop + bounded-state behavior with a tight watermark is
+    asserted in tests/test_streaming.py."""
+    s = events_stream(
+        spark, sf_dir, n_chunks=8, shuffle_chunks=True, sentinel_ts="2024-06-01 00:00:00"
+    )
+    agg = (
+        s.withWatermark("ts", "40 days")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, "append")
+    return (
+        out.select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "n")
+        .filter(F.col("win_start") < "2024-05-01")
+        .orderBy("win_start")
+    )
+
+
+@query(
+    "d57_streaming_dedup",
+    tags=("D57",),
+    oracle="""
+    SELECT count(*) AS n_unique,
+           count(DISTINCT event_id) AS n_distinct_ids
+    FROM events
+    """,
+)
+def d57_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates over a stream that replays every chunk's
+    rows (plus the overlap duplicates the chunking introduces when the
+    same files are re-listed) — final count equals distinct count."""
+    s = events_stream(spark, sf_dir)
+    # duplicate the stream rows by unioning the stream with itself: every
+    # event_id arrives at least twice across micro-batches
+    dup = s.unionByName(s)
+    dedup = dup.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    out = run_to_memory(dedup, "append")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+    )
+
+
+@query(
+    "d59_stream_static_join",
+    tags=("D59", "R13", "R14", "R15"),
+    oracle=f"""
+    WITH dim(event_type, risk_weight) AS (
+        VALUES ('error', 5.0), ('purchase', 1.0), ('signup', 2.0)
+    )
+    SELECT e.event_type,
+           coalesce(d.risk_weight, 10.0) AS risk_weight,
+           count(*) AS n,
+           {sql_round("sum(e.value * coalesce(d.risk_weight, 10.0))", 2)} AS weighted
+    FROM events e LEFT JOIN dim d USING (event_type)
+    GROUP BY e.event_type, d.risk_weight
+    ORDER BY e.event_type
+    """,
+)
+def d59_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static broadcast join with default fabrication on miss —
+    the R13/R14/R15 map-enrichment shape (weight 10.0 ≡ charlotte's
+    priority-10 default row, /root/reference/charlotte/__init__.py:189)."""
+    dim = spark.createDataFrame(
+        [("error", 5.0), ("purchase", 1.0), ("signup", 2.0)],
+        "event_type string, risk_weight double",
+    )
+    s = events_stream(spark, sf_dir)
+    joined = s.join(F.broadcast(dim), "event_type", "left").withColumn(
+        "rw", F.coalesce("risk_weight", F.lit(10.0))
+    )
+    agg = joined.groupBy("event_type", "risk_weight").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum(F.col("value") * F.col("rw")), 2).alias("weighted"),
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        "event_type",
+        F.coalesce("risk_weight", F.lit(10.0)).alias("risk_weight"),
+        "n",
+        "weighted",
+    ).orderBy("event_type")

@@ -1,0 +1,163 @@
+"""Spark reader for unified2 spools (R1/R4/R6/R7 — Spark-first shape).
+
+The reference runs one OS process per spool polling directories with a
+1 s sleep (/root/reference/charlotte/__init__.py:253-283). Here each
+spool is a ``binaryFile`` (stream or batch) source over the same
+directories with a filename glob; N directories union into one tagged
+stream (R4, :257-263); Structured Streaming's checkpoint replaces the
+reader bookmark (R2, :263); ``maxFilesPerTrigger`` replaces the bounded
+queue backpressure (R5, scripts/charlotte:24).
+
+Parsing (R6) + per-packet explode (R10) are fused into one Arrow
+``mapInPandas`` pass per file — the parser emits one row per packet
+(or one packet-less row), so no nested-array columns ever cross the
+Arrow boundary. Packet decode (R7, :482-526) is a second ``mapInPandas``
+producing flat nullable header columns; the protocol dispatch chain
+(R8, :484-527) becomes downstream null-filters.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .unified2 import decode_ethernet, parse_alerts
+
+# one row per (alert, packet) — packet_pos null for packet-less alerts
+ALERT_FLAT_SCHEMA = (
+    "sensor_name string, event_second bigint, event_id bigint, "
+    "signature_id int, generator_id int, classification_id int, priority int, "
+    "n_packets int, n_extra int, packet_pos int, frame binary"
+)
+
+DECODED_SCHEMA = ALERT_FLAT_SCHEMA + (
+    ", ip_src string, ip_dst string, ip_ver int, ip_hlen int, ip_tos int, ip_len int"
+    ", ip_id int, ip_flags int, ip_off int, ip_ttl int, ip_proto int, ip_csum int"
+    ", tcp_sport int, tcp_dport int, tcp_seq bigint, tcp_ack bigint, tcp_off int"
+    ", tcp_flags int, tcp_win int, tcp_csum int, tcp_urp int"
+    ", udp_sport int, udp_dport int, udp_len int, udp_csum int"
+    ", icmp_type int, icmp_code int, icmp_csum int, icmp_id int, icmp_seq int"
+    ", payload binary"
+)
+
+
+def _parse_files(batches):
+    """mapInPandas body: (sensor_name, content) file rows -> flat alert rows."""
+    for pdf in batches:
+        rows = []
+        for sensor, content in zip(pdf["sensor_name"], pdf["content"]):
+            for a in parse_alerts(bytes(content)):
+                base = (
+                    sensor,
+                    a["event_second"],
+                    a["event_id"],
+                    a["signature_id"],
+                    a["generator_id"],
+                    a["classification_id"],
+                    a["priority"],
+                    len(a["packets"]),
+                    len(a["extra_data"]),
+                )
+                if a["packets"]:
+                    for pos, frame in enumerate(a["packets"]):
+                        rows.append(base + (pos, frame))
+                else:
+                    rows.append(base + (None, None))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "sensor_name",
+                "event_second",
+                "event_id",
+                "signature_id",
+                "generator_id",
+                "classification_id",
+                "priority",
+                "n_packets",
+                "n_extra",
+                "packet_pos",
+                "frame",
+            ],
+        )
+
+
+def _decode_frames(batches):
+    """mapInPandas body: attach flat decoded header columns (R7)."""
+    hdr_cols = [
+        c.strip().split(" ")[0]
+        for c in DECODED_SCHEMA.split(",")[len(ALERT_FLAT_SCHEMA.split(",")) :]
+    ]
+    for pdf in batches:
+        out = {c: [] for c in hdr_cols}
+        for frame in pdf["frame"]:
+            d = decode_ethernet(bytes(frame)) if frame is not None else None
+            ip = (d or {}).get("ip")
+            tcp = (d or {}).get("tcp")
+            udp = (d or {}).get("udp")
+            icmp = (d or {}).get("icmp")
+            for k in ("src", "dst", "ver", "hlen", "tos", "len", "id", "flags", "off", "ttl", "proto", "csum"):
+                out[f"ip_{k}"].append(ip[k] if ip else None)
+            for k in ("sport", "dport", "seq", "ack", "off", "flags", "win", "csum", "urp"):
+                out[f"tcp_{k}"].append(tcp[k] if tcp else None)
+            for k in ("sport", "dport", "len", "csum"):
+                out[f"udp_{k}"].append(udp[k] if udp else None)
+            for k in ("type", "code", "csum", "id", "seq"):
+                out[f"icmp_{k}"].append(icmp[k] if icmp else None)
+            payload = None
+            for layer in (tcp, udp, icmp):
+                if layer is not None and layer.get("payload"):
+                    payload = layer["payload"]
+            out["payload"].append(payload)
+        yield pd.concat([pdf.reset_index(drop=True), pd.DataFrame(out)], axis=1)
+
+
+def _tagged_binary_source(
+    spark: SparkSession,
+    directory: str,
+    sensor_name: str,
+    prefix: str,
+    streaming: bool,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    glob = f"{prefix}*" if prefix else "*"
+    if streaming:
+        reader = (
+            spark.readStream.format("binaryFile")
+            .option("pathGlobFilter", glob)
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        df = reader.load(directory)
+    else:
+        df = (
+            spark.read.format("binaryFile").option("pathGlobFilter", glob).load(directory)
+        )
+    return df.select(F.lit(sensor_name).alias("sensor_name"), "content")
+
+
+def read_spools(
+    spark: SparkSession,
+    spools: dict[str, dict],
+    streaming: bool = False,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Union all spool directories into one flat, decoded alert frame.
+
+    ``spools`` mirrors charlotte's config section
+    (charlotte/__init__.py:141-150): name -> {"directories": [...],
+    "prefix": "snort.u2"}.
+    """
+    parts = []
+    for name, cfg in sorted(spools.items()):
+        for d in cfg["directories"]:
+            parts.append(
+                _tagged_binary_source(
+                    spark, d, name, cfg.get("prefix", ""), streaming, max_files_per_trigger
+                )
+            )
+    src = parts[0]
+    for p in parts[1:]:
+        src = src.unionByName(p)  # R4: one logical stream per deployment
+    flat = src.mapInPandas(_parse_files, ALERT_FLAT_SCHEMA)
+    return flat.mapInPandas(_decode_frames, DECODED_SCHEMA)

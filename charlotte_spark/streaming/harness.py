@@ -1,0 +1,117 @@
+"""Streaming test/replay harness (SURVEY §5.2 stream-equals-batch).
+
+Replays the ``events`` table as a chronologically-chunked file stream
+(the D6/R1 spool shape: a directory that accumulates files), runs a
+streaming query over it synchronously, and exposes the final sink as a
+DataFrame — so streaming operators can be registered in the ordinary
+query registry and oracle-checked against DuckDB's batch answer over
+the same rows.
+
+``shuffle_chunks=True`` delivers chunks out of chronological order
+(middle-out), which is how the watermark/late-data queries (D56) get
+genuinely late rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..schemas import EVENTS
+
+_counter = itertools.count()
+
+STREAM_TMP = os.environ.get("CHARLOTTE_STREAM_TMP", "/tmp/charlotte_stream")
+
+
+def events_chunk_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 8,
+    shuffle_chunks: bool = False,
+    sentinel_ts: str | None = None,
+) -> str:
+    """Materialize events as n_chunks single-file parquet chunks in ts
+    order (or shuffled order when testing late data); cached on disk.
+
+    ``sentinel_ts`` appends a final one-row chunk (event_id = -1) far in
+    the future — it advances the watermark past every real window so
+    append-mode sinks flush completely (filter it from results)."""
+    sig = hashlib.md5(
+        f"{sf_dir}|{n_chunks}|{shuffle_chunks}|{sentinel_ts}".encode()
+    ).hexdigest()[:12]
+    out = f"{STREAM_TMP}/src_{sig}"
+    marker = f"{out}/_READY"
+    if os.path.exists(marker):
+        return out
+    df = load_table(spark, sf_dir, "events").orderBy("ts", "event_id").collect()
+    os.makedirs(out, exist_ok=True)
+    n = len(df)
+    chunk_size = max(1, (n + n_chunks - 1) // n_chunks)
+    chunks = [df[i : i + chunk_size] for i in range(0, n, chunk_size)]
+    if shuffle_chunks:
+        # deterministic late-data order: even chunks first, then odd
+        chunks = chunks[::2] + chunks[1::2]
+    if sentinel_ts is not None:
+        import datetime as _dt
+
+        sentinel = [
+            (
+                -1,
+                _dt.datetime.strptime(sentinel_ts, "%Y-%m-%d %H:%M:%S"),
+                -1,
+                "__sentinel__",
+                0.0,
+                "{}",
+            )
+        ]
+        chunks.append(sentinel)
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, EVENTS).coalesce(1).write.mode("overwrite").parquet(
+            f"{out}/chunk={i:03d}"
+        )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 8,
+    shuffle_chunks: bool = False,
+    sentinel_ts: str | None = None,
+) -> DataFrame:
+    """readStream over the chunked events replay, one chunk per batch."""
+    src = events_chunk_dir(spark, sf_dir, n_chunks, shuffle_chunks, sentinel_ts)
+    return (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+
+
+def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DF to completion into a memory sink; return the
+    sink's contents as a batch DataFrame."""
+    spark = sdf.sparkSession
+    name = f"stream_sink_{next(_counter)}"
+    ckpt = f"{STREAM_TMP}/ckpt_{name}_{os.getpid()}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,328 @@
+"""Snorby-star sink: dimension upserts + per-sensor cid sequencing
+(R11-R12, R13-R19, R21, D58/D60).
+
+The reference upserts into MySQL row-at-a-time from one serialized
+writer (/root/reference/charlotte/__init__.py:463-611). Here a batch
+(one micro-batch in streaming, or the whole input in batch mode) is
+processed set-wise:
+
+- enrichment: broadcast left-outer joins against the signature /
+  classification maps with charlotte's fabricated defaults on miss
+  (rev=0, classid=0, priority=10, msg='Unknown Alert gid:sid' — :189;
+  name='unknown-classification' — :202);
+- dimension upserts: anti-join-then-append with dense ids (R16/R17),
+  SCD-1 name update for sig_class (R18, :606-608);
+- cid: per-sensor dense sequence = row_number over (event_second,
+  event_id, packet_pos) + the persisted ``sensor.last_cid`` offset
+  (R19 — exactly charlotte's design at :554-570, parallelized);
+  last_cid is written back after each batch (:566-569);
+- facts: event / iphdr / tcphdr / udphdr / icmphdr / data, with R11
+  timestamp normalization and R12 lowercase-hex payloads;
+- idempotent restart: applied batch ids are recorded; re-delivered
+  batches are skipped (the exactly-once story for sinks without
+  checkpoint-coordinated transactions, SURVEY §7 hard #1).
+
+The "database" is a directory of parquet tables (the container has no
+MySQL); ``jdbc_url`` switches the same writes to ``df.write.jdbc``
+wrapped in the R21 retry helper. Single-writer is assumed, like the
+reference (SURVEY §7 hard #2).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+FACT_TABLES = ("event", "iphdr", "tcphdr", "udphdr", "icmphdr", "data")
+DIM_TABLES = ("sensor", "signature", "sig_class")
+
+
+def with_retry(fn, max_tries: int = 8, base_sleep: float = 1.0):
+    """R21: exponential backoff (1,2,4,... s) around a sink write.
+    The reference retries forever (:393-397); we cap so tests terminate,
+    and bubble the last error."""
+    last = None
+    for attempt in range(max_tries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — sink errors are env-specific
+            last = e
+            time.sleep(base_sleep * (2**attempt))
+    raise last
+
+
+class SnorbyDB:
+    """Parquet-backed stand-in for the snorby MySQL schema."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        os.makedirs(self.path, exist_ok=True)
+
+    def _tdir(self, name: str) -> str:
+        return f"{self.path}/{name}"
+
+    def read(self, name: str, schema: str) -> DataFrame:
+        if os.path.exists(self._tdir(name)):
+            return self.spark.read.parquet(self._tdir(name))
+        return self.spark.createDataFrame([], schema)
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        tmp = self._tdir(f"_{name}_tmp")
+        def write():
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        with_retry(write)
+        final = self._tdir(name)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def append(self, name: str, df: DataFrame) -> None:
+        with_retry(lambda: df.write.mode("append").parquet(self._tdir(name)))
+
+    def applied_batches(self) -> set[int]:
+        df = self.read("_batches", "batch_id long")
+        return {r.batch_id for r in df.collect()}
+
+    def mark_applied(self, batch_id: int) -> None:
+        self.append("_batches", self.spark.createDataFrame([(batch_id,)], "batch_id long"))
+
+
+def enrich(alerts: DataFrame, sig_map: DataFrame, class_map: DataFrame) -> DataFrame:
+    """R13/R14: broadcast left joins + charlotte default fabrication."""
+    a = alerts.join(
+        F.broadcast(
+            sig_map.select(
+                F.col("gid").alias("m_gid"),
+                F.col("sid").alias("m_sid"),
+                F.col("rev").alias("m_rev"),
+                F.col("classid").alias("m_classid"),
+                F.col("priority").alias("m_priority"),
+                F.col("msg").alias("m_msg"),
+            )
+        ),
+        (F.col("generator_id") == F.col("m_gid")) & (F.col("signature_id") == F.col("m_sid")),
+        "left",
+    )
+    a = a.select(
+        *alerts.columns,
+        F.coalesce("m_rev", F.lit(0)).alias("sig_rev"),
+        F.coalesce("m_classid", F.lit(0)).alias("sig_classid"),
+        F.coalesce("m_priority", F.lit(10)).alias("sig_priority"),
+        F.coalesce(
+            "m_msg",
+            F.concat(
+                F.lit("Unknown Alert "),
+                F.col("generator_id").cast("string"),
+                F.lit(":"),
+                F.col("signature_id").cast("string"),
+            ),
+        ).alias("sig_msg"),
+    )
+    a = a.join(
+        F.broadcast(
+            class_map.select(
+                F.col("classid").alias("c_classid"), F.col("name").alias("c_name")
+            )
+        ),
+        F.col("sig_classid") == F.col("c_classid"),
+        "left",
+    )
+    return a.withColumn(
+        "class_name", F.coalesce("c_name", F.lit("unknown-classification"))
+    ).drop("c_classid", "c_name")
+
+
+def _upsert_sensor(db: SnorbyDB, batch: DataFrame) -> DataFrame:
+    """R16: insert-if-absent on (hostname, interface); returns full dim."""
+    dim = db.read(
+        "sensor", "sid int, hostname string, interface string, detail int, encoding int, last_cid bigint"
+    )
+    new = (
+        batch.select(F.col("sensor_name").alias("hostname"))
+        .distinct()
+        .join(dim.select("hostname"), "hostname", "left_anti")
+        .orderBy("hostname")
+    )
+    n_existing = dim.count()
+    new = new.select(
+        (F.row_number().over(W.orderBy("hostname")) + n_existing).alias("sid"),
+        "hostname",
+        F.lit("charlotte").alias("interface"),
+        F.lit(1).alias("detail"),
+        F.lit(2).alias("encoding"),
+        F.lit(0).cast("long").alias("last_cid"),
+    )
+    if new.count() > 0:
+        dim = dim.unionByName(new)
+        db.overwrite("sensor", dim)
+        dim = db.read("sensor", "sid int, hostname string, interface string, detail int, encoding int, last_cid bigint")
+    return dim
+
+
+_SIG_NATURAL = ("sig_sid", "sig_gid", "sig_rev", "sig_class_id", "sig_priority", "sig_name")
+
+
+def _upsert_signature(db: SnorbyDB, batch: DataFrame) -> DataFrame:
+    """R17: insert-if-absent on the 6-column natural key; dense sig_id."""
+    dim = db.read(
+        "signature",
+        "sig_id int, sig_sid int, sig_gid int, sig_rev int, sig_class_id int, sig_priority int, sig_name string",
+    )
+    naturals = batch.select(
+        F.col("signature_id").alias("sig_sid"),
+        F.col("generator_id").alias("sig_gid"),
+        F.col("sig_rev"),
+        F.col("sig_classid").alias("sig_class_id"),
+        F.col("sig_priority"),
+        F.col("sig_msg").alias("sig_name"),
+    ).distinct()
+    new = naturals.join(dim.select(*_SIG_NATURAL), list(_SIG_NATURAL), "left_anti")
+    n_existing = dim.count()
+    new = new.select(
+        (F.row_number().over(W.orderBy("sig_gid", "sig_sid", "sig_name")) + n_existing).alias(
+            "sig_id"
+        ),
+        *_SIG_NATURAL,
+    )
+    if new.count() > 0:
+        dim = dim.unionByName(new)
+        db.overwrite("signature", dim)
+        dim = db.read(
+            "signature",
+            "sig_id int, sig_sid int, sig_gid int, sig_rev int, sig_class_id int, sig_priority int, sig_name string",
+        )
+    return dim
+
+
+def _upsert_sig_class(db: SnorbyDB, batch: DataFrame) -> DataFrame:
+    """R18: insert-if-absent on classid; UPDATE name if it drifted
+    (charlotte/__init__.py:606-608 — SCD-1 overwrite)."""
+    dim = db.read("sig_class", "sig_class_id int, sig_class_name string")
+    current = batch.select(
+        F.col("sig_classid").alias("sig_class_id"), F.col("class_name").alias("new_name")
+    ).distinct()
+    merged = dim.join(current, "sig_class_id", "full").select(
+        "sig_class_id",
+        F.coalesce("new_name", "sig_class_name").alias("sig_class_name"),
+    )
+    db.overwrite("sig_class", merged)
+    return db.read("sig_class", "sig_class_id int, sig_class_name string")
+
+
+def apply_batch(
+    db: SnorbyDB,
+    enriched: DataFrame,
+    batch_id: int,
+) -> None:
+    """D60/foreachBatch body: upsert dims, sequence cids, append facts."""
+    if batch_id in db.applied_batches():
+        return  # idempotent replay after restart
+
+    enriched = enriched.localCheckpoint()  # cut lineage; batch is reused many times
+    if enriched.isEmpty():
+        db.mark_applied(batch_id)
+        return
+
+    sensor = _upsert_sensor(db, enriched)
+    signature = _upsert_signature(db, enriched)
+    _upsert_sig_class(db, enriched)
+
+    # attach sid + sig_id
+    a = enriched.join(
+        F.broadcast(sensor.select(F.col("hostname").alias("sensor_name"), "sid", "last_cid")),
+        "sensor_name",
+    ).join(
+        F.broadcast(
+            signature.select(
+                F.col("sig_sid").alias("signature_id"),
+                F.col("sig_gid").alias("generator_id"),
+                "sig_rev",
+                F.col("sig_class_id").alias("sig_classid"),
+                "sig_priority",
+                F.col("sig_name").alias("sig_msg"),
+                "sig_id",
+            )
+        ),
+        ["signature_id", "generator_id", "sig_rev", "sig_classid", "sig_priority", "sig_msg"],
+    )
+
+    # R19/D58: per-sensor dense cid (row_number + persisted offset)
+    w = W.partitionBy("sid").orderBy(
+        F.col("event_second").asc(),
+        F.col("event_id").asc(),
+        F.col("packet_pos").asc_nulls_first(),
+    )
+    a = a.withColumn("cid", F.row_number().over(w) + F.col("last_cid")).localCheckpoint()
+
+    # R11 timestamp normalize — epoch seconds -> UTC wall-clock string
+    ts = F.from_unixtime("event_second").cast("timestamp")
+
+    facts = {
+        "event": a.select(
+            "sid", "cid", F.col("sig_id").alias("signature"), ts.alias("timestamp")
+        ),
+        "iphdr": a.filter(F.col("ip_ver").isNotNull()).select(
+            "sid",
+            "cid",
+            F.expr(
+                "cast(split(ip_src, '\\\\.')[0] as bigint) * 16777216 + "
+                "cast(split(ip_src, '\\\\.')[1] as bigint) * 65536 + "
+                "cast(split(ip_src, '\\\\.')[2] as bigint) * 256 + "
+                "cast(split(ip_src, '\\\\.')[3] as bigint)"
+            ).alias("ip_src"),
+            F.expr(
+                "cast(split(ip_dst, '\\\\.')[0] as bigint) * 16777216 + "
+                "cast(split(ip_dst, '\\\\.')[1] as bigint) * 65536 + "
+                "cast(split(ip_dst, '\\\\.')[2] as bigint) * 256 + "
+                "cast(split(ip_dst, '\\\\.')[3] as bigint)"
+            ).alias("ip_dst"),
+            "ip_ver",
+            "ip_hlen",
+            "ip_tos",
+            "ip_len",
+            "ip_id",
+            "ip_flags",
+            "ip_off",
+            "ip_ttl",
+            "ip_proto",
+            "ip_csum",
+        ),
+        "tcphdr": a.filter(F.col("tcp_sport").isNotNull()).select(
+            "sid", "cid", "tcp_sport", "tcp_dport", "tcp_seq", "tcp_ack", "tcp_off",
+            F.lit(0).alias("tcp_res"), "tcp_flags", "tcp_win", "tcp_csum", "tcp_urp",
+        ),
+        "udphdr": a.filter(F.col("udp_sport").isNotNull()).select(
+            "sid", "cid", "udp_sport", "udp_dport", "udp_len", "udp_csum"
+        ),
+        "icmphdr": a.filter(F.col("icmp_type").isNotNull()).select(
+            "sid", "cid", "icmp_type", "icmp_code", "icmp_csum", "icmp_id", "icmp_seq"
+        ),
+        # R12: lowercase hex payload (Spark hex() is uppercase)
+        "data": a.filter(F.col("payload").isNotNull()).select(
+            "sid", "cid", F.lower(F.hex("payload")).alias("data_payload")
+        ),
+    }
+    for name, df in facts.items():
+        db.append(name, df)
+
+    # R19 persist: sensor.last_cid = max assigned cid (:566-569)
+    max_cids = a.groupBy("sid").agg(F.max("cid").alias("new_last_cid"))
+    sensor_updated = sensor.join(
+        max_cids.withColumnRenamed("sid", "u_sid"),
+        sensor.sid == F.col("u_sid"),
+        "left",
+    ).select(
+        "sid",
+        "hostname",
+        "interface",
+        "detail",
+        "encoding",
+        F.greatest(F.coalesce("new_last_cid", F.lit(0)), "last_cid").alias("last_cid"),
+    )
+    db.overwrite("sensor", sensor_updated)
+    db.mark_applied(batch_id)
