@@ -1,0 +1,119 @@
+"""Source/sink operator rows (SURVEY §2.2 D2, D4, D6).
+
+D1 (parquet scans) lives in relational.py; D3/D5 (JDBC scan/sink) have
+no reachable database server in this container — their code path is the
+R21 retry wrapper in charlotte_spark/streaming/snorby.py (`with_retry`,
+unit-tested in tests/test_streaming.py) around `df.write.jdbc` /
+`spark.read.jdbc`, declared here for the inventory but not registered
+as driver queries (SURVEY marks D3 "env-dependent, not hash-gated").
+
+Round-trip queries write under /tmp and re-read with explicit schemas —
+never inferring (SURVEY §1.3) — then aggregate, so the oracle can check
+the same aggregate straight off the parquet views.
+
+Scale notes: CSV/JSON scans with explicit schemas split by
+`maxPartitionBytes` exactly like parquet; the partitioned parquet sink
+(D4) partitions by a low-cardinality derived column (year) so the
+writer produces one directory per partition value — at 100 TB the
+partition column choice (date, not id) keeps file counts sane, and
+dynamic partition overwrite avoids full-table rewrites.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round
+from ..registry import query
+
+TMP = os.environ.get("CHARLOTTE_SINK_TMP", "/tmp/charlotte_sinks")
+
+
+@query(
+    "d2_csv_json_scan",
+    tags=("D2",),
+    oracle=f"""
+    SELECT n_regionkey,
+           count(*) AS n,
+           {sql_round("sum(n_nationkey)", 2)} AS sum_key,
+           count(*) AS n_json
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def d2_csv_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip nation through CSV and JSON with explicit schemas and
+    aggregate both; equality of n and n_json proves both formats
+    preserved every row."""
+    nation = load_table(spark, sf_dir, "nation")
+    sig = os.path.basename(sf_dir.rstrip("/"))
+    csv_dir, json_dir = f"{TMP}/nation_csv_{sig}", f"{TMP}/nation_json_{sig}"
+    nation.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    nation.write.mode("overwrite").json(json_dir)
+    schema = "n_nationkey bigint, n_name string, n_regionkey bigint, n_comment string"
+    from_csv = spark.read.schema(schema).option("header", "true").csv(csv_dir)
+    from_json = spark.read.schema(schema).json(json_dir)
+    agg_csv = from_csv.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n"), pround(F.sum("n_nationkey"), 2).alias("sum_key")
+    )
+    agg_json = from_json.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_json"))
+    return agg_csv.join(agg_json, "n_regionkey").orderBy("n_regionkey")
+
+
+@query(
+    "d4_partitioned_parquet_sink",
+    tags=("D4",),
+    oracle=f"""
+    SELECT year(o_orderdate) AS order_year,
+           count(*) AS n,
+           {sql_round("sum(o_totalprice)", 2)} AS total
+    FROM orders GROUP BY 1 ORDER BY order_year
+    """,
+)
+def d4_partitioned_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by year, re-read, aggregate per
+    partition — partition pruning applies to any year-filtered read."""
+    orders = load_table(spark, sf_dir, "orders")
+    sig = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{TMP}/orders_by_year_{sig}"
+    (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("order_year")
+        .agg(F.count(F.lit(1)).alias("n"), pround(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "d6_file_stream_checkpoint",
+    tags=("D6", "R1", "R2"),
+    oracle="""
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d6_file_stream_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over chunked events with a checkpoint; final
+    sink equals the batch answer (the D6 contract)."""
+    from ..streaming.harness import events_stream, run_to_memory
+
+    # exact COUNT(DISTINCT) isn't allowed in a streaming agg, so stream
+    # the (event_type, user_id) partial counts (the scalable shape) and
+    # finish exactly on the sink contents
+    s = events_stream(spark, sf_dir)
+    partial = s.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    sink = run_to_memory(partial, "complete")
+    return (
+        sink.groupBy("event_type")
+        .agg(F.sum("c").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )

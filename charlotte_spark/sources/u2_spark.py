@@ -124,6 +124,9 @@ def _tagged_binary_source(
     if streaming:
         reader = (
             spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, length long, content binary"
+            )
             .option("pathGlobFilter", glob)
         )
         if max_files_per_trigger:

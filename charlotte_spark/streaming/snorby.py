@@ -123,13 +123,16 @@ def enrich(alerts: DataFrame, sig_map: DataFrame, class_map: DataFrame) -> DataF
             ),
         ).alias("sig_msg"),
     )
+    # class name keyed by the *event's* classification id — the reference's
+    # sig_class upsert path (charlotte/__init__.py:465, :597-611) is driven
+    # by event['classification-id'], independent of the signature map.
     a = a.join(
         F.broadcast(
             class_map.select(
                 F.col("classid").alias("c_classid"), F.col("name").alias("c_name")
             )
         ),
-        F.col("sig_classid") == F.col("c_classid"),
+        F.col("classification_id") == F.col("c_classid"),
         "left",
     )
     return a.withColumn(
@@ -204,7 +207,8 @@ def _upsert_sig_class(db: SnorbyDB, batch: DataFrame) -> DataFrame:
     (charlotte/__init__.py:606-608 — SCD-1 overwrite)."""
     dim = db.read("sig_class", "sig_class_id int, sig_class_name string")
     current = batch.select(
-        F.col("sig_classid").alias("sig_class_id"), F.col("class_name").alias("new_name")
+        F.col("classification_id").alias("sig_class_id"),
+        F.col("class_name").alias("new_name"),
     ).distinct()
     merged = dim.join(current, "sig_class_id", "full").select(
         "sig_class_id",

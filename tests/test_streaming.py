@@ -1,0 +1,114 @@
+"""Streaming failure semantics: genuine late-data drop (D56), bounded
+state, restart/recovery of the snorby pipeline (R2/R21, SURVEY §5.2
+"kill mid-stream, resume from checkpoint, assert no dup/loss"), and the
+R21 retry wrapper.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from charlotte_spark.queries.charlotte_pipeline import (
+    _fresh_db,
+    _star_summary,
+    run_batch_pipeline,
+    run_streaming_pipeline,
+)
+from charlotte_spark.streaming.harness import events_stream, run_to_memory
+from charlotte_spark.streaming.snorby import with_retry
+
+
+def test_watermark_drops_late_rows(spark, sf_dir):
+    """With chunks delivered out of order and a watermark tighter than
+    the disorder, late rows are dropped: the windowed counts sum to
+    fewer events than the input."""
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    s = events_stream(
+        spark, sf_dir, n_chunks=8, shuffle_chunks=True, sentinel_ts="2024-06-01 00:00:00"
+    )
+    agg = (
+        s.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, "append").filter(F.col("w.start") < "2024-05-01")
+    kept = out.agg(F.sum("n")).collect()[0][0]
+    assert kept < total, "tight watermark over shuffled delivery must drop rows"
+    assert kept > 0
+
+
+def test_snorby_restart_recovery(spark):
+    """Kill the streaming pipeline mid-run (sink raises after 2
+    micro-batches), restart from the same checkpoint + db, and the final
+    star equals a clean batch run — no duplicates, no loss."""
+    from charlotte_spark.queries.charlotte_pipeline import u2_fixture
+    from charlotte_spark.sources.u2_spark import read_spools
+    from charlotte_spark.streaming.maps import load_maps
+    from charlotte_spark.streaming.snorby import apply_batch
+
+    fx = u2_fixture()
+    db = _fresh_db(spark, "restart")
+    ckpt = f"{db.path}_ckpt"
+    if os.path.exists(ckpt):
+        shutil.rmtree(ckpt)
+
+    applied = {"n": 0}
+
+    def crashing_sink(batch_df, batch_id):
+        if applied["n"] >= 2:
+            raise RuntimeError("injected crash")
+        sig_map, class_map = load_maps(spark, fx["sig_map"], fx["gen_map"], fx["class_map"])
+        from charlotte_spark.streaming.snorby import enrich
+
+        apply_batch(db, enrich(batch_df, sig_map, class_map), batch_id)
+        applied["n"] += 1
+
+    alerts = read_spools(spark, fx["spools"], streaming=True, max_files_per_trigger=1)
+    q = (
+        alerts.writeStream.foreachBatch(crashing_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+
+    # resume: same checkpoint, same db; Spark replays the failed batch
+    # (idempotent via applied-batch ids) and finishes the rest
+    run_streaming_pipeline(spark, db, ckpt)
+
+    db_ref = _fresh_db(spark, "restart_ref")
+    run_batch_pipeline(spark, db_ref)
+
+    cols = ["hostname", "cid", "sig_name", "sig_priority", "ts"]
+    got = {tuple(r[c] for c in cols) for r in _star_summary(spark, db).collect()}
+    want = {tuple(r[c] for c in cols) for r in _star_summary(spark, db_ref).collect()}
+    assert got == want, (
+        f"restart changed the star: {len(got)} vs {len(want)} rows; "
+        f"extra={list(got - want)[:3]} missing={list(want - got)[:3]}"
+    )
+
+
+def test_with_retry_backoff_then_success():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert with_retry(flaky, max_tries=5, base_sleep=0.01) == "ok"
+    assert calls["n"] == 3
+
+
+def test_with_retry_exhausts():
+    def always_fails():
+        raise OSError("down")
+
+    with pytest.raises(OSError, match="down"):
+        with_retry(always_fails, max_tries=3, base_sleep=0.01)
