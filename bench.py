@@ -1,12 +1,17 @@
-"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+"""Benchmark harness: the declared SURVEY §2 inventory at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
 ``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
 
-Each query executes fully via the noop sink (no driver-side collect), so
-the measured time is scan→compute→materialize, the same work a cluster
-job would do. First query run twice (JVM/codegen warmup excluded from
-per-query numbers but the warmup run is reported separately).
+Protocol (BASELINE.md): sec/query over the declared inventory (warm JVM,
+median of BENCH_RUNS runs, default 1 full + extra runs for the headline
+subset), plus ingest throughput (events/s) for the charlotte streaming
+pipeline over synthetic unified2 spools. Every query executes fully via
+the noop sink (no driver-side collect) — scan→compute→materialize, the
+same work a cluster job does.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_QUERIES
+(comma-list subset), BENCH_RUNS (median-of-N for every query).
 """
 
 from __future__ import annotations
@@ -22,14 +27,16 @@ from charlotte_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = int(os.environ.get("BENCH_RUNS", "1"))
 
-# Headline set: one representative per operator family (kept in sync with
-# charlotte_spark/queries/* as coverage widens).
+# re-timed with median-of-3 even when BENCH_RUNS=1 (headline figures)
 HEADLINE = [
     "q1_pricing_summary",
-    "d1_scan_checksum_lineitem",
-    "d8_computed_projection",
-    "d13_distinct",
+    "d14_inner_equijoin",
+    "d24_groupby_multi_agg",
+    "d33_ranking_functions",
+    "d68_topk_bruteforce",
+    "a66_minhash_lsh_neardup",
 ]
 
 
@@ -39,35 +46,69 @@ def _run(df) -> float:
     return time.perf_counter() - t0
 
 
+def _median(xs: list[float]) -> float:
+    return sorted(xs)[len(xs) // 2]
+
+
+def bench_ingest(spark) -> dict:
+    """Charlotte streaming pipeline throughput on synthetic unified2
+    spools: events/s through parse→decode→enrich→star (BASELINE.md)."""
+    import shutil
+
+    from charlotte_spark.queries.charlotte_pipeline import (
+        _fresh_db,
+        run_streaming_pipeline,
+        u2_fixture,
+    )
+
+    fx = u2_fixture(n_files=3, events_per_file=2000)
+    n_events = 3 * 2000 + 2 * 2000  # sensor_a: 3 files, sensor_b: 2 files
+    db = _fresh_db(spark, "bench_ingest")
+    ckpt = f"{db.path}_ckpt"
+    if os.path.exists(ckpt):
+        shutil.rmtree(ckpt)
+    t0 = time.perf_counter()
+    run_streaming_pipeline(spark, db, ckpt, max_files_per_trigger=3)
+    dt = time.perf_counter() - t0
+    return {"ingest_events": n_events, "ingest_sec": round(dt, 3),
+            "ingest_events_per_sec": round(n_events / dt, 1)}
+
+
 def main() -> None:
     reg = load_all_queries()
-    names = [n for n in HEADLINE if n in reg]
-    extra = os.environ.get("BENCH_QUERIES")
-    if extra:
-        names = [n.strip() for n in extra.split(",") if n.strip() in reg]
+    names = list(reg)
+    subset = os.environ.get("BENCH_QUERIES")
+    if subset:
+        names = [n.strip() for n in subset.split(",") if n.strip() in reg]
 
     spark = get_spark("charlotte-spark-bench", cpus=CPUS)
 
-    # warmup: run the first query once to absorb JVM/codegen startup
     warm0 = time.perf_counter()
     reg[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     warmup = time.perf_counter() - warm0
 
     times: dict[str, float] = {}
     for name in names:
-        runs = [_run(reg[name].fn(spark, SF_DIR)) for _ in range(3)]
-        times[name] = round(sorted(runs)[1], 3)  # median of 3
+        runs = [_run(reg[name].fn(spark, SF_DIR)) for _ in range(RUNS)]
+        times[name] = round(_median(runs), 3)
+    for name in HEADLINE:
+        if name in reg and (subset is None or name in names):
+            runs = [times[name]] + [_run(reg[name].fn(spark, SF_DIR)) for _ in range(2)]
+            times[name] = round(_median(runs), 3)
+
+    ingest = bench_ingest(spark) if subset is None else {}
 
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
     out = {
-        "metric": "headline_queries_total_sec",
+        "metric": "declared_inventory_total_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf,
         "warmup_sec": round(warmup, 3),
         "n_queries": len(times),
+        **ingest,
     }
     print(json.dumps(out))
 

@@ -149,7 +149,7 @@ def _star_summary(spark: SparkSession, db: SnorbyDB) -> DataFrame:
 
 @query(
     "r_charlotte_ingest_decode",
-    tags=("R1", "R4", "R6", "R7", "R8", "R10", "D64"),
+    tags=("R1", "R4", "R6", "R7", "R8", "R9", "R10", "D64"),
 )
 def r_charlotte_ingest_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse+decode only: spool bytes → one row per (alert, packet) with
@@ -179,7 +179,7 @@ def r_charlotte_ingest_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "r_charlotte_batch_pipeline",
-    tags=("R11", "R12", "R13", "R14", "R16", "R17", "R18", "R19", "R21"),
+    tags=("R9", "R11", "R12", "R13", "R14", "R16", "R17", "R18", "R19", "R21"),
 )
 def r_charlotte_batch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full batch pipeline into a fresh snorby star; returns the joined
@@ -187,6 +187,49 @@ def r_charlotte_batch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = _fresh_db(spark, "batch")
     run_batch_pipeline(spark, db)
     return _star_summary(spark, db)
+
+
+@query(
+    "r_charlotte_text_mode",
+    tags=("R22",),
+)
+def r_charlotte_text_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-mode sink (R22): the reference's `charlotte <conf> test`
+    prints each alert as a formatted line instead of writing MySQL
+    (charlotte/__init__.py:284-337). Here the same enriched stream is
+    formatted JVM-side (`format_string`) into u2fast-shaped lines —
+    in production this DataFrame goes to `.writeStream.format("console")`."""
+    fx = u2_fixture()
+    alerts = read_spools(spark, fx["spools"], streaming=False)
+    sig_map, class_map = load_maps(spark, fx["sig_map"], fx["gen_map"], fx["class_map"])
+    e = enrich(alerts, sig_map, class_map)
+    line = F.format_string(
+        "%s {%s} [%d:%d:%d] %s [Classification: %s] [Priority: %d] %s -> %s",
+        F.from_unixtime("event_second"),
+        F.upper(
+            F.when(F.col("tcp_sport").isNotNull(), "tcp")
+            .when(F.col("udp_sport").isNotNull(), "udp")
+            .when(F.col("icmp_type").isNotNull(), "icmp")
+            .otherwise("-")
+        ),
+        "generator_id",
+        "signature_id",
+        "sig_rev",
+        "sig_msg",
+        "class_name",
+        "sig_priority",
+        F.coalesce("ip_src", F.lit("-")),
+        F.coalesce("ip_dst", F.lit("-")),
+    )
+    return (
+        e.select(
+            "sensor_name",
+            "event_id",
+            F.coalesce("packet_pos", F.lit(-1)).alias("packet_pos"),
+            line.alias("line"),
+        )
+        .orderBy("sensor_name", "event_id", "packet_pos")
+    )
 
 
 @query(

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.portable import pround, sql_round
+from ..functions.shingles import with_shingles
 from ..registry import query
 
 N_HASHES = 12
@@ -99,31 +100,28 @@ def d65_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Affine minhash family over ONE base hash per shingle: h_j(s) =
+# (A_j * base(s) + B_j) mod P, base = md5-derived 32-bit int mod P.
+# One string hash per shingle (not N_HASHES of them) — the classic
+# universal-hash-family construction, and ~10× cheaper at scale.
+# P = 2^31 - 1 keeps A_j * base < 2^62 (no int64 overflow, both engines).
+MH_P = 2_147_483_647
+MH_A = [(2 * j + 1) * 40_503_551 % MH_P for j in range(N_HASHES)]  # odd, fixed
+MH_B = [(j + 1) * 1_299_721 % MH_P for j in range(N_HASHES)]
+
+
 def _minhash_sig(corpus: DataFrame) -> DataFrame:
     """doc_id + mh0..mh{N-1} minhash signature over distinct 3-shingles."""
-    toks = F.split("text", " ")
-    df = corpus.filter(F.size(toks) >= 3).withColumn(
-        "shingles",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                ),
-            )
-        ),
+    df = with_shingles(corpus, 3).withColumn(
+        "bases",
+        F.transform("shingles", lambda s: _spark_phash(s, "mh|") % MH_P),
     )
-    def hasher(seed: str):
-        # NB: must stay a single-parameter lambda — a second (defaulted)
-        # parameter makes PySpark pass the array index into it.
-        return lambda s: _spark_phash(s, seed)
-
     for j in range(N_HASHES):
         df = df.withColumn(
-            f"mh{j}", F.array_min(F.transform("shingles", hasher(f"s{j}|")))
+            f"mh{j}",
+            F.array_min(
+                F.transform("bases", lambda b: (F.lit(MH_A[j]) * b + MH_B[j]) % MH_P)
+            ),
         )
     return df.select("doc_id", *[f"mh{j}" for j in range(N_HASHES)])
 
@@ -131,18 +129,22 @@ def _minhash_sig(corpus: DataFrame) -> DataFrame:
 def _sql_minhash_sig(corpus_sql: str) -> str:
     shingle = "toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]"
     mh = ", ".join(
-        "list_min(list_transform(shingles, s -> "
-        f"CAST('0x' || substring(md5('s{j}|' || s), 1, 8) AS BIGINT))) AS mh{j}"
+        f"list_min(list_transform(bases, b -> ({MH_A[j]} * b + {MH_B[j]}) % {MH_P})) AS mh{j}"
         for j in range(N_HASHES)
     )
     return f"""
     SELECT doc_id, {mh}
     FROM (
         SELECT doc_id,
-               list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                                            i -> {shingle})) AS shingles
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ({corpus_sql}))
-        WHERE len(toks) >= 3
+               list_transform(shingles, s ->
+                   CAST('0x' || substring(md5('mh|' || s), 1, 8) AS BIGINT) % {MH_P}) AS bases
+        FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                i -> {shingle})) AS shingles
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ({corpus_sql}))
+            WHERE len(toks) >= 3
+        )
     )
     """
 
@@ -331,36 +333,23 @@ def d66_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d66_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard between each original and its perturbed twin
     (the ground truth the LSH estimator approximates)."""
-    toks = F.split("text", " ")
-    sh = (
-        _corpus_near(spark, sf_dir)
-        .filter(F.size(toks) >= 3)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(toks, i),
-                        F.element_at(toks, i + 1),
-                        F.element_at(toks, i + 2),
-                    ),
-                )
-            ).alias("shingles"),
-        )
-    )
+    sh = with_shingles(_corpus_near(spark, sf_dir), 3).select("doc_id", "shingles")
     o = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
     p = sh.select(
         (F.col("doc_id") - 1_000_000).alias("a_id_p"),
         F.col("doc_id").alias("b_id"),
         F.col("shingles").alias("sh_b"),
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         o.join(p, o.a_id == p.a_id_p)
-        .withColumn("jaccard_raw", inter / union)
+        # intersection size materialized once — reused by numerator and
+        # the inclusion-exclusion denominator
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+        )
         .filter(F.col("jaccard_raw") >= 0.5)
         .select("a_id", "b_id", pround("jaccard_raw", 4).alias("jaccard"))
         .orderBy("a_id")

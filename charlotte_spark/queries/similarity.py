@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.portable import pround, sql_round
-from ..functions.vectors import cosine, sql_cosine, to_double
+from ..functions.vectors import cosine, dot, l2norm, sql_cosine, to_double
 from ..registry import query
 
 DIM = 64
@@ -283,15 +283,20 @@ def d67_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
         )
     ).select("vec_id", to_double(F.col("embedding")).alias("v"), "label")
+    # norms precomputed per vector (O(n)), so the O(n²) pair stage does
+    # one 64-element fold per pair instead of three
+    corpus = corpus.withColumn("nrm", l2norm(F.col("v")))
     a = corpus.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"), F.col("label").alias("a_label")
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_n"), F.col("label").alias("a_label"),
     )
     b = corpus.select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"), F.col("label").alias("b_label")
+        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_n"), F.col("label").alias("b_label"),
     )
     return (
         a.join(b, (F.col("a_label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")))
-        .withColumn("cs", cosine(F.col("a_v"), F.col("b_v")))
+        .withColumn("cs", dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")))
         .filter(F.col("cs") >= 0.9999)
         .select("a_id", "b_id", pround("cs", 4).alias("cos_sim"))
         .orderBy("a_id", "b_id")

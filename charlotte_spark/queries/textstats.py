@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.portable import pround, sql_round
+from ..functions.shingles import with_shingles
 from ..registry import query
 
 # tiny function-word dictionaries for the langid heuristic
@@ -289,23 +290,7 @@ def d69_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: min-hash over 5-token shingles (a
     winnowing-style selective hash) + an order-insensitive content hash."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sh = d.filter(F.size(toks) >= 5).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 4),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                    F.element_at(toks, i + 4),
-                ),
-            )
-        ).alias("shingles"),
-    )
+    sh = with_shingles(d, 5).select("doc_id", "shingles")
     phash = lambda s: F.conv(  # noqa: E731
         F.substring(F.md5(F.concat(F.lit("fp|"), s)), 1, 8), 16, 10
     ).cast("long")

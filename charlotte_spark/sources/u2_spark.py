@@ -139,6 +139,49 @@ def _tagged_binary_source(
     return df.select(F.lit(sensor_name).alias("sensor_name"), "content")
 
 
+class RolloverListener:
+    """R3: the reference exposes a rollover hook fired when the spool
+    reader closes one file and opens the next
+    (/root/reference/charlotte/__init__.py:108-120). The Spark-native
+    equivalent is a StreamingQueryListener: with maxFilesPerTrigger=1
+    each micro-batch IS one file, so onQueryProgress fires per rollover.
+
+    Use ``listener.attach(spark)`` before starting the query and read
+    ``listener.events`` (list of (batch_id, num_input_rows)) after.
+    """
+
+    def __init__(self) -> None:
+        self.events: list[tuple[int, int]] = []
+        self._impl = None
+
+    def attach(self, spark: SparkSession) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event) -> None:  # noqa: N802
+                p = event.progress
+                outer.events.append((p.batchId, p.numInputRows))
+
+            def onQueryIdle(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event) -> None:  # noqa: N802
+                pass
+
+        self._impl = _L()
+        spark.streams.addListener(self._impl)
+
+    def detach(self, spark: SparkSession) -> None:
+        if self._impl is not None:
+            spark.streams.removeListener(self._impl)
+            self._impl = None
+
+
 def read_spools(
     spark: SparkSession,
     spools: dict[str, dict],

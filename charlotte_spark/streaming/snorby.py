@@ -160,9 +160,11 @@ def _upsert_sensor(db: SnorbyDB, batch: DataFrame) -> DataFrame:
         F.lit(2).alias("encoding"),
         F.lit(0).cast("long").alias("last_cid"),
     )
-    if new.count() > 0:
-        dim = dim.unionByName(new)
+    new_rows = new.collect()  # dims are KB-sized (SURVEY §1: maps are KBs)
+    if new_rows:
+        dim = dim.unionByName(db.spark.createDataFrame(new_rows, new.schema))
         db.overwrite("sensor", dim)
+        # read back so downstream joins scan parquet, not a lineage chain
         dim = db.read("sensor", "sid int, hostname string, interface string, detail int, encoding int, last_cid bigint")
     return dim
 
@@ -192,8 +194,9 @@ def _upsert_signature(db: SnorbyDB, batch: DataFrame) -> DataFrame:
         ),
         *_SIG_NATURAL,
     )
-    if new.count() > 0:
-        dim = dim.unionByName(new)
+    new_rows = new.collect()
+    if new_rows:
+        dim = dim.unionByName(db.spark.createDataFrame(new_rows, new.schema))
         db.overwrite("signature", dim)
         dim = db.read(
             "signature",

@@ -93,6 +93,74 @@ def test_snorby_restart_recovery(spark):
     )
 
 
+def test_rollover_listener_fires_per_file(spark):
+    """R3: with maxFilesPerTrigger=1 each micro-batch is one spool file,
+    so the rollover listener observes one progress event per file."""
+    from charlotte_spark.queries.charlotte_pipeline import u2_fixture
+    from charlotte_spark.sources.u2_spark import RolloverListener, read_spools
+
+    fx = u2_fixture()
+    # maxFilesPerTrigger applies per unioned source, so each micro-batch
+    # consumes one file from EACH directory: the rollover count is the
+    # deepest directory's file count
+    n_files = max(
+        len(os.listdir(d))
+        for cfg in fx["spools"].values()
+        for d in cfg["directories"]
+    )
+    listener = RolloverListener()
+    listener.attach(spark)
+    try:
+        alerts = read_spools(spark, fx["spools"], streaming=True, max_files_per_trigger=1)
+        q = (
+            alerts.writeStream.format("noop")
+            .option("checkpointLocation", f"/tmp/charlotte_u2/rollover_ckpt_{os.getpid()}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener delivery is async; give it a beat
+        import time
+
+        for _ in range(20):
+            if len([e for e in listener.events if e[1] > 0]) >= n_files:
+                break
+            time.sleep(0.5)
+    finally:
+        listener.detach(spark)
+    fired = [e for e in listener.events if e[1] > 0]
+    assert len(fired) >= n_files, f"expected ≥{n_files} rollovers, saw {len(fired)}"
+
+
+def test_graceful_drain_on_stop(spark):
+    """R23: stopping after processAllAvailable leaves no partial batch —
+    every applied batch is complete, so the star equals the batch run
+    (the availableNow path in test_charlotte.py covers full drain; this
+    covers explicit stop())."""
+    s = events_stream(spark, "/root/testdata/sf0.001", n_chunks=4)
+    agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("drain_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", f"/tmp/charlotte_stream/drain_ckpt_{os.getpid()}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["event_type"]: r["n"] for r in spark.table("drain_sink").collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_with_retry_backoff_then_success():
     calls = {"n": 0}
 
