@@ -1,0 +1,192 @@
+"""Property tests (SURVEY §5.2): random packet-type mixes through the
+R8 dispatch chain, random map-miss rates through R13/R14 defaults, and
+pack→parse→decode round-trips of the unified2 codec.
+
+Hypothesis drives the pure-Python codec (cheap, thousands of cases);
+the Spark-level dispatch/enrichment checks run a few seeded mixes as
+parametrized cases so suite runtime stays bounded.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from charlotte_spark.sources.unified2 import (
+    decode_ethernet,
+    make_frame,
+    pack_event,
+    pack_extra_data,
+    pack_packet,
+    parse_alerts,
+)
+
+ids = st.integers(min_value=0, max_value=2**31 - 1)
+small = st.integers(min_value=0, max_value=255)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sensor=ids, event=ids, sec=ids, sig=ids, gid=ids,
+    classid=small, prio=small,
+    n_pkts=st.integers(min_value=0, max_value=4),
+    n_extra=st.integers(min_value=0, max_value=2),
+)
+def test_pack_parse_roundtrip(sensor, event, sec, sig, gid, classid, prio, n_pkts, n_extra):
+    buf = pack_event(sensor, event, sec, sig, gid, classid, prio)
+    for p in range(n_pkts):
+        buf += pack_packet(sensor, event, sec, make_frame(f"{event}|{p}"))
+    for x in range(n_extra):
+        buf += pack_extra_data(sensor, event, sec, x, b"blob%d" % x)
+    alerts = parse_alerts(buf)
+    assert len(alerts) == 1
+    a = alerts[0]
+    assert (a["sensor_id"], a["event_id"], a["event_second"]) == (sensor, event, sec)
+    assert (a["signature_id"], a["generator_id"]) == (sig, gid)
+    assert (a["classification_id"], a["priority"]) == (classid, prio)
+    assert len(a["packets"]) == n_pkts
+    assert len(a["extra_data"]) == n_extra
+
+
+@settings(max_examples=200, deadline=None)
+@given(seed=st.text(min_size=1, max_size=20))
+def test_decode_dispatch_exclusive(seed):
+    """Every generated frame decodes to exactly one L4 protocol, and the
+    ip.proto field agrees with which branch is populated (R8)."""
+    d = decode_ethernet(make_frame(seed))
+    assert d is not None
+    layers = [k for k in ("tcp", "udp", "icmp") if d[k] is not None]
+    assert len(layers) == 1
+    proto = {"tcp": 6, "udp": 17, "icmp": 1}[layers[0]]
+    assert d["ip"]["proto"] == proto
+
+
+@settings(max_examples=100, deadline=None)
+@given(seed=st.text(min_size=1, max_size=20))
+def test_decode_icmp_id_seq_semantics(seed):
+    """ICMP id/seq are decoded only for types 13/14/17/18 (the intended
+    semantics of the reference's crashing branch, SURVEY §2.1 defects —
+    charlotte/__init__.py:518)."""
+    d = decode_ethernet(make_frame(seed))
+    icmp = d["icmp"]
+    if icmp is None:
+        return
+    if icmp["type"] in (13, 14, 17, 18):
+        assert icmp["id"] is not None and icmp["seq"] is not None
+    else:
+        assert icmp["id"] is None and icmp["seq"] is None
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_parse_tolerates_garbage_and_truncation(data):
+    """parse_alerts never raises on arbitrary bytes (R1 reads files
+    under active write — truncated trailing records are normal)."""
+    parse_alerts(data)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    frames=st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=5),
+    cut=st.integers(min_value=1, max_value=200),
+)
+def test_parse_truncated_tail_keeps_prefix(frames, cut):
+    """Truncating the final record loses at most that record."""
+    buf = pack_event(1, 7, 1000, 42, 1, 1, 1)
+    for i, s in enumerate(frames):
+        buf += pack_packet(1, 7, 1000, make_frame(s))
+    full = parse_alerts(buf)[0]
+    truncated = parse_alerts(buf[: len(buf) - cut])
+    if truncated:
+        assert len(truncated[0]["packets"]) >= len(full["packets"]) - (
+            1 + (cut - 1) // (8 + 28)
+        ) - 1
+
+
+# ---------------------------------------------------------------------------
+# Spark-level: dispatch fan-out counts and map-miss defaults
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mix_seed", ["mixA", "mixB", "mixC"])
+def test_dispatch_counts_match_decode(spark, mix_seed):
+    """For a random protocol mix, the Spark pipeline's per-protocol fact
+    row counts equal a direct Python decode of the same frames (R8)."""
+    import pandas as pd
+
+    from charlotte_spark.sources.u2_spark import (
+        ALERT_FLAT_SCHEMA,
+        DECODED_SCHEMA,
+        _decode_frames,
+    )
+
+    frames = [make_frame(f"{mix_seed}|{i}") for i in range(60)]
+    want = {"tcp": 0, "udp": 0, "icmp": 0}
+    for f in frames:
+        d = decode_ethernet(f)
+        for k in want:
+            if d and d[k] is not None:
+                want[k] += 1
+
+    pdf = pd.DataFrame(
+        {
+            "sensor_name": ["s"] * len(frames),
+            "event_second": [1000] * len(frames),
+            "event_id": list(range(len(frames))),
+            "signature_id": [1] * len(frames),
+            "generator_id": [1] * len(frames),
+            "classification_id": [1] * len(frames),
+            "priority": [1] * len(frames),
+            "n_packets": [1] * len(frames),
+            "n_extra": [0] * len(frames),
+            "packet_pos": [0] * len(frames),
+            "frame": frames,
+        }
+    )
+    flat = spark.createDataFrame(pdf, ALERT_FLAT_SCHEMA)
+    decoded = flat.mapInPandas(_decode_frames, DECODED_SCHEMA)
+    from pyspark.sql import functions as F
+
+    got = {
+        "tcp": decoded.filter(F.col("tcp_sport").isNotNull()).count(),
+        "udp": decoded.filter(F.col("udp_sport").isNotNull()).count(),
+        "icmp": decoded.filter(F.col("icmp_type").isNotNull()).count(),
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("miss_rate", [0, 3, 1])  # every Nth sig unknown; 1 => all
+def test_enrich_default_fabrication(spark, miss_rate):
+    """R13/R14: rows whose (gid,sid) misses the map get exactly
+    charlotte's fabricated defaults (rev=0, classid=0, priority=10,
+    msg='Unknown Alert gid:sid'); hits get map values."""
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.schemas import CLASS_MAP, SIG_MAP
+    from charlotte_spark.streaming.snorby import enrich
+
+    rows = []
+    for i in range(30):
+        unknown = miss_rate and (i % miss_rate == 0)
+        rows.append((f"s", 1000 + i, i, 9_000_000 + i if unknown else 100 + (i % 5), 1, 1, 3))
+    alerts = spark.createDataFrame(
+        rows,
+        "sensor_name string, event_second bigint, event_id bigint, "
+        "signature_id int, generator_id int, classification_id int, priority int",
+    )
+    sig_map = spark.createDataFrame(
+        [(1, 100 + k, 2, 5, 1, f"sig {k}") for k in range(5)], SIG_MAP
+    )
+    class_map = spark.createDataFrame([(1, "known-class")], CLASS_MAP)
+    e = enrich(alerts, sig_map, class_map).collect()
+    for r in e:
+        if r["signature_id"] >= 9_000_000:
+            assert r["sig_rev"] == 0 and r["sig_classid"] == 0
+            assert r["sig_priority"] == 10
+            assert r["sig_msg"] == f"Unknown Alert 1:{r['signature_id']}"
+        else:
+            assert r["sig_priority"] == 1 and r["sig_msg"].startswith("sig ")
+        assert r["class_name"] == "known-class"  # classification_id=1 hits
