@@ -24,6 +24,17 @@ from pyspark.sql import SparkSession
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def local_df(spark: SparkSession, rows, schema):
+    """Small driver-local DataFrame as ONE partition.
+
+    ``createDataFrame(list)`` splits rows across defaultParallelism
+    pickled partitions; any downstream ``coalesce(1)`` (e.g. tiny dim
+    writes) then pays one sequential Python-worker handoff per parent
+    partition — measured ~5 s per tiny write at local[32]. One slice
+    makes it one handoff (~0.3 s warm)."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows or [], 1), schema)
+
+
 def get_spark(app_name: str = "charlotte-spark", cpus: str | int | None = None) -> SparkSession:
     """Return the shared SparkSession, creating it on first call."""
     cpus = str(cpus or _DEFAULT_CPUS)

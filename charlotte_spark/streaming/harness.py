@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..schemas import EVENTS
+from ..session import local_df
 
 _counter = itertools.count()
 
@@ -72,7 +73,7 @@ def events_chunk_dir(
         ]
         chunks.append(sentinel)
     for i, rows in enumerate(chunks):
-        spark.createDataFrame(rows, EVENTS).coalesce(1).write.mode("overwrite").parquet(
+        local_df(spark, rows, EVENTS).write.mode("overwrite").parquet(
             f"{out}/chunk={i:03d}"
         )
     with open(marker, "w") as f:

@@ -20,6 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import CLASS_MAP, SIG_MAP
+from ..session import local_df
 
 
 def parse_sig_map_lines(lines, gid_default: int = 1):
@@ -80,6 +81,6 @@ def load_maps(
     if class_map_path and os.path.exists(class_map_path):
         with open(class_map_path) as f:
             class_rows = parse_class_map_lines(f)
-    sig_df = spark.createDataFrame(sig_rows or [], SIG_MAP)
-    class_df = spark.createDataFrame(class_rows or [], CLASS_MAP)
+    sig_df = local_df(spark, sig_rows, SIG_MAP)
+    class_df = local_df(spark, class_rows, CLASS_MAP)
     return sig_df, class_df

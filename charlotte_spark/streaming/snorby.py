@@ -37,6 +37,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 FACT_TABLES = ("event", "iphdr", "tcphdr", "udphdr", "icmphdr", "data")
 DIM_TABLES = ("sensor", "signature", "sig_class")
 
@@ -69,7 +71,7 @@ class SnorbyDB:
     def read(self, name: str, schema: str) -> DataFrame:
         if os.path.exists(self._tdir(name)):
             return self.spark.read.parquet(self._tdir(name))
-        return self.spark.createDataFrame([], schema)
+        return local_df(self.spark, [], schema)
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         tmp = self._tdir(f"_{name}_tmp")
@@ -89,7 +91,7 @@ class SnorbyDB:
         return {r.batch_id for r in df.collect()}
 
     def mark_applied(self, batch_id: int) -> None:
-        self.append("_batches", self.spark.createDataFrame([(batch_id,)], "batch_id long"))
+        self.append("_batches", local_df(self.spark, [(batch_id,)], "batch_id long"))
 
 
 def enrich(alerts: DataFrame, sig_map: DataFrame, class_map: DataFrame) -> DataFrame:
@@ -162,7 +164,7 @@ def _upsert_sensor(db: SnorbyDB, batch: DataFrame) -> DataFrame:
     )
     new_rows = new.collect()  # dims are KB-sized (SURVEY §1: maps are KBs)
     if new_rows:
-        dim = dim.unionByName(db.spark.createDataFrame(new_rows, new.schema))
+        dim = dim.unionByName(local_df(db.spark, new_rows, new.schema))
         db.overwrite("sensor", dim)
         # read back so downstream joins scan parquet, not a lineage chain
         dim = db.read("sensor", "sid int, hostname string, interface string, detail int, encoding int, last_cid bigint")
@@ -196,7 +198,7 @@ def _upsert_signature(db: SnorbyDB, batch: DataFrame) -> DataFrame:
     )
     new_rows = new.collect()
     if new_rows:
-        dim = dim.unionByName(db.spark.createDataFrame(new_rows, new.schema))
+        dim = dim.unionByName(local_df(db.spark, new_rows, new.schema))
         db.overwrite("signature", dim)
         dim = db.read(
             "signature",
