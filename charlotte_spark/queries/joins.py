@@ -16,6 +16,7 @@ from ..catalog import load_table
 from ..functions.portable import pround, sql_round
 from ..operators.asof import asof_join
 from ..registry import query
+from ..session import local_df
 
 
 @query(
@@ -219,7 +220,8 @@ def d20_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi theta join against a tiny band table → broadcast
     nested-loop, the only sane physical plan for band joins at scale."""
     o = load_table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e8)],
         "band string, lo double, hi double",
     )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.portable import pround, sql_round
 from ..registry import query
+from ..session import local_df
 from ..streaming.harness import events_stream, run_to_memory
 
 
@@ -205,7 +206,8 @@ def d59_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–static broadcast join with default fabrication on miss —
     the R13/R14/R15 map-enrichment shape (weight 10.0 ≡ charlotte's
     priority-10 default row, /root/reference/charlotte/__init__.py:189)."""
-    dim = spark.createDataFrame(
+    dim = local_df(
+        spark,
         [("error", 5.0), ("purchase", 1.0), ("signup", 2.0)],
         "event_type string, risk_weight double",
     )

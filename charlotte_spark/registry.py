@@ -43,6 +43,7 @@ REGISTRY: dict[str, Query] = {}
 # Modules that define queries; imported lazily by load_all_queries().
 _QUERY_MODULES = (
     "charlotte_spark.queries.relational",
+    "charlotte_spark.queries.composites",
     "charlotte_spark.queries.sources_sinks",
     "charlotte_spark.queries.joins",
     "charlotte_spark.queries.aggregates",

@@ -1,0 +1,98 @@
+"""JDBC scan/sink surface (SURVEY §2.2 D3/D5, §2.1 R21).
+
+The reference writes MySQL row-at-a-time with unbounded exponential
+backoff (/root/reference/charlotte/__init__.py:372-433). The Spark
+shape is set-wise: `df.write.jdbc(mode="append")` per fact batch inside
+`foreachBatch`, wrapped in the same backoff (`with_retry`), idempotent
+on `(sid, cid)` natural keys because JDBC commits are not coordinated
+with the streaming checkpoint (SURVEY §7 hard #1).
+
+This container ships no database server or JDBC driver jar, so these
+paths cannot run here (SURVEY marks D3/D5 env-dependent, row-count
+checked when an endpoint exists). The retry semantics are unit-tested
+with fakes in tests/test_streaming.py; `JdbcSnorbyDB` mirrors
+`SnorbyDB`'s interface so `apply_batch` works unchanged against a real
+endpoint.
+
+At scale: each executor partition opens its own connection
+(`numPartitions` bounds the connection fan-in); dimension upserts stay
+single-writer (anti-join-then-append races otherwise — same assumption
+the reference makes, backstopped by unique keys in DDL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.snorby import with_retry
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict | None = None,
+    predicates: list[str] | None = None,
+) -> DataFrame:
+    """D3: JDBC scan with retry; `predicates` split the read into one
+    partition per predicate (the parallel-scan shape)."""
+    def _read():
+        reader = spark.read
+        if predicates:
+            return reader.jdbc(url, table, predicates=predicates, properties=properties or {})
+        return reader.jdbc(url, table, properties=properties or {})
+
+    return with_retry(_read)
+
+
+def write_jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+) -> None:
+    """D5/R21: append with bounded connection fan-in and backoff."""
+    def _write():
+        out = df.repartition(num_partitions) if num_partitions else df
+        (
+            out.write.option("batchsize", str(batchsize))
+            .jdbc(url, table, mode="append", properties=properties or {})
+        )
+
+    with_retry(_write)
+
+
+class JdbcSnorbyDB:
+    """SnorbyDB-compatible facade over a real database endpoint: same
+    read/overwrite/append/applied_batches surface `apply_batch` uses,
+    so the streaming pipeline switches sinks by constructor alone."""
+
+    def __init__(self, spark: SparkSession, url: str, properties: dict | None = None):
+        self.spark = spark
+        self.url = url
+        self.properties = properties or {}
+
+    def read(self, name: str, schema: str) -> DataFrame:
+        return read_jdbc(self.spark, self.url, name, self.properties)
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        def _w():
+            df.write.jdbc(self.url, name, mode="overwrite", properties=self.properties)
+
+        with_retry(_w)
+
+    def append(self, name: str, df: DataFrame) -> None:
+        write_jdbc_append(df, self.url, name, self.properties)
+
+    def applied_batches(self) -> set[int]:
+        try:
+            return {r.batch_id for r in self.read("_batches", "batch_id long").collect()}
+        except Exception:  # table absent on first run
+            return set()
+
+    def mark_applied(self, batch_id: int) -> None:
+        from ..session import local_df
+
+        self.append("_batches", local_df(self.spark, [(batch_id,)], "batch_id long"))
