@@ -185,8 +185,14 @@ def _sql_minhash_sig(corpus_sql: str) -> str:
 def a66_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs: 12 minhashes over 3-token shingles,
     6 bands of 2, candidate pairs from band-bucket join, kept when the
-    signature-estimated Jaccard >= 0.49. Fixed seeds → hash-checkable."""
-    sig = _minhash_sig(_corpus_near(spark, sf_dir))
+    signature-estimated Jaccard >= 0.49. Fixed seeds → hash-checkable.
+
+    The signature table feeds three consumers (band explode + both sides
+    of the pair re-score join); materialize it once — shingling is the
+    expensive stage and recomputing it 3× tripled the query. At cluster
+    scale this is persist(MEMORY_AND_DISK) on a table of n_docs × 12
+    ints, trivially cacheable."""
+    sig = _minhash_sig(_corpus_near(spark, sf_dir)).localCheckpoint()
 
     band_cols = [
         F.struct(

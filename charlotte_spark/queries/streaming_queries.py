@@ -112,17 +112,30 @@ def d54_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d55_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute-gap session windows per user; the DuckDB oracle is the
     gaps-and-islands formulation of the same semantics (SURVEY §7 hard
-    part 5). Second-truncated session_start keys the comparison."""
-    s = events_stream(spark, sf_dir)
-    agg = s.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id").agg(
-        F.count(F.lit(1)).alias("n_events")
+    part 5). Second-truncated session_start keys the comparison.
+
+    Append mode + watermark, not complete: complete re-emits every
+    closed session to the sink on every micro-batch (~100k rows × 8
+    batches here — and unbounded state forever at 100 TB), while append
+    emits each session exactly once when the watermark passes it and
+    evicts its state. The far-future sentinel row advances the
+    watermark past the final sessions so the replay flushes fully."""
+    s = events_stream(spark, sf_dir, sentinel_ts="2024-06-01 00:00:00")
+    agg = (
+        s.withWatermark("ts", "40 days")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    out = run_to_memory(agg, "complete")
-    return out.select(
-        "user_id",
-        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        "n_events",
-    ).orderBy("user_id", "session_start")
+    out = run_to_memory(agg, "append")
+    return (
+        out.filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
 
 
 @query(

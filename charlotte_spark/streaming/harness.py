@@ -98,21 +98,35 @@ def events_stream(
     )
 
 
-def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
+def run_to_memory(
+    sdf: DataFrame, output_mode: str, state_partitions: int = 8
+) -> DataFrame:
     """Run a streaming DF to completion into a memory sink; return the
-    sink's contents as a batch DataFrame."""
+    sink's contents as a batch DataFrame.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    stream's lifetime (restored after): stateful operators pay a state
+    store open/commit per partition per micro-batch, so 32 partitions ×
+    8 batches of replay is pure overhead at test scale. The count is
+    locked into the checkpoint at first batch; on a real cluster size it
+    to the stateful key cardinality, not to this replay default."""
     spark = sdf.sparkSession
     name = f"stream_sink_{next(_counter)}"
     ckpt = f"{STREAM_TMP}/ckpt_{name}_{os.getpid()}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
