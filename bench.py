@@ -4,11 +4,12 @@ Prints ONE JSON line:
 ``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
 
 Protocol (BASELINE.md): sec/query over the declared inventory (warm JVM,
-median of BENCH_RUNS runs, default 1 full + extra runs for the headline
-subset), plus ingest throughput (events/s) for the charlotte streaming
-pipeline over synthetic unified2 spools. Every query executes fully via
-the noop sink (no driver-side collect) — scan→compute→materialize, the
-same work a cluster job does.
+median of BENCH_RUNS runs, default 3 — the first run pays one-time plan
+compile / codegen / Arrow init, the median reports steady-state), plus
+ingest throughput (events/s) for the charlotte streaming pipeline over
+synthetic unified2 spools. Every query executes fully via the noop sink
+(no driver-side collect) — scan→compute→materialize, the same work a
+cluster job does.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_QUERIES
 (comma-list subset), BENCH_RUNS (median-of-N for every query).
@@ -27,7 +28,7 @@ from charlotte_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-RUNS = int(os.environ.get("BENCH_RUNS", "1"))
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 # re-timed with median-of-3 even when BENCH_RUNS=1 (headline figures)
 HEADLINE = [
