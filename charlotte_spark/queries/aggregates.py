@@ -320,13 +320,19 @@ def a31_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     must land within 3×rsd of the exact count (within_bound=1), and the
     exact count itself hash-matches — so the approximate operator is
     exercised for real while the compared output stays deterministic
-    (SURVEY §2 A-row rule, encoded in-query)."""
+    (SURVEY §2 A-row rule, encoded in-query).
+
+    Pre-deduplicating (flag, partkey) with map-side combine replaces the
+    Expand-based distinct-agg plan (which doubles the shuffled rows);
+    the HLL sketch over the distinct set is register-identical to one
+    over the raw rows, and the exact count becomes a plain count."""
     li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
     return (
-        li.groupBy("l_returnflag")
+        pairs.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.count("l_partkey").alias("exact_parts"),
         )
         .select(
             "l_returnflag",

@@ -130,6 +130,12 @@ def d71_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _isin_matcher(markers: tuple[str, ...]):
+    # must stay a single-parameter lambda: PySpark feeds the array index
+    # to a second parameter, defaulted or not
+    return lambda t: t.isin(*markers)
+
+
 def _sql_marker_score(lang: str) -> str:
     toks = "string_split(lower(text), ' ')"
     terms = " + ".join(
@@ -163,22 +169,29 @@ def _sql_marker_score(lang: str) -> str:
 )
 def d71_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based language ID: CJK charset check, then function-word
-    counts with a fixed tie-break order (en > es > fr > de)."""
+    counts with a fixed tie-break order (en > es > fr > de).
+
+    One tokenization + one array pass per language: the sum of
+    per-marker counts equals one ``isin(markers)`` filter (a token
+    matches at most one marker of a language), and scores are projected
+    as real columns before the CASE chain — lambda subtrees get no CSE,
+    so inlining each score 2-4× into the whens multiplies the work."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
-
-    def matcher(marker: str):
-        # single-parameter lambda only — a second (defaulted) parameter
-        # makes PySpark pass the array index into it
-        return lambda t: t == F.lit(marker)
-
-    def score(lang: str):
-        s = F.lit(0)
-        for m in _LANG_MARKERS[lang]:
-            s = s + F.size(F.filter(toks, matcher(m)))
-        return s
-
-    en, es, fr, de = score("en"), score("es"), score("fr"), score("de")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.split(F.lower("text"), " ").alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "text",
+        *[
+            F.size(F.filter("toks", _isin_matcher(ms))).alias(f"s_{lang}")
+            for lang, ms in _LANG_MARKERS.items()
+        ],
+    )
+    en, es, fr, de = (F.col(f"s_{x}") for x in ("en", "es", "fr", "de"))
     pred = (
         F.when(F.col("text").rlike("[一-鿿]"), "zh")
         .when((en >= es) & (en >= fr) & (en >= de) & (en > 0), "en")
@@ -187,7 +200,7 @@ def d71_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(de > 0, "de")
         .otherwise("und")
     )
-    return d.select(
+    return scored.select(
         "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
     ).orderBy("doc_id")
 
