@@ -41,9 +41,11 @@ HEADLINE = [
 ]
 
 
-def _run(df) -> float:
+def _run(make_df) -> float:
+    # time plan construction too: queries that eagerly materialize a
+    # shared intermediate (localCheckpoint) must not escape the clock
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    make_df().write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -90,11 +92,13 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in names:
-        runs = [_run(reg[name].fn(spark, SF_DIR)) for _ in range(RUNS)]
+        runs = [_run(lambda: reg[name].fn(spark, SF_DIR)) for _ in range(RUNS)]
         times[name] = round(_median(runs), 3)
     for name in HEADLINE:
         if name in reg and (subset is None or name in names):
-            runs = [times[name]] + [_run(reg[name].fn(spark, SF_DIR)) for _ in range(2)]
+            runs = [times[name]] + [
+                _run(lambda: reg[name].fn(spark, SF_DIR)) for _ in range(2)
+            ]
             times[name] = round(_median(runs), 3)
 
     ingest = bench_ingest(spark) if subset is None else {}

@@ -35,6 +35,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a CPU-dense input before heavy per-row
+    work (per-shingle hashing, JSON parsing, vector math).
+
+    The driver's test parquet is one row group per file, so every scan
+    stage is a single task and per-row compute serializes on one core of
+    32 — a local-bench artifact. The exchange only pays for itself when
+    downstream per-row work dwarfs it (measured: plain aggregations are
+    FASTER without this — partial agg beats the shuffle). At 100 TB the
+    scan has thousands of natural splits and this becomes unnecessary;
+    keep it only ahead of genuinely compute-bound projections, where an
+    explicit repartition is what you'd do on a skewed/few-split input
+    anyway."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(partitions or sc.defaultParallelism)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every test table; returns {name: DataFrame}."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

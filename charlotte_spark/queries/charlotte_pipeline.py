@@ -36,7 +36,9 @@ from ..sources.unified2 import write_spool
 from ..streaming.maps import load_maps
 from ..streaming.snorby import SnorbyDB, apply_batch, enrich
 
-FIXTURE_DIR = os.environ.get("CHARLOTTE_U2_TMP", "/tmp/charlotte_u2")
+from ..streaming.harness import _scratch_root
+
+FIXTURE_DIR = _scratch_root("CHARLOTTE_U2_TMP", "charlotte_u2")
 
 
 def u2_fixture(n_files: int = 3, events_per_file: int = 40) -> dict:
@@ -74,6 +76,16 @@ def u2_fixture(n_files: int = 3, events_per_file: int = 40) -> dict:
                 f.write(f"config classification: class-{i},Class {i} Description,{i}\n")
         with open(marker, "w") as f:
             f.write("ok")
+    # Spark's file stream source orders files by mtime at MILLISECOND
+    # granularity; on tmpfs the whole fixture lands in one ms and batch
+    # order (hence cross-batch cid sequencing) goes nondeterministic.
+    # Real snort spools roll over seconds apart — stamp each file with
+    # the epoch embedded in its name to reproduce that.
+    for spool in spools.values():
+        for d in spool["directories"]:
+            for fname in os.listdir(d):
+                epoch = int(fname.rsplit(".", 1)[-1])
+                os.utime(f"{d}/{fname}", (epoch, epoch))
     return {"spools": spools, **paths}
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..functions.portable import pround, sql_round
 from ..functions.shingles import with_shingles
 from ..registry import query
@@ -55,8 +55,11 @@ _SQL_CORPUS_EXACT = """
 
 
 def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + last-token-dropped copies of every 20th doc."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    """documents + last-token-dropped copies of every 20th doc.
+
+    fan_out: every consumer shingles/hashes each row ~50×, which would
+    otherwise serialize on the single-row-group scan task."""
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.split("text", " ")
     near = d.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -110,20 +113,29 @@ MH_A = [(2 * j + 1) * 40_503_551 % MH_P for j in range(N_HASHES)]  # odd, fixed
 MH_B = [(j + 1) * 1_299_721 % MH_P for j in range(N_HASHES)]
 
 
+def _mh_perm(j: int):
+    # factory, not an inline two-param lambda: PySpark feeds the array
+    # index to any second lambda parameter
+    return lambda b: (F.lit(MH_A[j]) * b + MH_B[j]) % MH_P
+
+
 def _minhash_sig(corpus: DataFrame) -> DataFrame:
-    """doc_id + mh0..mh{N-1} minhash signature over distinct 3-shingles."""
+    """doc_id + mh0..mh{N-1} minhash signature over distinct 3-shingles.
+
+    One select for all 12 permutations — a withColumn per hash re-runs
+    analysis over the whole (HOF-heavy) plan each time, and the
+    driver-side analysis cost was comparable to executing the query."""
     df = with_shingles(corpus, 3).withColumn(
         "bases",
         F.transform("shingles", lambda s: _spark_phash(s, "mh|") % MH_P),
     )
-    for j in range(N_HASHES):
-        df = df.withColumn(
-            f"mh{j}",
-            F.array_min(
-                F.transform("bases", lambda b: (F.lit(MH_A[j]) * b + MH_B[j]) % MH_P)
-            ),
-        )
-    return df.select("doc_id", *[f"mh{j}" for j in range(N_HASHES)])
+    return df.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("bases", _mh_perm(j))).alias(f"mh{j}")
+            for j in range(N_HASHES)
+        ],
+    )
 
 
 def _sql_minhash_sig(corpus_sql: str) -> str:
@@ -192,7 +204,7 @@ def a66_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive stage and recomputing it 3× tripled the query. At cluster
     scale this is persist(MEMORY_AND_DISK) on a table of n_docs × 12
     ints, trivially cacheable."""
-    sig = _minhash_sig(_corpus_near(spark, sf_dir)).localCheckpoint()
+    sig = _minhash_sig(_corpus_near(spark, sf_dir)).coalesce(8).localCheckpoint()
 
     band_cols = [
         F.struct(
@@ -339,7 +351,15 @@ def d66_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d66_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard between each original and its perturbed twin
     (the ground truth the LSH estimator approximates)."""
-    sh = with_shingles(_corpus_near(spark, sf_dir), 3).select("doc_id", "shingles")
+    # shingling feeds both join branches — materialize once, in few
+    # partitions (the table is tiny; per-partition checkpoint overhead
+    # would otherwise dominate)
+    sh = (
+        with_shingles(_corpus_near(spark, sf_dir), 3)
+        .select("doc_id", "shingles")
+        .coalesce(8)
+        .localCheckpoint()
+    )
     o = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
     p = sh.select(
         (F.col("doc_id") - 1_000_000).alias("a_id_p"),

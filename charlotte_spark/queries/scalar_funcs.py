@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..functions.portable import pround, sql_round
 from ..registry import query
 
@@ -305,10 +305,13 @@ def d49_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d50_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction from events.props (get_json_object / from_json)."""
+    """JSON extraction from events.props (get_json_object / from_json).
+
+    fan_out: two JSON parses per row is compute-dense enough to beat
+    the exchange off the single-split scan."""
     from pyspark.sql import types as T
 
-    e = load_table(spark, sf_dir, "events")
+    e = fan_out(load_table(spark, sf_dir, "events"))
     parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
     return e.select(
         "event_id",

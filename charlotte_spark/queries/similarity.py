@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..functions.portable import pround, sql_round
 from ..functions.vectors import cosine, dot, l2norm, sql_cosine, to_double
 from ..registry import query
@@ -89,7 +89,8 @@ def d68_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for 10 probes (the ANN baseline).
     Corpus side stays partitioned; probe side broadcasts."""
     p = _emb(spark, sf_dir, "probe").filter(F.col("probe_id") < 10)
-    c = _emb(spark, sf_dir, "neighbor")
+    # |corpus| × |probes| cosine folds — spread the single-split scan
+    c = fan_out(_emb(spark, sf_dir, "neighbor"))
     w = W.partitionBy("probe_id").orderBy(F.col("cs").desc(), F.col("neighbor_id").asc())
     return (
         c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id"))

@@ -30,7 +30,9 @@ from ..catalog import load_table
 from ..functions.portable import pround, sql_round
 from ..registry import query
 
-TMP = os.environ.get("CHARLOTTE_SINK_TMP", "/tmp/charlotte_sinks")
+from ..streaming.harness import _scratch_root
+
+TMP = _scratch_root("CHARLOTTE_SINK_TMP", "charlotte_sinks")
 
 
 @query(

@@ -9,10 +9,12 @@ the DuckDB oracle replicates them exactly.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..functions.portable import pround, sql_round
 from ..functions.shingles import with_shingles
 from ..registry import query
@@ -301,14 +303,34 @@ def d69_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d69_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: min-hash over 5-token shingles (a
-    winnowing-style selective hash) + an order-insensitive content hash."""
-    d = load_table(spark, sf_dir, "documents")
+    winnowing-style selective hash) + an order-insensitive content hash.
+
+    Shingling stays a JVM projection; the per-shingle md5 min and the
+    sorted-content md5 run in one Arrow-batched pandas UDF — a
+    per-element interpreted md5→conv chain was ~4× slower, and hashlib
+    produces the identical digests the oracle computes."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     sh = with_shingles(d, 5).select("doc_id", "shingles")
-    phash = lambda s: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat(F.lit("fp|"), s)), 1, 8), 16, 10
-    ).cast("long")
-    return sh.select(
-        "doc_id",
-        F.array_min(F.transform("shingles", phash)).alias("fingerprint"),
-        F.md5(F.array_join(F.array_sort("shingles"), "|")).alias("content_hash"),
-    ).orderBy("doc_id")
+
+    @pandas_udf("struct<fingerprint: long, content_hash: string>")
+    def fp_of(shingles: pd.Series) -> pd.DataFrame:
+        fps, chs = [], []
+        for arr in shingles:
+            fps.append(
+                min(
+                    int(hashlib.md5(b"fp|" + s.encode()).hexdigest()[:8], 16)
+                    for s in arr
+                )
+            )
+            chs.append(hashlib.md5("|".join(sorted(arr)).encode()).hexdigest())
+        return pd.DataFrame({"fingerprint": fps, "content_hash": chs})
+
+    return (
+        sh.select("doc_id", fp_of("shingles").alias("fp"))
+        .select("doc_id", "fp.fingerprint", "fp.content_hash")
+        .orderBy("doc_id")
+    )

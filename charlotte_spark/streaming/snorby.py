@@ -237,9 +237,19 @@ def apply_batch(
         db.mark_applied(batch_id)
         return
 
-    sensor = _upsert_sensor(db, enriched)
-    signature = _upsert_signature(db, enriched)
-    _upsert_sig_class(db, enriched)
+    # the three dims live in separate tables and read only the
+    # checkpointed batch — run their upserts as concurrent Spark jobs
+    # (the scheduler interleaves them; wall-clock ≈ the slowest one,
+    # which matters because each is a chain of tiny jobs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_sensor = pool.submit(_upsert_sensor, db, enriched)
+        f_signature = pool.submit(_upsert_signature, db, enriched)
+        f_class = pool.submit(_upsert_sig_class, db, enriched)
+        sensor = f_sensor.result()
+        signature = f_signature.result()
+        f_class.result()
 
     # attach sid + sig_id
     a = enriched.join(
