@@ -86,6 +86,22 @@ class JdbcSnorbyDB:
     def append(self, name: str, df: DataFrame) -> None:
         write_jdbc_append(df, self.url, name, self.properties)
 
+    def read_small(self, name: str, schema: str) -> list[dict]:
+        """KB-sized dim as driver-side rows; over JDBC this is one
+        bounded SELECT (the reference's cache-fill reads, :543-552)."""
+        try:
+            return [r.asDict() for r in self.read(name, schema).collect()]
+        except Exception:  # table absent on first run
+            return []
+
+    def overwrite_small(self, name: str, rows: list[dict], schema: str) -> None:
+        from ..session import local_df
+
+        cols = [p.strip().split()[0] for p in schema.split(",")]
+        self.overwrite(
+            name, local_df(self.spark, [tuple(r[c] for c in cols) for r in rows], schema)
+        )
+
     def applied_batches(self) -> set[int]:
         try:
             return {r.batch_id for r in self.read("_batches", "batch_id long").collect()}

@@ -33,6 +33,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -41,6 +42,29 @@ from ..session import local_df
 
 FACT_TABLES = ("event", "iphdr", "tcphdr", "udphdr", "icmphdr", "data")
 DIM_TABLES = ("sensor", "signature", "sig_class")
+
+SENSOR_SCHEMA = (
+    "sid int, hostname string, interface string, detail int, encoding int, last_cid bigint"
+)
+SIGNATURE_SCHEMA = (
+    "sig_id int, sig_sid int, sig_gid int, sig_rev int, sig_class_id int, "
+    "sig_priority int, sig_name string"
+)
+SIG_CLASS_SCHEMA = "sig_class_id int, sig_class_name string"
+
+_PA_TYPES = {"int": "int32", "bigint": "int64", "long": "int64", "string": "string"}
+
+
+def _pa_schema(schema: str):
+    """'sid int, hostname string' → pyarrow schema matching what Spark
+    writes for the same DDL string (int→int32, bigint→int64)."""
+    import pyarrow as pa
+
+    fields = []
+    for part in schema.split(","):
+        name, typ = part.strip().split()
+        fields.append(pa.field(name, getattr(pa, _PA_TYPES[typ.lower()])(), nullable=True))
+    return pa.schema(fields)
 
 
 def with_retry(fn, max_tries: int = 8, base_sleep: float = 1.0):
@@ -58,12 +82,23 @@ def with_retry(fn, max_tries: int = 8, base_sleep: float = 1.0):
 
 
 class SnorbyDB:
-    """Parquet-backed stand-in for the snorby MySQL schema."""
+    """Parquet-backed stand-in for the snorby MySQL schema.
+
+    Two tiers, mirroring the reference's split between its in-memory
+    id caches (charlotte/__init__.py:360-362) and the MySQL fact
+    inserts: KB-sized driver state (dimensions, the applied-batch
+    marker) lives in `read_small`/`overwrite_small` — pyarrow I/O plus
+    an in-process cache, valid under the documented single-writer
+    assumption — while fact tables go through distributed Spark writes
+    (`append`). At 100 TB the facts are the 100 TB; the dims stay KBs.
+    """
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path.rstrip("/")
         os.makedirs(self.path, exist_ok=True)
+        self._small: dict[str, list[dict]] = {}  # name -> cached rows
+        self._applied: set[int] | None = None
 
     def _tdir(self, name: str) -> str:
         return f"{self.path}/{name}"
@@ -82,16 +117,65 @@ class SnorbyDB:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        self._small.pop(name, None)  # cache may now be stale
 
     def append(self, name: str, df: DataFrame) -> None:
         with_retry(lambda: df.write.mode("append").parquet(self._tdir(name)))
 
+    # -- small-table tier (driver-side, cached; single writer) --------
+
+    def read_small(self, name: str, schema: str) -> list[dict]:
+        """Rows of a KB-sized table as dicts; parquet read-through once
+        per process, then served from the cache this writer maintains."""
+        if name not in self._small:
+            d = self._tdir(name)
+            if os.path.exists(d):
+                import pyarrow.parquet as pq
+
+                self._small[name] = pq.read_table(d).to_pylist()
+            else:
+                self._small[name] = []
+        return self._small[name]
+
+    def overwrite_small(self, name: str, rows: list[dict], schema: str) -> None:
+        """Atomic driver-side overwrite: write one parquet part into a
+        temp dir, rename over the table dir (same protocol `overwrite`
+        uses, minus the Spark job — these tables are KBs)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pa_schema = _pa_schema(schema)
+        table = pa.Table.from_pylist(rows, schema=pa_schema)
+        tmp = self._tdir(f"_{name}_tmp")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        with_retry(lambda: pq.write_table(table, f"{tmp}/part-00000.parquet"))
+        final = self._tdir(name)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        self._small[name] = rows
+
     def applied_batches(self) -> set[int]:
-        df = self.read("_batches", "batch_id long")
-        return {r.batch_id for r in df.collect()}
+        if self._applied is None:
+            self._applied = {r["batch_id"] for r in self.read_small("_batches", "batch_id long")}
+        return self._applied
 
     def mark_applied(self, batch_id: int) -> None:
-        self.append("_batches", local_df(self.spark, [(batch_id,)], "batch_id long"))
+        """Append-only commit marker; one tiny parquet part per batch
+        (unique name — concurrent-safe against nothing, single writer)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = self._tdir("_batches")
+        os.makedirs(d, exist_ok=True)
+        table = pa.Table.from_pylist(
+            [{"batch_id": batch_id}], schema=_pa_schema("batch_id long")
+        )
+        with_retry(lambda: pq.write_table(table, f"{d}/part-{batch_id:08d}-{os.getpid()}.parquet"))
+        self.applied_batches().add(batch_id)
+        self._small.pop("_batches", None)
 
 
 def enrich(alerts: DataFrame, sig_map: DataFrame, class_map: DataFrame) -> DataFrame:
@@ -143,43 +227,45 @@ def enrich(alerts: DataFrame, sig_map: DataFrame, class_map: DataFrame) -> DataF
 
 
 def _upsert_sensor(db: SnorbyDB, batch: DataFrame) -> DataFrame:
-    """R16: insert-if-absent on (hostname, interface); returns full dim."""
-    dim = db.read(
-        "sensor", "sid int, hostname string, interface string, detail int, encoding int, last_cid bigint"
-    )
-    new = (
-        batch.select(F.col("sensor_name").alias("hostname"))
-        .distinct()
-        .join(dim.select("hostname"), "hostname", "left_anti")
-        .orderBy("hostname")
-    )
-    n_existing = dim.count()
-    new = new.select(
-        (F.row_number().over(W.orderBy("hostname")) + n_existing).alias("sid"),
-        "hostname",
-        F.lit("charlotte").alias("interface"),
-        F.lit(1).alias("detail"),
-        F.lit(2).alias("encoding"),
-        F.lit(0).cast("long").alias("last_cid"),
-    )
-    new_rows = new.collect()  # dims are KB-sized (SURVEY §1: maps are KBs)
-    if new_rows:
-        dim = dim.unionByName(local_df(db.spark, new_rows, new.schema))
-        db.overwrite("sensor", dim)
-        # read back so downstream joins scan parquet, not a lineage chain
-        dim = db.read("sensor", "sid int, hostname string, interface string, detail int, encoding int, last_cid bigint")
-    return dim
+    """R16: insert-if-absent on (hostname, interface); returns full dim.
+
+    One Spark job (the distinct over the batch — the only side that is
+    big at scale); the KB-sized dim merge itself runs driver-side, the
+    set-wise analog of the reference's sensor-id cache (:360, :550)."""
+    dim = db.read_small("sensor", SENSOR_SCHEMA)
+    seen = {r["hostname"] for r in dim}
+    batch_names = [
+        r.hostname
+        for r in batch.select(F.col("sensor_name").alias("hostname")).distinct().collect()
+    ]
+    new_names = sorted(n for n in set(batch_names) - seen)
+    if new_names:
+        n = len(dim)
+        dim = dim + [
+            {
+                "sid": n + i + 1,
+                "hostname": h,
+                "interface": "charlotte",
+                "detail": 1,
+                "encoding": 2,
+                "last_cid": 0,
+            }
+            for i, h in enumerate(new_names)
+        ]
+        db.overwrite_small("sensor", dim, SENSOR_SCHEMA)
+    cols = ("sid", "hostname", "interface", "detail", "encoding", "last_cid")
+    return local_df(db.spark, [tuple(r[c] for c in cols) for r in dim], SENSOR_SCHEMA)
 
 
 _SIG_NATURAL = ("sig_sid", "sig_gid", "sig_rev", "sig_class_id", "sig_priority", "sig_name")
 
 
 def _upsert_signature(db: SnorbyDB, batch: DataFrame) -> DataFrame:
-    """R17: insert-if-absent on the 6-column natural key; dense sig_id."""
-    dim = db.read(
-        "signature",
-        "sig_id int, sig_sid int, sig_gid int, sig_rev int, sig_class_id int, sig_priority int, sig_name string",
-    )
+    """R17: insert-if-absent on the 6-column natural key; dense sig_id.
+    Same split as `_upsert_sensor`: batch distinct in Spark, KB-sized
+    key merge driver-side (the reference's (gid,sid) cache, :592)."""
+    dim = db.read_small("signature", SIGNATURE_SCHEMA)
+    seen = {tuple(r[k] for k in _SIG_NATURAL) for r in dim}
     naturals = batch.select(
         F.col("signature_id").alias("sig_sid"),
         F.col("generator_id").alias("sig_gid"),
@@ -187,40 +273,60 @@ def _upsert_signature(db: SnorbyDB, batch: DataFrame) -> DataFrame:
         F.col("sig_classid").alias("sig_class_id"),
         F.col("sig_priority"),
         F.col("sig_msg").alias("sig_name"),
-    ).distinct()
-    new = naturals.join(dim.select(*_SIG_NATURAL), list(_SIG_NATURAL), "left_anti")
-    n_existing = dim.count()
-    new = new.select(
-        (F.row_number().over(W.orderBy("sig_gid", "sig_sid", "sig_name")) + n_existing).alias(
-            "sig_id"
+    ).distinct().collect()
+    new = sorted(
+        (
+            tuple(r[k] for k in _SIG_NATURAL)
+            for r in naturals
+            if tuple(r[k] for k in _SIG_NATURAL) not in seen
         ),
-        *_SIG_NATURAL,
+        key=lambda t: (t[1], t[0], t[5]),  # sig_gid, sig_sid, sig_name
     )
-    new_rows = new.collect()
-    if new_rows:
-        dim = dim.unionByName(local_df(db.spark, new_rows, new.schema))
-        db.overwrite("signature", dim)
-        dim = db.read(
-            "signature",
-            "sig_id int, sig_sid int, sig_gid int, sig_rev int, sig_class_id int, sig_priority int, sig_name string",
-        )
-    return dim
+    if new:
+        n = len(dim)
+        dim = dim + [
+            {"sig_id": n + i + 1, **dict(zip(_SIG_NATURAL, t))}
+            for i, t in enumerate(new)
+        ]
+        db.overwrite_small("signature", dim, SIGNATURE_SCHEMA)
+    return local_df(
+        db.spark,
+        [tuple(r[k] for k in ("sig_id", *_SIG_NATURAL)) for r in dim],
+        SIGNATURE_SCHEMA,
+    )
 
 
 def _upsert_sig_class(db: SnorbyDB, batch: DataFrame) -> DataFrame:
     """R18: insert-if-absent on classid; UPDATE name if it drifted
     (charlotte/__init__.py:606-608 — SCD-1 overwrite)."""
-    dim = db.read("sig_class", "sig_class_id int, sig_class_name string")
-    current = batch.select(
-        F.col("classification_id").alias("sig_class_id"),
-        F.col("class_name").alias("new_name"),
-    ).distinct()
-    merged = dim.join(current, "sig_class_id", "full").select(
-        "sig_class_id",
-        F.coalesce("new_name", "sig_class_name").alias("sig_class_name"),
+    dim = db.read_small("sig_class", SIG_CLASS_SCHEMA)
+    current = {
+        r.sig_class_id: r.new_name
+        for r in batch.select(
+            F.col("classification_id").alias("sig_class_id"),
+            F.col("class_name").alias("new_name"),
+        )
+        .distinct()
+        .collect()
+    }
+    merged = [
+        {
+            "sig_class_id": r["sig_class_id"],
+            "sig_class_name": current.pop(r["sig_class_id"], r["sig_class_name"]),
+        }
+        for r in dim
+    ]
+    merged += [
+        {"sig_class_id": cid, "sig_class_name": name}
+        for cid, name in sorted(current.items())
+    ]
+    if merged != dim:
+        db.overwrite_small("sig_class", merged, SIG_CLASS_SCHEMA)
+    return local_df(
+        db.spark,
+        [(r["sig_class_id"], r["sig_class_name"]) for r in merged],
+        SIG_CLASS_SCHEMA,
     )
-    db.overwrite("sig_class", merged)
-    return db.read("sig_class", "sig_class_id int, sig_class_name string")
 
 
 def apply_batch(
@@ -241,8 +347,6 @@ def apply_batch(
     # checkpointed batch — run their upserts as concurrent Spark jobs
     # (the scheduler interleaves them; wall-clock ≈ the slowest one,
     # which matters because each is a chain of tiny jobs)
-    from concurrent.futures import ThreadPoolExecutor
-
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_sensor = pool.submit(_upsert_sensor, db, enriched)
         f_signature = pool.submit(_upsert_signature, db, enriched)
@@ -326,22 +430,26 @@ def apply_batch(
             "sid", "cid", F.lower(F.hex("payload")).alias("data_payload")
         ),
     }
-    for name, df in facts.items():
-        db.append(name, df)
+    # R19 persist: sensor.last_cid = max assigned cid (:566-569).
+    # The aggregate runs distributed; the dim update is driver-side KBs.
+    def writeback_last_cid() -> None:
+        max_cids = {
+            r.sid: r.new_last_cid
+            for r in a.groupBy("sid").agg(F.max("cid").alias("new_last_cid")).collect()
+        }
+        dim = [
+            {**r, "last_cid": max(max_cids.get(r["sid"], 0), r["last_cid"])}
+            for r in db.read_small("sensor", SENSOR_SCHEMA)
+        ]
+        db.overwrite_small("sensor", dim, SENSOR_SCHEMA)
 
-    # R19 persist: sensor.last_cid = max assigned cid (:566-569)
-    max_cids = a.groupBy("sid").agg(F.max("cid").alias("new_last_cid"))
-    sensor_updated = sensor.join(
-        max_cids.withColumnRenamed("sid", "u_sid"),
-        sensor.sid == F.col("u_sid"),
-        "left",
-    ).select(
-        "sid",
-        "hostname",
-        "interface",
-        "detail",
-        "encoding",
-        F.greatest(F.coalesce("new_last_cid", F.lit(0)), "last_cid").alias("last_cid"),
-    )
-    db.overwrite("sensor", sensor_updated)
+    # the six fact appends and the last_cid aggregate read only the
+    # checkpointed `a` and touch disjoint tables — run them as
+    # concurrent Spark jobs; the applied-batch marker comes strictly
+    # last (it is the idempotence commit point)
+    with ThreadPoolExecutor(max_workers=len(facts) + 1) as pool:
+        futs = [pool.submit(db.append, name, df) for name, df in facts.items()]
+        futs.append(pool.submit(writeback_last_cid))
+        for f in futs:
+            f.result()
     db.mark_applied(batch_id)
