@@ -111,3 +111,531 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), "revenue")
         .orderBy(F.col("revenue").desc(), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wider TPC-H-shaped surface, adapted to the driver's slimmed schemas (no
+# partsupp / commitdate / receiptdate / shipmode columns exist — see
+# charlotte_spark/schemas.py). Each query keeps the canonical plan shape of
+# its TPC-H counterpart: the thing we are exercising is the composition of
+# operators (semi/anti joins, correlated-style windows, scalar subqueries,
+# disjunctive pushdown), not the exact TPC-H predicate constants.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority",
+    tags=("D14", "D17", "D24", "D38", "D45"),
+    oracle="""
+    SELECT o.o_orderpriority AS orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
+    non-equi residual (shipped >30 days after order), then a small
+    group-by. The semi join shuffles once on l_orderkey and never
+    materializes the lineitem payload columns."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("orderpriority")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    tags=("D9", "D25"),
+    oracle=f"""
+    SELECT {sql_round("coalesce(sum(l_extendedprice * l_discount), 0.0)", 2)} AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side conjunctive filter + global agg.
+    Every predicate is pushed to the parquet scan; the aggregate is a
+    map-side partial + single final row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        pround(F.coalesce(F.sum(F.col("l_extendedprice") * F.col("l_discount")), F.lit(0.0)), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    tags=("D14", "D15", "D24", "D38", "D45", "D8"),
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS ship_year,
+           {sql_round("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations per
+    ship year. Both nation lookups broadcast; the pair disjunction is
+    applied post-join so Catalyst can still push the date band to the
+    scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    tags=("D14", "D15", "D24", "D28", "D38", "D45", "D8"),
+    oracle=f"""
+    SELECT year(o.o_orderdate) AS order_year,
+           {sql_round(
+               "sum(CASE WHEN n1.n_name = 'NATION_5' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)"
+               " / sum(l.l_extendedprice * (1 - l.l_discount))", 4)} AS mkt_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    GROUP BY year(o.o_orderdate)
+    ORDER BY order_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — conditional-sum ratio
+    over an 8-table join. Part/supplier/nation/region broadcast;
+    lineitem⋈orders is the only large shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_regionkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            pround(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "q10_returned_items",
+    tags=("D14", "D15", "D24", "D39", "D8", "D9"),
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           {sql_round("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+           {sql_round("c.c_acctbal", 2)} AS acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue on returned
+    items in one quarter. Ends in TakeOrderedAndProject (top-k), not a
+    full global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            "revenue",
+            pround(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.col("revenue").desc(), "custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    tags=("D16", "D24", "D38"),
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram over a left outer join —
+    customers with zero qualifying orders must survive as c_count=0.
+    Two cascaded aggregations, both map-side partial."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q14_promo_effect",
+    tags=("D14", "D25", "D28", "D9"),
+    oracle=f"""
+    SELECT {sql_round(
+        "100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)"
+        " / sum(l.l_extendedprice * (1 - l.l_discount))", 4)} AS promo_revenue_pct,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — conditional
+    aggregate ratio over a fact⋈dim join (strategy left to AQE)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        pround(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+            / F.sum(vol),
+            4,
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q15_top_supplier",
+    tags=("D14", "D15", "D24", "D25", "D33", "D38"),
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_round("sum(l_extendedprice * (1 - l_discount))", 2)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name, r.total_revenue AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with max quarterly revenue. The
+    scalar-subquery max is an unpartitioned window over the *already
+    aggregated* per-supplier rows (|suppliers| rows, not |lineitem|),
+    so the single-partition window is bounded and safe at scale.
+    Revenue is rounded before the equality compare so both engines
+    select the same winners."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    w = Window.partitionBy()
+    top = revenue.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return (
+        top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            "total_revenue",
+        )
+        .orderBy("suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    tags=("D14", "D15", "D25", "D33", "D35", "D9"),
+    oracle=f"""
+    WITH flt AS (
+      SELECT l.l_quantity, l.l_extendedprice,
+             avg(l.l_quantity) OVER (PARTITION BY l.l_partkey) AS avg_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#13' AND p.p_size < 15
+    )
+    SELECT {sql_round("coalesce(sum(l_extendedprice), 0.0) / 7.0", 2)} AS avg_yearly,
+           count(*) AS n_rows
+    FROM flt
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from unusually small orders of one
+    brand — the correlated per-part AVG subquery expressed as a window
+    over l_partkey (one shuffle, no self-join). l_quantity is whole-
+    valued, so the per-part average is exact in both engines and the
+    0.2·avg comparison cannot diverge on float noise."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") < 15)
+    )
+    w = Window.partitionBy("l_partkey")
+    flt = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return flt.agg(
+        pround(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2).alias("avg_yearly"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    tags=("D11", "D14", "D17", "D24", "D39"),
+    oracle=f"""
+    SELECT c.c_name AS name, c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           {sql_round("o.o_totalprice", 2)} AS totalprice,
+           sum(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY totalprice DESC, orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    — IN-subquery decorrelated to a left-semi join against the
+    aggregated order list. l_quantity is whole-valued so the HAVING
+    threshold is exact."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            pround(F.col("o_totalprice"), 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    tags=("D14", "D25", "D9", "D12"),
+    oracle=f"""
+    SELECT {sql_round("coalesce(sum(l.l_extendedprice * (1 - l.l_discount)), 0.0)", 2)} AS revenue,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs over a fact⋈dim join. Catalyst
+    extracts the common p_brand/p_size disjunction for the part side so
+    the broadcast build set is pre-filtered; the residual evaluates
+    post-join in codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        pround(
+            F.coalesce(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), F.lit(0.0)), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q22_idle_customers",
+    tags=("D11", "D18", "D24", "D25", "D38"),
+    oracle=f"""
+    SELECT c.c_nationkey AS nationkey, count(*) AS numcust,
+           {sql_round("sum(c.c_acctbal)", 2)} AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c.c_acctbal > (
+        SELECT avg(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy customers who never ordered — scalar
+    AVG subquery as a broadcast cross join (1 row), NOT EXISTS as a
+    left-anti join on o_custkey."""
+    keys = [1, 3, 5, 7, 9, 11, 13]
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(keys))
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("numcust"), pround(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("nationkey")
+    )

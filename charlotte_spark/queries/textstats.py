@@ -305,32 +305,38 @@ def d69_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: min-hash over 5-token shingles (a
     winnowing-style selective hash) + an order-insensitive content hash.
 
-    Shingling stays a JVM projection; the per-shingle md5 min and the
-    sorted-content md5 run in one Arrow-batched pandas UDF — a
-    per-element interpreted md5→conv chain was ~4× slower, and hashlib
-    produces the identical digests the oracle computes."""
+    One Arrow-batched pandas UDF does shingling *and* hashing from the
+    raw text column. Measured alternatives at sf0.1: JVM shingling +
+    hash-only UDF pays ~6× in Arrow transfer of the array<string>
+    column; a fully-JVM explode + md5 + re-aggregate pays ~10× in the
+    row explosion and extra shuffle. Shipping one string per doc and
+    keeping the 50-shingle loop in Python is the cheapest shape, and
+    hashlib produces the identical digests the oracle computes."""
     import hashlib
 
     from pyspark.sql.functions import pandas_udf
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = with_shingles(d, 5).select("doc_id", "shingles")
 
     @pandas_udf("struct<fingerprint: long, content_hash: string>")
-    def fp_of(shingles: pd.Series) -> pd.DataFrame:
+    def fp_of(text: pd.Series) -> pd.DataFrame:
         fps, chs = [], []
-        for arr in shingles:
+        for t in text:
+            toks = t.split(" ")
+            # dict preserves first-occurrence order like F.array_distinct
+            grams = {" ".join(toks[i : i + 5]): None for i in range(len(toks) - 4)}
             fps.append(
                 min(
-                    int(hashlib.md5(b"fp|" + s.encode()).hexdigest()[:8], 16)
-                    for s in arr
+                    int.from_bytes(hashlib.md5(b"fp|" + s.encode()).digest()[:4], "big")
+                    for s in grams
                 )
             )
-            chs.append(hashlib.md5("|".join(sorted(arr)).encode()).hexdigest())
+            chs.append(hashlib.md5("|".join(sorted(grams)).encode()).hexdigest())
         return pd.DataFrame({"fingerprint": fps, "content_hash": chs})
 
     return (
-        sh.select("doc_id", fp_of("shingles").alias("fp"))
+        d.filter(F.size(F.split("text", " ")) >= 5)
+        .select("doc_id", fp_of("text").alias("fp"))
         .select("doc_id", "fp.fingerprint", "fp.content_hash")
         .orderBy("doc_id")
     )

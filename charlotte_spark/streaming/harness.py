@@ -98,14 +98,17 @@ def events_stream(
     n_chunks: int = 8,
     shuffle_chunks: bool = False,
     sentinel_ts: str | None = None,
-    max_files_per_trigger: int = 2,
+    max_files_per_trigger: int = 4,
 ) -> DataFrame:
     """readStream over the chunked events replay.
 
-    Two chunks per trigger by default: still a genuine multi-batch
-    replay (state merge, watermark advance, late chunks all exercised)
-    at half the per-micro-batch fixed cost; pass 1 to force the strict
-    one-file-per-batch shape."""
+    Four chunks per trigger by default: still a genuine multi-batch
+    replay (≥3 triggers over the 8-chunk + sentinel layout, so state
+    merge, watermark advance and late chunks are all exercised — the
+    shuffled even/odd chunk order keeps every odd chunk late relative
+    to trigger 1) at a quarter of the per-micro-batch fixed cost
+    (state-store commit + offset-log fsync per trigger); pass 1 to
+    force the strict one-file-per-batch shape."""
     src = events_chunk_dir(spark, sf_dir, n_chunks, shuffle_chunks, sentinel_ts)
     return (
         spark.readStream.schema(EVENTS)

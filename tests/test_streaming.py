@@ -27,8 +27,17 @@ def test_watermark_drops_late_rows(spark, sf_dir):
     the disorder, late rows are dropped: the windowed counts sum to
     fewer events than the input."""
     total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # max_files_per_trigger=2, not the harness default 4: the late-row
+    # filter applies the watermark with one batch of lag (it's planned
+    # from data up to batch N-2), so late chunks only actually drop when
+    # they arrive ≥2 triggers after the on-time chunks that outran them.
     s = events_stream(
-        spark, sf_dir, n_chunks=8, shuffle_chunks=True, sentinel_ts="2024-06-01 00:00:00"
+        spark,
+        sf_dir,
+        n_chunks=8,
+        shuffle_chunks=True,
+        sentinel_ts="2024-06-01 00:00:00",
+        max_files_per_trigger=2,
     )
     agg = (
         s.withWatermark("ts", "1 minute")
