@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 import itertools
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -149,4 +150,12 @@ def run_to_memory(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    out = spark.table(name)
+    # Pin the sink rows into the returned plan, then release the temp
+    # view and the tmpfs checkpoint: a long session (full bench, pytest
+    # run) otherwise accumulates one memory-sink table + one RAM-backed
+    # checkpoint dir per streaming query.
+    rows = out.collect()
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return local_df(spark, rows, out.schema)
