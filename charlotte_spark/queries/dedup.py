@@ -380,3 +380,219 @@ def d66_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", pround("jaccard_raw", 4).alias("jaccard"))
         .orderBy("a_id")
     )
+
+
+def _corpus_near_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + TWO perturbed copies of every 20th doc: drop-last at
+    +1e6 and drop-first at +2e6. The two copies are near-dups of the
+    original (and usually of each other), so each seeded component is a
+    3-node star/triangle — transitive closure is non-trivial."""
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = F.split("text", " ")
+    seed = d.filter(F.col("doc_id") % 20 == 0)
+    drop_last = seed.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
+    )
+    drop_first = seed.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 2, F.size(toks) - 1), " ").alias("text"),
+    )
+    return d.unionByName(drop_last).unionByName(drop_first)
+
+
+_SQL_CORPUS_NEAR_CHAIN = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(list_slice(toks, 1, len(toks) - 1), ' ') AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           array_to_string(list_slice(toks, 2, len(toks)), ' ') AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE doc_id % 20 = 0
+"""
+
+
+def _sql_scored_pairs(corpus_sql: str) -> str:
+    """CTE chain ``sig, bands, cand, scored_pairs``: the a66 LSH
+    candidate generation + signature-Jaccard re-score, factored so the
+    clustering oracle can build on the identical pair set."""
+    bands_idx = ", ".join(str(i) for i in range(N_BANDS))
+    bands_hash = ", ".join(
+        f"md5(CAST(mh{2 * i} AS VARCHAR) || '_' || CAST(mh{2 * i + 1} AS VARCHAR))"
+        for i in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(N_HASHES)
+    )
+    return f"""
+    sig AS ({_sql_minhash_sig(corpus_sql)}),
+    bands AS (
+        SELECT doc_id,
+               unnest([{bands_idx}]) AS band_idx,
+               unnest([{bands_hash}]) AS bhash
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    ),
+    scored_pairs AS (
+        SELECT a_id, b_id
+        FROM cand
+        JOIN sig sa ON sa.doc_id = a_id
+        JOIN sig sb ON sb.doc_id = b_id
+        WHERE ({matches}) / {float(N_HASHES)} >= 0.49
+    )
+    """
+
+
+@query(
+    "d74_neardup_clusters",
+    tags=("D74", "A66", "D65"),
+    oracle=f"""
+    WITH RECURSIVE {_sql_scored_pairs(_SQL_CORPUS_NEAR_CHAIN)},
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM scored_pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM scored_pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           CAST(least(src, min(dst)) AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN least(src, min(dst)) = src THEN 1 ELSE 0 END AS INT) AS is_survivor
+    FROM reach
+    GROUP BY src
+    ORDER BY cluster_id, doc_id
+    """,
+)
+def d74_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: LSH candidate pairs →
+    connected components → keep the min-doc_id survivor per cluster.
+    This is the stage that turns pairwise near-dup detection (a66)
+    into an actual dedup decision when duplicates chain (A~B, B~C).
+
+    Components are computed by min-label propagation — each iteration
+    is one hash join edges⋈labels + a groupBy min, the standard
+    large-graph CC recipe (no driver-side graph). Labels decrease
+    monotonically, so convergence is detected by an unchanged
+    sum(label); the synthetic components are stars of diameter ≤ 2, so
+    this converges in 2-3 iterations (12 is a safety bound). The DuckDB
+    oracle is a recursive-CTE transitive closure over the identical
+    pair set.
+
+    At 100 TB: edges live in the cluster (shuffle join per iteration,
+    keyed on node id); iteration count is the component diameter after
+    LSH bucketing, which for dedup workloads is small. The min-label
+    formulation never materializes the closure, only |V| labels."""
+    sig = _minhash_sig(_corpus_near_chain(spark, sf_dir)).coalesce(8).localCheckpoint()
+
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.md5(
+                F.concat(
+                    F.col(f"mh{2 * i}").cast("string"),
+                    F.lit("_"),
+                    F.col(f"mh{2 * i + 1}").cast("string"),
+                )
+            ).alias("bhash"),
+        )
+        for i in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.bhash").alias("bhash")
+    )
+    left = bands.select(
+        F.col("doc_id").alias("a_id"), "band_idx", F.col("bhash").alias("bhash_a")
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("bhash").alias("bhash_b"),
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("bhash_a") == F.col("bhash_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(N_HASHES)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a_mh{j}") == F.col(f"b_mh{j}"), 1).otherwise(0)
+        for j in range(N_HASHES)
+    )
+    pairs = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(n_match / float(N_HASHES) >= 0.49)
+        .select("a_id", "b_id")
+    )
+
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+    )
+    def _propagate(lbls: DataFrame) -> DataFrame:
+        nbr = (
+            edges.join(F.broadcast(lbls), F.col("dst") == F.col("id"))
+            .select(F.col("src").alias("nid"), F.col("lbl").alias("nlbl"))
+            .groupBy("nid")
+            .agg(F.min("nlbl").alias("nbr_lbl"))
+        )
+        return lbls.join(F.broadcast(nbr), F.col("id") == F.col("nid"), "left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+        )
+
+    # LSH-bucketed dup components are stars/triangles around the
+    # original doc, so two propagation rounds — composed into ONE plan,
+    # materialized by a single eager checkpoint — reach the fixpoint in
+    # the common case. The fixpoint test is exact (no edge joins two
+    # different labels) and costs one cheap job over the checkpointed
+    # labels; only genuinely deeper chains pay extra rounds.
+    labels = _propagate(_propagate(labels)).localCheckpoint()
+    for _ in range(10):
+        l_src = labels.select(F.col("id").alias("src"), F.col("lbl").alias("lbl_src"))
+        l_dst = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("lbl_dst"))
+        viol = (
+            edges.join(F.broadcast(l_src), "src")
+            .join(F.broadcast(l_dst), "dst")
+            .filter(F.col("lbl_src") != F.col("lbl_dst"))
+            .count()
+        )
+        if viol == 0:
+            break
+        labels = _propagate(labels).localCheckpoint()
+
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("id") == F.col("lbl")).cast("int").alias("is_survivor"),
+    ).orderBy("cluster_id", "doc_id")

@@ -340,3 +340,47 @@ def d69_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp.fingerprint", "fp.content_hash")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "d73_doc_chunking",
+    tags=("D73",),
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS s FROM t)
+    SELECT doc_id,
+           CAST((s - 1) // 24 AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, s, least(s + 31, len(toks))), ' ') AS chunk_text,
+           CAST(least(s + 31, len(toks)) - s + 1 AS INT) AS n_tokens
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def d73_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus chunking: split each document into 32-token
+    windows with stride 24 (8-token overlap), the standard shape for
+    packing long documents into fixed-context training samples.
+
+    Pure JVM: tokenize once, `sequence` generates the chunk starts,
+    `posexplode` fans out to one row per chunk, `slice`+`array_join`
+    materialize the window. At 100 TB this is a single narrow
+    projection pass — no shuffle, no Python; output rows ≈ input
+    tokens / stride, and the explode preserves the input partitioning
+    for any downstream tokenizer/packing stage."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    ch = d.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(1), F.size("toks"), F.lit(24))).alias(
+            "chunk_idx", "s"
+        ),
+    )
+    chunk = F.slice("toks", F.col("s"), 32)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_idx")
