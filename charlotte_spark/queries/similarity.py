@@ -325,3 +325,81 @@ def d67_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(block_pairs, "a_id long, b_id long, cos_sim double")
         .orderBy("a_id", "b_id")
     )
+
+
+@query(
+    "d75_embedding_quantize",
+    tags=("D75", "D67"),
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, vd,
+               list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, vd, scale,
+               list_transform(vd, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
+        FROM s
+    )
+    SELECT vec_id,
+           {sql_round("scale", 6)} AS scale,
+           qv AS quantized,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_saturated,
+           {sql_round(
+               "list_max(list_transform(generate_series(1, " + str(DIM) + "), "
+               "i -> abs(vd[i] - qv[i] * scale)))", 6)} AS max_abs_err
+    FROM q
+    ORDER BY vec_id
+    """,
+)
+def d75_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per embedding — the standard memory
+    path for vector search at 100 TB (4x smaller than float32, and int8
+    dot products SIMD-accelerate downstream ANN). scale = max|x|/127;
+    rounding is floor(x+0.5) in BOTH engines (engine-native round()
+    half-even vs half-away would diverge), so the quantized vectors are
+    hash-checkable, along with saturation count and max reconstruction
+    error.
+
+    Pure JVM higher-order functions over array columns: one narrow
+    projection pass, no shuffle, no Python. The shared per-row scale is
+    materialized as a column BEFORE the lambdas reference it (HOF lambda
+    bodies re-evaluate outer expressions per element — the measured 8x
+    pitfall recorded in SCALE.md)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("vd")
+    )
+    s = e.withColumn(
+        "scale", F.array_max(F.transform("vd", lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    q = s.withColumn(
+        "qv",
+        F.transform("vd", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")),
+    )
+    # Computed BEFORE the output select: the select aliases the rounded
+    # scale back to the name "scale", and Spark's lateral column alias
+    # resolution would rebind this lambda's scale reference to the
+    # ROUNDED value (DuckDB prefers the input column — silent divergence
+    # in the 3rd digit of the error).
+    q = q.withColumn(
+        "raw_err",
+        F.array_max(
+            F.zip_with(
+                "vd", "qv", lambda x, qq: F.abs(x - qq.cast("double") * F.col("scale"))
+            )
+        ),
+    )
+    return q.select(
+        "vec_id",
+        pround("scale", 6).alias("scale"),
+        F.col("qv").alias("quantized"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.size(F.filter("qv", lambda x: F.abs(x) == 127)).alias("n_saturated"),
+        pround("raw_err", 6).alias("max_abs_err"),
+    ).orderBy("vec_id")
