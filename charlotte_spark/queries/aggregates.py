@@ -188,7 +188,7 @@ def d27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(c_mktsegment, 'ALL') AS seg,
                coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nat,
                count(*) AS n,
-               floor(sum(c_acctbal) * 100.0 + 0.5) / 100.0 AS bal
+               floor(CAST(sum(c_acctbal) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS bal
         FROM customer_gs
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
         ORDER BY seg, nat

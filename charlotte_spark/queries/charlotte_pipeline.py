@@ -107,9 +107,12 @@ def run_batch_pipeline(spark: SparkSession, db: SnorbyDB) -> None:
 
 
 def run_streaming_pipeline(
-    spark: SparkSession, db: SnorbyDB, ckpt: str, max_files_per_trigger: int = 1
+    spark: SparkSession, db: SnorbyDB, ckpt: str, max_files_per_trigger: int = 3
 ) -> None:
-    """Streaming run: one micro-batch per spool file (R1/R2/R5/D60)."""
+    """Streaming run over the spools (R1/R2/R5/D60). Default 3 files per
+    trigger → a 2-micro-batch replay: still exercises cross-batch cid
+    sequencing / dim upserts at a fraction of the per-batch fixed cost;
+    tests that need strict one-file-per-batch pass 1 explicitly."""
     fx = u2_fixture()
     alerts = read_spools(
         spark, fx["spools"], streaming=True, max_files_per_trigger=max_files_per_trigger
@@ -249,7 +252,7 @@ def r_charlotte_text_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("D58", "D60", "R19", "R2", "R5"),
 )
 def d58_cid_sequencer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming pipeline (one micro-batch per file) then a density
+    """Streaming pipeline (multi-micro-batch) then a density
     audit of the per-sensor cid sequence: for every sensor, cids must be
     exactly 1..max with no gaps or duplicates across micro-batches —
     charlotte's serialized-writer guarantee (:554-570) reproduced by

@@ -27,6 +27,7 @@ from ..catalog import fan_out, load_table
 from ..functions.portable import pround, sql_round
 from ..functions.shingles import with_shingles
 from ..registry import query
+from ..session import reliable_checkpoint
 
 N_HASHES = 12
 N_BANDS = 6  # rows-per-band = 2
@@ -204,7 +205,7 @@ def a66_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive stage and recomputing it 3× tripled the query. At cluster
     scale this is persist(MEMORY_AND_DISK) on a table of n_docs × 12
     ints, trivially cacheable."""
-    sig = _minhash_sig(_corpus_near(spark, sf_dir)).coalesce(8).localCheckpoint()
+    sig = reliable_checkpoint(_minhash_sig(_corpus_near(spark, sf_dir)).coalesce(8))
 
     band_cols = [
         F.struct(
@@ -354,11 +355,10 @@ def d66_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingling feeds both join branches — materialize once, in few
     # partitions (the table is tiny; per-partition checkpoint overhead
     # would otherwise dominate)
-    sh = (
+    sh = reliable_checkpoint(
         with_shingles(_corpus_near(spark, sf_dir), 3)
         .select("doc_id", "shingles")
         .coalesce(8)
-        .localCheckpoint()
     )
     o = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
     p = sh.select(
@@ -493,7 +493,7 @@ def d74_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on node id); iteration count is the component diameter after
     LSH bucketing, which for dedup workloads is small. The min-label
     formulation never materializes the closure, only |V| labels."""
-    sig = _minhash_sig(_corpus_near_chain(spark, sf_dir)).coalesce(8).localCheckpoint()
+    sig = reliable_checkpoint(_minhash_sig(_corpus_near_chain(spark, sf_dir)).coalesce(8))
 
     band_cols = [
         F.struct(
@@ -551,9 +551,10 @@ def d74_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
-        .coalesce(1)
-        .localCheckpoint()
     )
+    # shuffle-partitioned on src: the per-iteration edges⋈labels join and
+    # the groupBy(min) reuse this layout; no single-partition funnel
+    edges = reliable_checkpoint(edges.repartition("src"))
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -561,12 +562,14 @@ def d74_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     def _propagate(lbls: DataFrame) -> DataFrame:
         nbr = (
-            edges.join(F.broadcast(lbls), F.col("dst") == F.col("id"))
+            # labels is O(V) — no broadcast hint; AQE broadcasts while small,
+            # shuffle-joins at scale
+            edges.join(lbls, F.col("dst") == F.col("id"))
             .select(F.col("src").alias("nid"), F.col("lbl").alias("nlbl"))
             .groupBy("nid")
             .agg(F.min("nlbl").alias("nbr_lbl"))
         )
-        return lbls.join(F.broadcast(nbr), F.col("id") == F.col("nid"), "left").select(
+        return lbls.join(nbr, F.col("id") == F.col("nid"), "left").select(
             "id",
             F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
         )
@@ -577,19 +580,19 @@ def d74_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the common case. The fixpoint test is exact (no edge joins two
     # different labels) and costs one cheap job over the checkpointed
     # labels; only genuinely deeper chains pay extra rounds.
-    labels = _propagate(_propagate(labels)).localCheckpoint()
+    labels = reliable_checkpoint(_propagate(_propagate(labels)))
     for _ in range(10):
         l_src = labels.select(F.col("id").alias("src"), F.col("lbl").alias("lbl_src"))
         l_dst = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("lbl_dst"))
         viol = (
-            edges.join(F.broadcast(l_src), "src")
-            .join(F.broadcast(l_dst), "dst")
+            edges.join(l_src, "src")
+            .join(l_dst, "dst")
             .filter(F.col("lbl_src") != F.col("lbl_dst"))
             .count()
         )
         if viol == 0:
             break
-        labels = _propagate(labels).localCheckpoint()
+        labels = reliable_checkpoint(_propagate(labels))
 
     return labels.select(
         F.col("id").alias("doc_id"),

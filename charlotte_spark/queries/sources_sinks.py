@@ -106,12 +106,13 @@ def d4_partitioned_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d6_file_stream_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over chunked events with a checkpoint; final
     sink equals the batch answer (the D6 contract)."""
-    from ..streaming.harness import events_stream, run_to_memory
+    from ..streaming.harness import run_to_memory
+    from .streaming_queries import _replay
 
     # exact COUNT(DISTINCT) isn't allowed in a streaming agg, so stream
     # the (event_type, user_id) partial counts (the scalable shape) and
     # finish exactly on the sink contents
-    s = events_stream(spark, sf_dir)
+    s = _replay(spark, sf_dir).filter(F.col("event_id") >= 0)
     partial = s.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
     sink = run_to_memory(partial, "complete")
     return (

@@ -21,7 +21,17 @@ from pyspark.sql import functions as F
 from ..functions.portable import pround, sql_round
 from ..registry import query
 from ..session import local_df
-from ..streaming.harness import events_stream, run_to_memory
+from ..streaming.harness import DEFAULT_SENTINEL_TS, events_stream, run_to_memory
+
+
+def _replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared events replay: ONE chunk-dir materialization (shuffled
+    order + far-future sentinel) serves every streaming registry query —
+    queries that don't need the sentinel filter it out (event_id = -1),
+    and shuffled chunk order is invisible to a single-trigger replay."""
+    return events_stream(
+        spark, sf_dir, n_chunks=8, shuffle_chunks=True, sentinel_ts=DEFAULT_SENTINEL_TS
+    )
 
 
 @query(
@@ -39,7 +49,7 @@ from ..streaming.harness import events_stream, run_to_memory
 )
 def d53_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute tumbling event-time windows over the replayed stream."""
-    s = events_stream(spark, sf_dir)
+    s = _replay(spark, sf_dir).filter(F.col("event_id") >= 0)
     agg = s.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type").agg(
         F.count(F.lit(1)).alias("n"), pround(F.sum("value"), 2).alias("total")
     )
@@ -74,7 +84,7 @@ def d53_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d54_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute windows sliding every 5 minutes (each event lands in 2)."""
-    s = events_stream(spark, sf_dir)
+    s = _replay(spark, sf_dir).filter(F.col("event_id") >= 0)
     agg = s.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w")).agg(
         F.count(F.lit(1)).alias("n"), pround(F.sum("value"), 2).alias("total")
     )
@@ -120,7 +130,7 @@ def d55_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits each session exactly once when the watermark passes it and
     evicts its state. The far-future sentinel row advances the
     watermark past the final sessions so the replay flushes fully."""
-    s = events_stream(spark, sf_dir, sentinel_ts="2024-06-01 00:00:00")
+    s = _replay(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "40 days")
         .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
@@ -158,9 +168,7 @@ def d56_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     flushes them all — result equals the batch answer. Genuine
     late-drop + bounded-state behavior with a tight watermark is
     asserted in tests/test_streaming.py."""
-    s = events_stream(
-        spark, sf_dir, n_chunks=8, shuffle_chunks=True, sentinel_ts="2024-06-01 00:00:00"
-    )
+    s = _replay(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "40 days")
         .groupBy(F.window("ts", "10 minutes").alias("w"))
@@ -187,9 +195,9 @@ def d57_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates over a stream that replays every chunk's
     rows (plus the overlap duplicates the chunking introduces when the
     same files are re-listed) — final count equals distinct count."""
-    s = events_stream(spark, sf_dir)
+    s = _replay(spark, sf_dir).filter(F.col("event_id") >= 0)
     # duplicate the stream rows by unioning the stream with itself: every
-    # event_id arrives at least twice across micro-batches
+    # event_id arrives at least twice
     dup = s.unionByName(s)
     dedup = dup.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     out = run_to_memory(dedup, "append")
@@ -204,10 +212,11 @@ def d57_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("D59", "R13", "R14", "R15"),
     oracle=f"""
     WITH dim(event_type, risk_weight) AS (
-        VALUES ('error', 5.0), ('purchase', 1.0), ('signup', 2.0)
+        VALUES ('error', CAST(5.0 AS DOUBLE)), ('purchase', CAST(1.0 AS DOUBLE)),
+               ('signup', CAST(2.0 AS DOUBLE))
     )
     SELECT e.event_type,
-           coalesce(d.risk_weight, 10.0) AS risk_weight,
+           coalesce(d.risk_weight, CAST(10.0 AS DOUBLE)) AS risk_weight,
            count(*) AS n,
            {sql_round("sum(e.value * coalesce(d.risk_weight, 10.0))", 2)} AS weighted
     FROM events e LEFT JOIN dim d USING (event_type)
@@ -224,7 +233,7 @@ def d59_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("error", 5.0), ("purchase", 1.0), ("signup", 2.0)],
         "event_type string, risk_weight double",
     )
-    s = events_stream(spark, sf_dir)
+    s = _replay(spark, sf_dir).filter(F.col("event_id") >= 0)
     joined = s.join(F.broadcast(dim), "event_type", "left").withColumn(
         "rw", F.coalesce("risk_weight", F.lit(10.0))
     )

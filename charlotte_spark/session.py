@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 # Shuffle partitions: match local cores while testing; on a real cluster
 # AQE coalesces the post-shuffle partitions anyway, so a higher initial
@@ -33,6 +34,33 @@ def local_df(spark: SparkSession, rows, schema):
     partition — measured ~5 s per tiny write at local[32]. One slice
     makes it one handoff (~0.3 s warm)."""
     return spark.createDataFrame(spark.sparkContext.parallelize(rows or [], 1), schema)
+
+
+def reliable_checkpoint(df: DataFrame) -> DataFrame:
+    """Materialize an intermediate and cut its lineage, fault-tolerantly.
+
+    ``localCheckpoint()`` pins blocks in executor memory: fast, but not
+    recomputable — one lost executor kills a 100 TB job mid-flight, so
+    it is banned from the engine's shared-intermediate pattern.
+    ``checkpoint()`` writes to ``spark.checkpoint.dir``; a cluster
+    deployment points that at the DFS, locally it defaults to RAM-backed
+    scratch (the single-JVM stand-in for a fast DFS). The input is
+    persisted first so the checkpoint write re-reads cached blocks
+    instead of recomputing the whole lineage (the classic
+    double-compute trap), then unpersisted — the checkpoint files are
+    the only retained copy."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        base = os.environ.get("CHARLOTTE_CKPT_DIR") or (
+            "/dev/shm/charlotte_ckpt"
+            if os.access("/dev/shm", os.W_OK)
+            else "/tmp/charlotte_ckpt"
+        )
+        sc.setCheckpointDir(base)
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = cached.checkpoint(eager=True)
+    cached.unpersist()
+    return out
 
 
 def get_spark(app_name: str = "charlotte-spark", cpus: str | int | None = None) -> SparkSession:
@@ -55,6 +83,8 @@ def get_spark(app_name: str = "charlotte-spark", cpus: str | int | None = None) 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # GC reliable-checkpoint files once their RDDs are unreferenced
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # --- local-mode only ---
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")

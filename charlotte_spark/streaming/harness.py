@@ -41,6 +41,11 @@ def _scratch_root(env: str, leaf: str) -> str:
 
 STREAM_TMP = _scratch_root("CHARLOTTE_STREAM_TMP", "charlotte_stream")
 
+# Shared sentinel timestamp: far past every real event window, so one
+# chunk-dir materialization (shuffled + sentinel) serves every registry
+# streaming query regardless of whether it needs watermark flushing.
+DEFAULT_SENTINEL_TS = "2024-06-01 00:00:00"
+
 
 def events_chunk_dir(
     spark: SparkSession,
@@ -99,24 +104,26 @@ def events_stream(
     n_chunks: int = 8,
     shuffle_chunks: bool = False,
     sentinel_ts: str | None = None,
-    max_files_per_trigger: int = 4,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """readStream over the chunked events replay.
 
-    Four chunks per trigger by default: still a genuine multi-batch
-    replay (≥3 triggers over the 8-chunk + sentinel layout, so state
-    merge, watermark advance and late chunks are all exercised — the
-    shuffled even/odd chunk order keeps every odd chunk late relative
-    to trigger 1) at a quarter of the per-micro-batch fixed cost
-    (state-store commit + offset-log fsync per trigger); pass 1 to
-    force the strict one-file-per-batch shape."""
+    Default is a single-trigger replay (no admission control → the file
+    source takes every available file in batch 0): the correctness gate
+    only needs the final sink to equal the batch answer, and each extra
+    micro-batch costs a state-store commit + offset-log fsync per state
+    partition. Watermark flushing still works in one trigger — the
+    sentinel row updates the watermark after batch 0 and the no-data
+    batch that follows (noDataMicroBatches, on by default) evicts and
+    emits the closed windows before processAllAvailable returns.
+    Genuine multi-batch semantics (late-data drop, cross-batch state
+    merge, per-file rollover) are exercised with explicit
+    ``max_files_per_trigger`` in tests/test_streaming.py."""
     src = events_chunk_dir(spark, sf_dir, n_chunks, shuffle_chunks, sentinel_ts)
-    return (
-        spark.readStream.schema(EVENTS)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-    )
+    reader = spark.readStream.schema(EVENTS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.option("recursiveFileLookup", "true").parquet(src)
 
 
 def run_to_memory(

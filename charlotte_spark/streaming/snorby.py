@@ -38,7 +38,7 @@ from concurrent.futures import ThreadPoolExecutor
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..session import local_df
+from ..session import local_df, reliable_checkpoint
 
 FACT_TABLES = ("event", "iphdr", "tcphdr", "udphdr", "icmphdr", "data")
 DIM_TABLES = ("sensor", "signature", "sig_class")
@@ -338,7 +338,7 @@ def apply_batch(
     if batch_id in db.applied_batches():
         return  # idempotent replay after restart
 
-    enriched = enriched.localCheckpoint()  # cut lineage; batch is reused many times
+    enriched = reliable_checkpoint(enriched)  # cut lineage; batch is reused many times
     if enriched.isEmpty():
         db.mark_applied(batch_id)
         return
@@ -380,7 +380,7 @@ def apply_batch(
         F.col("event_id").asc(),
         F.col("packet_pos").asc_nulls_first(),
     )
-    a = a.withColumn("cid", F.row_number().over(w) + F.col("last_cid")).localCheckpoint()
+    a = reliable_checkpoint(a.withColumn("cid", F.row_number().over(w) + F.col("last_cid")))
 
     # R11 timestamp normalize — epoch seconds -> UTC wall-clock string
     ts = F.from_unixtime("event_second").cast("timestamp")

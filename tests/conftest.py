@@ -54,7 +54,11 @@ def canon(v):
     if isinstance(v, (int, np.integer)):
         return int(v)
     if isinstance(v, decimal.Decimal):
-        v = float(v)
+        # Deliberately NOT coerced to float: the driver's hash distinguishes
+        # Decimal('263541.150000') from 263541.15 (it cost us d27 in round 1).
+        # A Decimal only matches another Decimal with the same normalized value,
+        # so a Spark DECIMAL output vs a DuckDB DOUBLE oracle fails locally too.
+        return ("dec", str(v.normalize()))
     if isinstance(v, (float, np.floating)):
         v = float(v)
         if math.isnan(v):
