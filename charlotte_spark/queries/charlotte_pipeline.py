@@ -31,10 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..session import local_df
 from ..sources.u2_spark import read_spools
 from ..sources.unified2 import write_spool
 from ..streaming.maps import load_maps
-from ..streaming.snorby import SnorbyDB, apply_batch, enrich
+from ..streaming.snorby import DIM_TABLES, FACT_TABLES, SnorbyDB, apply_batch, enrich
 
 from ..streaming.harness import _scratch_root
 
@@ -43,7 +44,7 @@ FIXTURE_DIR = _scratch_root("CHARLOTTE_U2_TMP", "charlotte_u2")
 
 def u2_fixture(n_files: int = 3, events_per_file: int = 40) -> dict:
     """Two-sensor spool layout + map files, deterministic, cached."""
-    sig = f"v3_{n_files}x{events_per_file}"
+    sig = f"v4_{n_files}x{events_per_file}"
     base = f"{FIXTURE_DIR}/{sig}"
     marker = f"{base}/_READY"
     spools = {
@@ -214,28 +215,13 @@ def r_charlotte_text_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (charlotte/__init__.py:284-337). Here the same enriched stream is
     formatted JVM-side (`format_string`) into u2fast-shaped lines —
     in production this DataFrame goes to `.writeStream.format("console")`."""
+    from ..cli import u2fast_line
+
     fx = u2_fixture()
     alerts = read_spools(spark, fx["spools"], streaming=False)
     sig_map, class_map = load_maps(spark, fx["sig_map"], fx["gen_map"], fx["class_map"])
     e = enrich(alerts, sig_map, class_map)
-    line = F.format_string(
-        "%s {%s} [%d:%d:%d] %s [Classification: %s] [Priority: %d] %s -> %s",
-        F.from_unixtime("event_second"),
-        F.upper(
-            F.when(F.col("tcp_sport").isNotNull(), "tcp")
-            .when(F.col("udp_sport").isNotNull(), "udp")
-            .when(F.col("icmp_type").isNotNull(), "icmp")
-            .otherwise("-")
-        ),
-        "generator_id",
-        "signature_id",
-        "sig_rev",
-        "sig_msg",
-        "class_name",
-        "sig_priority",
-        F.coalesce("ip_src", F.lit("-")),
-        F.coalesce("ip_dst", F.lit("-")),
-    )
+    line = u2fast_line()
     return (
         e.select(
             "sensor_name",
@@ -279,4 +265,60 @@ def d58_cid_sequencer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
              & (F.col("max_cid") == F.col("n"))).cast("int").alias("dense"),
         )
         .orderBy("sid")
+    )
+
+
+@query(
+    "r_charlotte_event_records",
+    tags=("R6",),
+)
+def r_charlotte_event_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-type surface audit (idstools parity): the synthetic spools
+    mix all four public event record types — legacy v1 (7), VLAN v2
+    (104), IPv6 (72), IPv6-VLAN (105) — exactly the surface the
+    reference inherits from idstools (charlotte/__init__.py:28-31).
+    One row per (sensor, address family, vlan-tagged) with event counts
+    and the vlan range, so a silently-dropped record type shows up as a
+    missing group or a short count."""
+    fx = u2_fixture()
+    alerts = read_spools(spark, fx["spools"], streaming=False)
+    fam = F.when(F.col("event_ip_src").contains(":"), "ipv6").otherwise("ipv4")
+    return (
+        alerts.filter(F.col("packet_pos").isNull() | (F.col("packet_pos") == 0))
+        .groupBy(
+            "sensor_name",
+            fam.alias("family"),
+            F.col("vlan_id").isNotNull().alias("vlan_tagged"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("vlan_id").alias("min_vlan"),
+            F.max("vlan_id").alias("max_vlan"),
+        )
+        .orderBy("sensor_name", "family", "vlan_tagged")
+    )
+
+
+@query(
+    "d60_foreachbatch_upsert",
+    tags=("D60", "R16", "R17", "R18", "R21"),
+)
+def d60_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink as a first-class component: replay the
+    spool stream through apply_batch (per-batch dim upserts + idempotent
+    fact appends — the D60 contract), then audit the resulting star: one
+    row per table with its row count, so a dropped batch, a double-applied
+    batch, or a missing dim upsert all surface as a wrong count."""
+    db = _fresh_db(spark, "d60")
+    ckpt = f"{db.path}_ckpt"
+    if os.path.exists(ckpt):
+        shutil.rmtree(ckpt)
+    run_streaming_pipeline(spark, db, ckpt)
+    rows = []
+    for t in FACT_TABLES + DIM_TABLES:
+        d = f"{db.path}/{t}"
+        n = spark.read.parquet(d).count() if os.path.exists(d) else 0
+        rows.append((t, n))
+    return local_df(spark, rows, "table_name string, n_rows bigint").orderBy(
+        "table_name"
     )

@@ -24,10 +24,13 @@ from pyspark.sql import functions as F
 
 from .unified2 import decode_ethernet, parse_alerts
 
-# one row per (alert, packet) — packet_pos null for packet-less alerts
+# one row per (alert, packet) — packet_pos null for packet-less alerts.
+# event_ip_* / mpls_label / vlan_id come from the EVENT record itself
+# (v2/ipv6 record types); ip_src/ip_dst below come from packet decode.
 ALERT_FLAT_SCHEMA = (
     "sensor_name string, event_second bigint, event_id bigint, "
     "signature_id int, generator_id int, classification_id int, priority int, "
+    "event_ip_src string, event_ip_dst string, mpls_label bigint, vlan_id int, "
     "n_packets int, n_extra int, packet_pos int, frame binary"
 )
 
@@ -56,6 +59,10 @@ def _parse_files(batches):
                     a["generator_id"],
                     a["classification_id"],
                     a["priority"],
+                    a["event_ip_src"],
+                    a["event_ip_dst"],
+                    a["mpls_label"],
+                    a["vlan_id"],
                     len(a["packets"]),
                     len(a["extra_data"]),
                 )
@@ -74,6 +81,10 @@ def _parse_files(batches):
                 "generator_id",
                 "classification_id",
                 "priority",
+                "event_ip_src",
+                "event_ip_dst",
+                "mpls_label",
+                "vlan_id",
                 "n_packets",
                 "n_extra",
                 "packet_pos",

@@ -7,9 +7,17 @@ from the *public unified2 record framing* (type/length-framed records;
 the struct layouts below are the public Snort formats):
 
 - record framing: big-endian u32 ``type`` + u32 ``length`` + payload;
-- type 7  UNIFIED2_IDS_EVENT   (52-byte fixed struct);
-- type 2  UNIFIED2_PACKET      (28-byte header + raw frame bytes);
-- type 110 UNIFIED2_EXTRA_DATA (32-byte header + blob).
+- type 7   UNIFIED2_IDS_EVENT           (52-byte fixed struct);
+- type 104 UNIFIED2_IDS_EVENT_VLAN (v2) (60 bytes: v1 + mpls/vlan);
+- type 72  UNIFIED2_IDS_EVENT_IPV6      (76 bytes: 16-byte addresses);
+- type 105 UNIFIED2_IDS_EVENT_IPV6_VLAN (84 bytes: ipv6 + mpls/vlan);
+- type 2   UNIFIED2_PACKET              (28-byte header + raw frame);
+- type 110 UNIFIED2_EXTRA_DATA          (32-byte header + blob; hdr
+  event_type 1 = v1 and 2 = v2 are both accepted, as in idstools).
+
+The v2/ipv6 types match what modern Snort emits; the reference accepts
+them implicitly because idstools' RecordReader handles every public
+record type (/root/reference/charlotte/__init__.py:28-31).
 
 Aggregation follows idstools' model: an event record opens an alert;
 subsequent packet/extra-data records with the same
@@ -36,11 +44,29 @@ import struct
 
 U2_PACKET = 2
 U2_IDS_EVENT = 7
+U2_IDS_EVENT_IPV6 = 72
+U2_IDS_EVENT_VLAN = 104  # "v2": v1 fields + mpls_label + vlan_id
+U2_IDS_EVENT_IPV6_VLAN = 105
 U2_EXTRA_DATA = 110
 
+EVENT_TYPES = (U2_IDS_EVENT, U2_IDS_EVENT_IPV6, U2_IDS_EVENT_VLAN, U2_IDS_EVENT_IPV6_VLAN)
+
 _EVENT_STRUCT = struct.Struct(">11I2H4B")  # 52 bytes
+_EVENT_V2_STRUCT = struct.Struct(">11I2H4BI2H")  # 60 bytes (+mpls, vlan, pad)
+_EVENT_IP6_STRUCT = struct.Struct(">9I16s16s2H4B")  # 76 bytes
+_EVENT_IP6_V2_STRUCT = struct.Struct(">9I16s16s2H4BI2H")  # 84 bytes
 _PACKET_STRUCT = struct.Struct(">7I")  # 28 bytes
 _EXTRA_STRUCT = struct.Struct(">8I")  # 32 bytes
+
+
+def _ip4_str(v: int) -> str:
+    return f"{(v >> 24) & 255}.{(v >> 16) & 255}.{(v >> 8) & 255}.{v & 255}"
+
+
+def _ip6_str(b: bytes) -> str:
+    import ipaddress
+
+    return str(ipaddress.IPv6Address(b))
 
 
 def pack_event(
@@ -76,6 +102,56 @@ def pack_event(
     return struct.pack(">2I", U2_IDS_EVENT, len(body)) + body
 
 
+def pack_event_v2(
+    sensor_id: int,
+    event_id: int,
+    event_second: int,
+    signature_id: int,
+    generator_id: int,
+    classification_id: int,
+    priority: int,
+    ip_src: int = 0x0A000001,
+    ip_dst: int = 0x0A000002,
+    mpls_label: int = 0,
+    vlan_id: int = 0,
+) -> bytes:
+    """Type 104 UNIFIED2_IDS_EVENT_VLAN — the record modern Snort emits."""
+    body = _EVENT_V2_STRUCT.pack(
+        sensor_id, event_id, event_second, 0,
+        signature_id, generator_id, 1, classification_id, priority,
+        ip_src, ip_dst, 0, 0, 0, 0, 0, 0,
+        mpls_label, vlan_id, 0,
+    )
+    return struct.pack(">2I", U2_IDS_EVENT_VLAN, len(body)) + body
+
+
+def pack_event_ip6(
+    sensor_id: int,
+    event_id: int,
+    event_second: int,
+    signature_id: int,
+    generator_id: int,
+    classification_id: int,
+    priority: int,
+    ip_src: bytes = b"\x20\x01\x0d\xb8" + b"\x00" * 11 + b"\x01",
+    ip_dst: bytes = b"\x20\x01\x0d\xb8" + b"\x00" * 11 + b"\x02",
+    v2: bool = False,
+    mpls_label: int = 0,
+    vlan_id: int = 0,
+) -> bytes:
+    """Type 72 (v1) / 105 (v2) IPv6 event records."""
+    head = (
+        sensor_id, event_id, event_second, 0,
+        signature_id, generator_id, 1, classification_id, priority,
+        ip_src, ip_dst, 0, 0, 0, 0, 0, 0,
+    )
+    if v2:
+        body = _EVENT_IP6_V2_STRUCT.pack(*head, mpls_label, vlan_id, 0)
+        return struct.pack(">2I", U2_IDS_EVENT_IPV6_VLAN, len(body)) + body
+    body = _EVENT_IP6_STRUCT.pack(*head)
+    return struct.pack(">2I", U2_IDS_EVENT_IPV6, len(body)) + body
+
+
 def pack_packet(sensor_id: int, event_id: int, event_second: int, frame: bytes) -> bytes:
     body = (
         _PACKET_STRUCT.pack(
@@ -87,11 +163,20 @@ def pack_packet(sensor_id: int, event_id: int, event_second: int, frame: bytes) 
 
 
 def pack_extra_data(
-    sensor_id: int, event_id: int, event_second: int, dtype: int, blob: bytes
+    sensor_id: int,
+    event_id: int,
+    event_second: int,
+    dtype: int,
+    blob: bytes,
+    hdr_version: int = 1,
 ) -> bytes:
+    """Extra-data record; ``hdr_version`` fills the ExtraDataHdr
+    event_type field (1 = original, 2 = v2 — both parsed identically,
+    matching idstools)."""
     body = (
         _EXTRA_STRUCT.pack(
-            1, 32 + len(blob), sensor_id, event_id, event_second, dtype, 1, len(blob) + 8
+            hdr_version, 32 + len(blob), sensor_id, event_id, event_second,
+            dtype, 1, len(blob) + 8,
         )
         + blob
     )
@@ -116,8 +201,23 @@ def parse_alerts(data: bytes) -> list[dict]:
     alerts: list[dict] = []
     index: dict[tuple[int, int, int], dict] = {}
     for rtype, payload in parse_records(data):
-        if rtype == U2_IDS_EVENT:
-            f = _EVENT_STRUCT.unpack_from(payload)
+        if rtype in EVENT_TYPES:
+            if rtype == U2_IDS_EVENT:
+                f = _EVENT_STRUCT.unpack_from(payload)
+                src, dst = _ip4_str(f[9]), _ip4_str(f[10])
+                mpls = vlan = None
+            elif rtype == U2_IDS_EVENT_VLAN:
+                f = _EVENT_V2_STRUCT.unpack_from(payload)
+                src, dst = _ip4_str(f[9]), _ip4_str(f[10])
+                mpls, vlan = f[17], f[18]
+            elif rtype == U2_IDS_EVENT_IPV6:
+                f = _EVENT_IP6_STRUCT.unpack_from(payload)
+                src, dst = _ip6_str(f[9]), _ip6_str(f[10])
+                mpls = vlan = None
+            else:  # U2_IDS_EVENT_IPV6_VLAN
+                f = _EVENT_IP6_V2_STRUCT.unpack_from(payload)
+                src, dst = _ip6_str(f[9]), _ip6_str(f[10])
+                mpls, vlan = f[17], f[18]
             alert = {
                 "sensor_id": f[0],
                 "event_id": f[1],
@@ -127,6 +227,10 @@ def parse_alerts(data: bytes) -> list[dict]:
                 "signature_revision": f[6],
                 "classification_id": f[7],
                 "priority": f[8],
+                "event_ip_src": src,
+                "event_ip_dst": dst,
+                "mpls_label": mpls,
+                "vlan_id": vlan,
                 "packets": [],
                 "extra_data": [],
             }
@@ -278,7 +382,9 @@ def write_spool(
     empty_event_rate: int = 7,  # every Nth event has no packets (R9)
     multi_packet_rate: int = 5,  # every Nth event has 3 packets (R10)
 ) -> list[str]:
-    """Write deterministic unified2 spool files; returns file paths."""
+    """Write deterministic unified2 spool files with a REALISTIC record
+    mix — legacy v1 (7), VLAN v2 (104, what modern Snort emits), IPv6
+    (72) and IPv6-VLAN (105) events — returns file paths."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     eid = 0
@@ -291,10 +397,24 @@ def write_spool(
                 sid = 9_000_000 + eid if eid % unknown_sig_rate == 0 else 1_000_000 + eid % 20
                 gid = 1
                 classid = 99 if eid % 11 == 0 else 1 + eid % 5
-                f.write(pack_event(sensor_id, eid, sec, sid, gid, classid, eid % 4 + 1))
+                args = (sensor_id, eid, sec, sid, gid, classid, eid % 4 + 1)
+                pick = eid % 10
+                if pick in (1, 4, 8):  # ~30% modern v2 records
+                    f.write(pack_event_v2(*args, mpls_label=eid % 3, vlan_id=100 + eid % 5))
+                elif pick == 3:
+                    f.write(pack_event_ip6(*args))
+                elif pick == 7:
+                    f.write(pack_event_ip6(*args, v2=True, vlan_id=200 + eid % 5))
+                else:
+                    f.write(pack_event(*args))
                 if eid % empty_event_rate == 0:
                     if eid % 2 == 0:  # half the empty events still carry extra data
-                        f.write(pack_extra_data(sensor_id, eid, sec, 1, b"extra-%d" % eid))
+                        f.write(
+                            pack_extra_data(
+                                sensor_id, eid, sec, 1, b"extra-%d" % eid,
+                                hdr_version=2 if eid % 4 == 0 else 1,
+                            )
+                        )
                     continue
                 n_pkts = 3 if eid % multi_packet_rate == 0 else 1
                 for p in range(n_pkts):

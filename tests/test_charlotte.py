@@ -300,3 +300,28 @@ def test_streaming_equals_batch(spark):
         b = _rows(db_b.read(name, schema), tcols)
         s = _rows(db_s.read(name, schema), tcols)
         assert b == s, f"{name}: batch {len(b)} rows vs stream {len(s)}"
+
+
+def test_unified2_v2_and_ipv6_records_roundtrip():
+    """The spool mixes all four public event record types; the parser
+    must surface each family (a silently-skipped type would show up as a
+    missing group — exactly the failure mode of a 7/2/110-only reader)."""
+    import os
+
+    from charlotte_spark.queries.charlotte_pipeline import u2_fixture
+    from charlotte_spark.sources.unified2 import parse_alerts
+
+    fx = u2_fixture()
+    alerts = []
+    d = fx["spools"]["sensor_a"]["directories"][0]
+    for fname in sorted(os.listdir(d)):
+        with open(f"{d}/{fname}", "rb") as f:
+            alerts.extend(parse_alerts(f.read()))
+    assert len(alerts) == 120  # 3 files x 40 events, no type dropped
+    fams = {(":" in a["event_ip_src"], a["vlan_id"] is not None) for a in alerts}
+    # (ipv4, untagged)=v1, (ipv4, vlan)=104, (ipv6, untagged)=72, (ipv6, vlan)=105
+    assert fams == {(False, False), (False, True), (True, False), (True, True)}
+    v2 = [a for a in alerts if a["vlan_id"] is not None and ":" not in a["event_ip_src"]]
+    assert all(100 <= a["vlan_id"] <= 104 for a in v2)
+    ip6 = [a for a in alerts if ":" in a["event_ip_src"]]
+    assert all(a["event_ip_src"].startswith("2001:db8::") for a in ip6)
