@@ -115,7 +115,9 @@ def main() -> None:
         "n_queries": len(times),
         **ingest,
     }
-    print(json.dumps(out))
+    # compact separators: the driver records a bounded tail of stdout,
+    # so every byte of the one-line JSON counts toward it parsing whole
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

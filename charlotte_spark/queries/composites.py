@@ -442,13 +442,10 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with max quarterly revenue. The
-    scalar-subquery max is an unpartitioned window over the *already
-    aggregated* per-supplier rows (|suppliers| rows, not |lineitem|),
-    so the single-partition window is bounded and safe at scale.
-    Revenue is rounded before the equality compare so both engines
-    select the same winners."""
-    from pyspark.sql.window import Window
-
+    scalar-subquery max is a 1-row aggregate broadcast back against the
+    per-supplier revenue table — no single-partition window exchange;
+    revenue stays partitioned end-to-end. Revenue is rounded before the
+    equality compare so both engines select the same winners."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -458,9 +455,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    w = Window.partitionBy()
-    top = revenue.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
-        F.col("total_revenue") == F.col("max_rev")
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    top = revenue.join(
+        F.broadcast(max_rev), F.col("total_revenue") == F.col("max_rev")
     )
     return (
         top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)

@@ -1,0 +1,415 @@
+"""Training-data pipeline operators (the 100 TB curation surface).
+
+Beyond dedup/similarity/textstats, a large-scale pretraining pipeline
+needs: repetition-based quality signals (the Gopher-rules family),
+deterministic stratified sampling, train/val/test splitting,
+benchmark-contamination screening, sequence packing toward a token
+budget, and mixture rebalancing across languages/domains. Each is a
+pure DataFrame computation over ``documents`` with a DuckDB oracle —
+no reference analog exists (the reference is an IDS ETL), so these
+cite the public recipes they implement instead.
+
+Scale notes: every operator here is one scan + at most one shuffle on
+an explicit key (doc_id / n-gram hash / stratum), no driver-side loops;
+the only window (sequence packing) is partitioned by language shard.
+Determinism: all randomness is the portable md5 hash — identical in
+Spark and DuckDB, so sampling decisions are hash-checkable, not
+statistical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.portable import portable_hash_long, pround, sql_hash_long, sql_round
+from ..functions.shingles import with_shingles
+from ..registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# D76: repetition / quality signals (Gopher-style rules)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d76_quality_repetition",
+    tags=("D76", "D69"),
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, lang,
+               len(toks) AS n_toks,
+               len(list_distinct(toks)) AS n_distinct,
+               list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+        FROM t
+        WHERE len(toks) >= 2
+    ),
+    bi AS (
+        SELECT doc_id, unnest(bigrams) AS gram FROM base
+    ),
+    top_bi AS (
+        SELECT doc_id, max(c) AS top_cnt
+        FROM (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY doc_id, gram)
+        GROUP BY doc_id
+    ),
+    per_doc AS (
+        SELECT b.lang,
+               1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_toks AS dup_tok_frac,
+               CAST(tb.top_cnt AS DOUBLE) / (b.n_toks - 1) AS top_bigram_frac
+        FROM base b JOIN top_bi tb USING (doc_id)
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           {sql_round("avg(dup_tok_frac)", 4)} AS avg_dup_tok_frac,
+           {sql_round("avg(top_bigram_frac)", 4)} AS avg_top_bigram_frac,
+           {sql_round("max(top_bigram_frac)", 4)} AS max_top_bigram_frac
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def d76_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals per document, rolled up per
+    language: duplicate-token fraction (1 - distinct/total) and the
+    most-frequent-bigram fraction — the Gopher-rules repetition family
+    (Rae et al. 2021, public). A pretraining filter drops documents
+    above thresholds; the rollup keeps the declared result small while
+    exercising the full per-doc computation.
+
+    Plan shape: tokenize + distinct-count are per-row expressions; the
+    top-bigram mode is one explode + two-level groupBy keyed on
+    (doc_id, gram) then doc_id — shuffles on the doc axis only, never
+    collects per-doc state to the driver."""
+    t = _docs(spark, sf_dir).withColumn("toks", F.split("text", " ")).filter(
+        F.size("toks") >= 2
+    )
+    base = t.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ).alias("bigrams"),
+    )
+    top_bi = (
+        base.select("doc_id", F.explode("bigrams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    per_doc = base.join(top_bi, "doc_id").select(
+        "lang",
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_toks")).alias(
+            "dup_tok_frac"
+        ),
+        (F.col("top_cnt").cast("double") / (F.col("n_toks") - 1)).alias(
+            "top_bigram_frac"
+        ),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pround(F.avg("dup_tok_frac"), 4).alias("avg_dup_tok_frac"),
+            pround(F.avg("top_bigram_frac"), 4).alias("avg_top_bigram_frac"),
+            pround(F.max("top_bigram_frac"), 4).alias("max_top_bigram_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D77: deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+_STRATA_RATES = {"en": 0.5, "zh": 0.3, "es": 0.3, "de": 0.3, "fr": 0.3}
+
+
+@query(
+    "d77_stratified_sample",
+    tags=("D77", "D40"),
+    oracle=f"""
+    WITH rates(lang, rate) AS (
+        VALUES ('en', 0.5), ('zh', 0.3), ('es', 0.3), ('de', 0.3), ('fr', 0.3)
+    ),
+    sampled AS (
+        SELECT d.lang
+        FROM documents d JOIN rates r USING (lang)
+        WHERE ({sql_hash_long("d.doc_id", "strat7|")} % 10000) < CAST(r.rate * 10000 AS BIGINT)
+    )
+    SELECT lang, count(*) AS n_sampled
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+)
+def d77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic hash sampling: each language keeps a
+    different fraction, decided by md5(doc_id) — reproducible across
+    engines, runs and cluster sizes (no RNG state, no per-partition
+    seed drift). This is how a curation pipeline downsamples dominant
+    languages/domains; the filter is a pure per-row predicate, so it
+    pushes into the scan stage and shuffles nothing."""
+    rates = F.create_map(
+        *[F.lit(x) for kv in _STRATA_RATES.items() for x in kv]
+    )
+    d = _docs(spark, sf_dir)
+    kept = d.filter(
+        (portable_hash_long("doc_id", "strat7|") % 10000)
+        < (rates[F.col("lang")] * 10000).cast("long")
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# D78: train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d78_train_val_test_split",
+    tags=("D78", "D40"),
+    oracle=f"""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN ({sql_hash_long("doc_id", "split1|")} % 10) < 8 THEN 'train'
+                    WHEN ({sql_hash_long("doc_id", "split1|")} % 10) = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, count(*) AS n
+    FROM assigned GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def d78_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by hashed doc_id. Hash-assignment
+    (not ordering or RNG) keeps membership stable when the corpus grows
+    — a re-run after appending new documents never moves an existing
+    document across splits, which is the property eval hygiene needs."""
+    b = portable_hash_long("doc_id", "split1|") % 10
+    assigned = _docs(spark, sf_dir).select(
+        "lang",
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split"),
+    )
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D79: benchmark-contamination screen (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d79_contamination_screen",
+    tags=("D79", "A66", "D17"),
+    oracle=f"""
+    WITH bench AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE source = 'src0'
+    ),
+    train AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        WHERE source <> 'src0'
+    ),
+    bench_grams AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram
+        FROM bench WHERE len(toks) >= 5
+    ),
+    train_grams AS (
+        SELECT doc_id, lang, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+        FROM train WHERE len(toks) >= 5
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id, t.lang
+        FROM train_grams t JOIN bench_grams b USING (gram)
+    )
+    SELECT t.lang,
+           count(DISTINCT t.doc_id) AS n_train_docs,
+           count(DISTINCT c.doc_id) AS n_contaminated
+    FROM train t LEFT JOIN contaminated c ON t.doc_id = c.doc_id AND t.lang = c.lang
+    GROUP BY t.lang ORDER BY t.lang
+    """,
+)
+def d79_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: a training document is flagged if
+    it shares ANY 5-gram with the held-out benchmark set (source
+    'src0' stands in for an eval suite). The standard decontamination
+    recipe (e.g. GPT-3 appendix C / open reproductions): exact n-gram
+    collision, not similarity.
+
+    Plan shape: both sides explode to distinct 5-grams; the collision
+    is a semi-join keyed on the gram — at 100 TB the benchmark side is
+    tiny (eval suites are MBs), so it broadcasts and the train side
+    never shuffles; here both sides are synthetic so the join key is
+    the gram hash either way."""
+    docs = _docs(spark, sf_dir)
+    bench = with_shingles(docs.filter(F.col("source") == "src0"), 5).select(
+        F.explode("shingles").alias("gram")
+    ).distinct()
+    train = docs.filter(F.col("source") != "src0")
+    train_grams = with_shingles(train, 5).select(
+        "doc_id", F.explode("shingles").alias("gram")
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(1))
+    )
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_train_docs"),
+            F.countDistinct(
+                F.when(F.col("is_contaminated") == 1, F.col("doc_id"))
+            ).alias("n_contaminated"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D80: sequence packing toward a token budget
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@query(
+    "d80_sequence_packing",
+    tags=("D80", "D35"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, n_toks,
+               CAST(floor((sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)
+                          / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id
+        FROM toks
+    )
+    SELECT lang,
+           count(DISTINCT seq_id) AS n_sequences,
+           {sql_round(f"avg(CAST(n_docs AS DOUBLE))", 3)} AS avg_docs_per_seq,
+           max(seq_tokens) AS max_seq_tokens
+    FROM (
+        SELECT lang, seq_id, count(*) AS n_docs, sum(n_toks) AS seq_tokens
+        FROM packed GROUP BY lang, seq_id
+    )
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def d80_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in stable doc_id order,
+    sharded by language) to training sequences by their starting offset
+    in the running token stream — seq_id = floor((cumsum - n_toks) /
+    budget). This is offset-based packing: deterministic, one window
+    pass, no greedy bin-packing loop; a document that straddles a
+    boundary belongs to the sequence where it starts (the tokenizer
+    truncates/continues downstream).
+
+    The window is PARTITIONED (by lang ≡ the shard key at scale) — a
+    global unsharded cumsum would serialize the corpus through one
+    partition, exactly the anti-pattern packing-by-shard avoids."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = toks.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / float(_PACK_BUDGET)),
+    )
+    per_seq = packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("seq_tokens")
+    )
+    return (
+        per_seq.groupBy("lang")
+        .agg(
+            F.countDistinct("seq_id").alias("n_sequences"),
+            pround(F.avg(F.col("n_docs").cast("double")), 3).alias("avg_docs_per_seq"),
+            F.max("seq_tokens").alias("max_seq_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D81: mixture rebalancing (downsample to the smallest stratum)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d81_mixture_rebalance",
+    tags=("D81", "D77"),
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    floorrate AS (
+        SELECT lang, n,
+               CAST((SELECT min(n) FROM counts) * 10000 / n AS BIGINT) AS rate_bp
+        FROM counts
+    ),
+    kept AS (
+        SELECT d.lang
+        FROM documents d JOIN floorrate r USING (lang)
+        WHERE ({sql_hash_long("d.doc_id", "mix3|")} % 10000) < r.rate_bp
+    )
+    SELECT f.lang, f.n AS n_before, count(k.lang) AS n_after
+    FROM floorrate f LEFT JOIN kept k ON f.lang = k.lang
+    GROUP BY f.lang, f.n ORDER BY f.lang
+    """,
+)
+def d81_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: compute per-language counts, derive the
+    hash-sampling rate that levels every language to (about) the
+    smallest one, apply it deterministically. Two-pass shape — a tiny
+    per-stratum aggregate (broadcast back) then a pure per-row filter;
+    at 100 TB the counts side is |languages| rows, so the rebalance
+    costs one scan plus one broadcast join, no repartition of the
+    corpus."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang", "n", (F.col("min_n") * 10000 / F.col("n")).cast("long").alias("rate_bp")
+    )
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .filter((portable_hash_long("doc_id", "mix3|") % 10000) < F.col("rate_bp"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        )
+        .orderBy("lang")
+    )

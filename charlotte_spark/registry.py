@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "charlotte_spark.queries.similarity",
     "charlotte_spark.queries.textstats",
     "charlotte_spark.queries.multimodal",
+    "charlotte_spark.queries.traindata",
     "charlotte_spark.queries.streaming_queries",
     "charlotte_spark.queries.charlotte_pipeline",
 )

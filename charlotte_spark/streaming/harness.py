@@ -127,17 +127,18 @@ def events_stream(
 
 
 def run_to_memory(
-    sdf: DataFrame, output_mode: str, state_partitions: int = 8
+    sdf: DataFrame, output_mode: str, state_partitions: int = 16
 ) -> DataFrame:
     """Run a streaming DF to completion into a memory sink; return the
     sink's contents as a batch DataFrame.
 
     ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
-    stream's lifetime (restored after): stateful operators pay a state
-    store open/commit per partition per micro-batch, so 32 partitions ×
-    8 batches of replay is pure overhead at test scale. The count is
-    locked into the checkpoint at first batch; on a real cluster size it
-    to the stateful key cardinality, not to this replay default."""
+    stream's lifetime (restored after). With the single-trigger replay
+    the commit-per-batch multiplier is gone, so the count is sized for
+    addBatch parallelism instead: 16 halves the session-window merge
+    vs 8 (measured at sf0.1) while keeping state-store commit fan-out
+    small. On a real cluster size it to the stateful key cardinality.
+    The count is locked into the checkpoint at first batch."""
     spark = sdf.sparkSession
     name = f"stream_sink_{next(_counter)}"
     ckpt = f"{STREAM_TMP}/ckpt_{name}_{os.getpid()}"
@@ -158,11 +159,13 @@ def run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table(name)
-    # Pin the sink rows into the returned plan, then release the temp
-    # view and the tmpfs checkpoint: a long session (full bench, pytest
-    # run) otherwise accumulates one memory-sink table + one RAM-backed
-    # checkpoint dir per streaming query.
-    rows = out.collect()
+    # Pin the sink rows to scratch parquet (one JVM-side write, no
+    # Python collect/re-parallelize round-trip — the sink can hold 100k
+    # rows), then release the temp view and the tmpfs checkpoint: a long
+    # session otherwise accumulates one memory-sink table + one
+    # RAM-backed checkpoint dir per streaming query.
+    rows_dir = f"{STREAM_TMP}/rows_{name}_{os.getpid()}"
+    out.coalesce(4).write.mode("overwrite").parquet(rows_dir)
     spark.catalog.dropTempView(name)
     shutil.rmtree(ckpt, ignore_errors=True)
-    return local_df(spark, rows, out.schema)
+    return spark.read.parquet(rows_dir)

@@ -68,3 +68,39 @@ def test_scan_prunes_columns_everywhere(audits):
         assert len(s["read_columns"]) <= 6, (
             f"scan of {s['path']} reads {len(s['read_columns'])} columns"
         )
+
+
+def test_no_localcheckpoint_or_single_partition_funnel_in_source():
+    """Cluster-hardening invariant (round-1 audit): shared intermediates
+    must use reliable_checkpoint (recomputable on executor loss), and no
+    query may funnel an unbounded input through coalesce(1). The only
+    allowed coalesce(1) sites are SnorbyDB's KB-sized dim/marker writes
+    (documented single-writer tier) and session.local_df's docstring."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "charlotte_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            code = line.split("#")[0]
+            if ".localCheckpoint(" in code and "``" not in code:
+                offenders.append(f"{p.name}:{i} localCheckpoint")
+            if re.search(r"\.coalesce\(1\)", code):
+                if p.name == "snorby.py":  # KB-bounded dim/marker writes
+                    continue
+                offenders.append(f"{p.name}:{i} coalesce(1)")
+    assert not offenders, offenders
+
+
+def test_cc_loop_has_no_unbounded_broadcast(spark, sf_dir):
+    """d74's label-propagation loop must not broadcast-hint the O(V)
+    labels side (executed plan may still broadcast via AQE when small —
+    that's fine; the *hint* would force it at any scale)."""
+    import inspect
+
+    from charlotte_spark.queries import dedup
+
+    src = inspect.getsource(dedup.d74_neardup_clusters)
+    assert "F.broadcast(" not in src

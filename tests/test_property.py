@@ -140,6 +140,10 @@ def test_dispatch_counts_match_decode(spark, mix_seed):
             "generator_id": [1] * len(frames),
             "classification_id": [1] * len(frames),
             "priority": [1] * len(frames),
+            "event_ip_src": ["10.0.0.1"] * len(frames),
+            "event_ip_dst": ["10.0.0.2"] * len(frames),
+            "mpls_label": [None] * len(frames),
+            "vlan_id": [None] * len(frames),
             "n_packets": [1] * len(frames),
             "n_extra": [0] * len(frames),
             "packet_pos": [0] * len(frames),
