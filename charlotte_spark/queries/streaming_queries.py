@@ -248,3 +248,134 @@ def d59_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "weighted",
     ).orderBy("event_type")
+
+
+@query(
+    "d82_custom_stateful_sessions",
+    tags=("D82", "D55", "D58"),
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 300000000
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def d82_custom_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user sessionization (5-minute gap) with an EVENT-TIME TIMEOUT
+    flushing open sessions once the watermark passes their close — the
+    arbitrary-state API the built-in session_window (D55) cannot
+    express variants of (per-key gap rules, session caps, custom
+    payloads). Oracle: the batch gaps-and-islands answer over the same
+    rows — stream-equals-batch for a hand-rolled stateful operator.
+
+    State per user is ONE open-session triple (start, last, count) —
+    bounded by key cardinality, not stream length; closed sessions are
+    emitted (append) and evicted. Per-batch work is vectorized numpy
+    (diff > gap → boundary indices), no per-row Python loop."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    GAP_US = 300_000_000  # 5 minutes
+
+    def _fmt(us: int) -> str:
+        return pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+
+    def sessionize(key, pdfs, state: GroupState):
+        user_id = key[0]
+        if state.hasTimedOut:
+            start, last, cnt = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "session_start": [_fmt(start)], "n_events": [cnt]}
+            )
+            return
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        ts = np.sort(
+            np.concatenate(
+                [p["ts"].to_numpy().astype("datetime64[us]").astype("int64") for p in parts]
+            )
+        )
+        closed: list[tuple[int, int]] = []  # (start, n)
+        if state.exists:
+            start, last, cnt = state.get
+            if ts[0] - last <= GAP_US:
+                pass  # continues the open session
+            else:
+                closed.append((start, cnt))
+                start, cnt = ts[0], 0
+        else:
+            start, cnt = int(ts[0]), 0
+        # boundary where the gap exceeds GAP_US; segments between
+        bounds = np.where(np.diff(ts) > GAP_US)[0] + 1
+        segs = np.split(ts, bounds)
+        # first segment extends the open session
+        cnt += len(segs[0])
+        last = int(segs[0][-1])
+        for seg in segs[1:]:
+            closed.append((start, cnt))
+            start, cnt, last = int(seg[0]), len(seg), int(seg[-1])
+        state.update((int(start), int(last), int(cnt)))
+        # flush the open session when the watermark passes last + gap
+        state.setTimeoutTimestamp(last // 1000 + GAP_US // 1000 + 1)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [_fmt(s) for s, _ in closed],
+                    "n_events": [n for _, n in closed],
+                }
+            )
+
+    s = _replay(spark, sf_dir)
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", StringType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start", LongType()),
+            StructField("last", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    # NOTE: no pre-groupBy filter on event_id — Catalyst pushes such a
+    # filter below the watermark node into the parquet source, so the
+    # sentinel row would be dropped before it can advance the watermark
+    # and no timeout would ever fire. The sentinel's own group
+    # (user_id = -1) is excluded from the result after the sink instead.
+    sessions = (
+        s.withWatermark("ts", "40 days")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    out = run_to_memory(sessions, "append")
+    return out.filter(F.col("user_id") >= 0).orderBy("user_id", "session_start")
