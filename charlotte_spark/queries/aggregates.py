@@ -402,3 +402,51 @@ def d32x_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(pround(F.expr("percentile(value, 0.5)"), 4).alias("median_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "a83_hll_sketch_union",
+    tags=("A83", "A31"),
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+           1 AS within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a83_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct sketches (Apache DataSketches HLL): build one
+    sketch per (returnflag, linestatus) subgroup, then UNION the binary
+    sketches per returnflag and estimate. This two-level shape is the
+    100 TB architecture for distinct counts — per-partition/per-shard
+    sketches are tiny (KBs), union is associative, and no raw keys ever
+    re-shuffle; the same sketches could be persisted and merged across
+    days. Checked like a31: the estimate must land within 5% of the
+    exact count (within_bound=1) while the exact count hash-matches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.countDistinct("l_orderkey").alias("sub_exact"),
+    )
+    merged = partial.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    return (
+        merged.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                (F.abs(F.col("est") - F.col("exact_orders")) / F.col("exact_orders"))
+                < 0.05
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+        .orderBy("l_returnflag")
+    )

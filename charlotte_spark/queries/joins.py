@@ -365,3 +365,64 @@ def d23_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_id", "next_id")
     )
+
+
+@query(
+    "d84_bucketed_colocated_join",
+    tags=("D84", "D14"),
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n,
+           {sql_round("sum(l.l_extendedprice)", 2)} AS total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def d84_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join: both tables are written
+    bucketed (8 buckets) and sorted on the join key, so the sort-merge
+    join reads bucket i against bucket i with NO exchange and NO sort —
+    the layout investment that turns every future orderkey join into a
+    scan-side operation. At 100 TB this is how a fact table that joins
+    repeatedly on the same key amortizes its shuffle: pay it once at
+    write time (bucketBy), never at query time. The plan invariant
+    (no Exchange under the join) is asserted in tests/test_plans.py."""
+    import hashlib
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # table names carry the sf_dir fingerprint: one session may serve
+    # several scale factors (tests at sf0.01, bench at sf0.1) and a
+    # name-only cache would silently join stale data
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = (f"b_orders_{sfx}", f"b_lineitem_{sfx}")
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name, df, key in zip(names, (o, li), ("o_orderkey", "l_orderkey")):
+        if not spark.catalog.tableExists(name):
+            # a previous process may have left the data dir without the
+            # (in-memory) catalog entry — clear it or saveAsTable errors
+            # with LOCATION_ALREADY_EXISTS
+            shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+            (
+                df.write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+    bo, bl = spark.table(names[0]), spark.table(names[1])
+    # merge hint: at test scale AQE would broadcast the small side and
+    # never touch the bucket layout; the point of this operator is the
+    # shuffle-free sort-merge path both tables were laid out for
+    return (
+        bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

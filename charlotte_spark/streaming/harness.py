@@ -77,22 +77,41 @@ def events_chunk_dir(
         chunks = chunks[::2] + chunks[1::2]
     if sentinel_ts is not None:
         import datetime as _dt
+        from pyspark.sql import Row
 
-        sentinel = [
-            (
-                -1,
-                _dt.datetime.strptime(sentinel_ts, "%Y-%m-%d %H:%M:%S"),
-                -1,
-                "__sentinel__",
-                0.0,
-                "{}",
-            )
-        ]
-        chunks.append(sentinel)
-    for i, rows in enumerate(chunks):
-        local_df(spark, rows, EVENTS).write.mode("overwrite").parquet(
-            f"{out}/chunk={i:03d}"
+        sentinel = Row(
+            event_id=-1,
+            ts=_dt.datetime.strptime(sentinel_ts, "%Y-%m-%d %H:%M:%S"),
+            user_id=-1,
+            event_type="__sentinel__",
+            value=0.0,
+            props="{}",
         )
+        chunks.append([sentinel])
+    # direct pyarrow writes: one driver-side pass, no Spark job per chunk
+    # (the rows are already collected; this is test-harness scaffolding,
+    # not a production path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("event_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("user_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("value", pa.float64()),
+            pa.field("props", pa.string()),
+        ]
+    )
+    cols = [f.name for f in schema]
+    for i, rows in enumerate(chunks):
+        cdir = f"{out}/chunk={i:03d}"
+        os.makedirs(cdir, exist_ok=True)
+        table = pa.Table.from_pydict(
+            {c: [r[c] for r in rows] for c in cols}, schema=schema
+        )
+        pq.write_table(table, f"{cdir}/part-0.parquet")
     with open(marker, "w") as f:
         f.write("ok")
     return out

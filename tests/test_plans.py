@@ -104,3 +104,17 @@ def test_cc_loop_has_no_unbounded_broadcast(spark, sf_dir):
 
     src = inspect.getsource(dedup.d74_neardup_clusters)
     assert "F.broadcast(" not in src
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """d84: the bucket layout must make the orderkey sort-merge join
+    exchange-free — a plan regression here means every future orderkey
+    join pays the shuffle the bucketing was supposed to amortize."""
+    df = REG["d84_bucketed_colocated_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    smj_idx = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    below = "\n".join(lines[smj_idx:])
+    assert "Exchange hashpartitioning(o_orderkey" not in below
+    assert "Exchange hashpartitioning(l_orderkey" not in below
+    assert "Bucketed: true" in below
