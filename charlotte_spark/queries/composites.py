@@ -636,3 +636,337 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numcust"), pround(F.sum("c_acctbal"), 2).alias("totacctbal"))
         .orderBy("nationkey")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    tags=("D14", "D15", "D24", "D37", "D39"),
+    oracle=f"""
+    WITH supply AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               {sql_round("min(l_extendedprice / l_quantity)", 4)} AS unit_cost
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+        SELECT sp.pk, sp.unit_cost, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supply sp
+        JOIN supplier s ON sp.sk = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+    ),
+    min_cost AS (SELECT pk, min(unit_cost) AS mc FROM eligible GROUP BY pk)
+    SELECT e.s_acctbal AS acctbal, e.s_name AS sname, e.n_name AS nname,
+           p.p_partkey AS partkey, p.p_name AS pname, e.unit_cost AS unit_cost
+    FROM eligible e
+    JOIN min_cost m ON e.pk = m.pk AND e.unit_cost = m.mc
+    JOIN part p ON p.p_partkey = e.pk
+    WHERE p.p_size = 15
+    ORDER BY acctbal DESC, nname, sname, partkey
+    LIMIT 20
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to the schema (no partsupp table): the
+    per-(part, supplier) min unit price from lineitem stands in for
+    ps_supplycost; the correlated min-cost subquery becomes a grouped
+    min joined back on (part, rounded cost) — the standard decorrelation
+    Catalyst itself applies to scalar subqueries. Unit cost is rounded
+    BEFORE the min/equality so both engines pick identical winners."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    supply = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(pround(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    eligible = (
+        supply.join(F.broadcast(s), supply.sk == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("pk", "unit_cost", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    min_cost = eligible.groupBy("pk").agg(F.min("unit_cost").alias("mc"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    return (
+        eligible.join(min_cost, ["pk"])
+        .filter(F.col("unit_cost") == F.col("mc"))
+        .join(F.broadcast(p), F.col("pk") == F.col("p_partkey"))
+        .select(
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("s_name").alias("sname"),
+            F.col("n_name").alias("nname"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("pname"),
+            "unit_cost",
+        )
+        .orderBy(F.desc("acctbal"), "nname", "sname", "partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    tags=("D14", "D24", "D44", "D45"),
+    oracle=f"""
+    SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+           {sql_round("sum(l.l_extendedprice * (1 - l.l_discount) - 0.1 * p.p_retailprice * l.l_quantity)", 2)} AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, year(l.l_shipdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by nation and year); ps_supplycost is
+    proxied by 10% of p_retailprice (no partsupp in the schema)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(pround(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    tags=("D14", "D24", "D25", "D9"),
+    oracle=f"""
+    WITH nat_value AS (
+        SELECT l.l_partkey AS partkey,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7'
+        GROUP BY l.l_partkey
+    )
+    SELECT partkey, {sql_round("value", 2)} AS value
+    FROM nat_value
+    WHERE value > (SELECT sum(value) * 0.005 FROM nat_value)
+    ORDER BY value DESC, partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part traded value within one nation,
+    keeping parts above a fraction of the nation's total — the
+    global-total scalar is a 1-row aggregate broadcast back (same
+    no-single-partition-window pattern as q15)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_value = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    total = nat_value.agg((F.sum("value") * 0.005).alias("threshold"))
+    return (
+        nat_value.join(F.broadcast(total), F.col("value") > F.col("threshold"))
+        .select("partkey", pround("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    tags=("D14", "D28", "D45"),
+    oracle="""
+    SELECT CASE WHEN l.l_tax >= 0.04 THEN 'HIGHTAX' ELSE 'LOWTAX' END AS ship_bucket,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    ORDER BY ship_bucket
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority counts over late shipments); the
+    schema has no l_shipmode/l_receiptdate, so the mode becomes a
+    deterministic tax bucket and 'late' means shipped >60 days after
+    the order date."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+        .groupBy(
+            F.when(F.col("l_tax") >= 0.04, "HIGHTAX").otherwise("LOWTAX").alias("ship_bucket")
+        )
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@query(
+    "q16_supplier_part_count",
+    tags=("D14", "D18", "D26", "D11"),
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS psize,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, brand, type, psize
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per part attribute group,
+    excluding a supplier blocklist (negative balance stands in for the
+    'complaints' comment filter; the NOT IN becomes a left-anti join)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2") & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("psize"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "type", "psize")
+    )
+
+
+@query(
+    "q20_part_promotion",
+    tags=("D14", "D17", "D24", "D12"),
+    oracle="""
+    WITH red_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    shipped AS (
+        SELECT l.l_suppkey AS sk, sum(l.l_quantity) AS qty
+        FROM lineitem l JOIN red_parts rp ON rp.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey
+        HAVING sum(l.l_quantity) > 50
+    )
+    SELECT s.s_name AS sname, CAST(s.s_acctbal AS DOUBLE) AS acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT sk FROM shipped)
+    ORDER BY sname
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved enough of the promoted
+    ('red') parts in 1996 — the IN-subquery chain becomes a grouped
+    HAVING feeding a left-semi join."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(shipped), s.s_suppkey == shipped.sk, "left_semi")
+        .select(F.col("s_name").alias("sname"), F.col("s_acctbal").cast("double").alias("acctbal"))
+        .orderBy("sname")
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    tags=("D14", "D17", "D18", "D23"),
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ),
+    all_f AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name AS sname, count(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM all_f l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, sname
+    LIMIT 25
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finalized multi-supplier order ('late' = shipped >90 days after the
+    order date; no l_receiptdate/l_commitdate in the schema). The
+    EXISTS becomes a left-semi self-join on (order, other-supplier) and
+    the NOT EXISTS a left-anti — the non-trivial part is that both
+    probe the SAME relation the outer query scans (D23 self-join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    late = (
+        base.filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_f = base.select("l_orderkey", "l_suppkey").distinct()
+    l2 = all_f.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    sole_late = (
+        late.join(
+            l2, (late.l_orderkey == l2.o2) & (late.l_suppkey != l2.s2), "left_semi"
+        )
+        .join(l3, (late.l_orderkey == l3.o3) & (late.l_suppkey != l3.s3), "left_anti")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("sname"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "sname")
+        .limit(25)
+    )
