@@ -56,3 +56,79 @@ def d72_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decoded = decode_image_batch(d, "doc_id", "blob")
     return decoded.orderBy("doc_id")
+
+
+@query(
+    "d85_frame_sampling",
+    tags=("D85", "D72", "D61"),
+    oracle="""
+    WITH ascii_docs AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS blen
+        FROM documents
+        WHERE length(text) = octet_length(encode(text))
+    ),
+    framed AS (
+        SELECT doc_id, blen,
+               CAST((blen + 63) // 64 AS BIGINT) AS n_frames
+        FROM ascii_docs
+    )
+    SELECT f.doc_id,
+           f.n_frames,
+           CAST((f.n_frames + 3) // 4 AS BIGINT) AS n_sampled,
+           md5(substring(a.text, 1, 64)) AS first_frame_md5,
+           CAST(CASE WHEN (f.n_frames - 1) % 4 = 0
+                THEN 64 * ((f.n_frames + 3) // 4 - 1) + (f.blen - 64 * (f.n_frames - 1))
+                ELSE 64 * ((f.n_frames + 3) // 4) END AS BIGINT) AS sampled_bytes
+    FROM framed f JOIN ascii_docs a USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def d85_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media blobs: treat each blob as a
+    fixed-frame 'video' (64-byte frames — a deterministic stand-in for
+    a real codec's frame boundaries, since the container has no media
+    libs), keep every 4th frame, report per-doc frame counts, sampled
+    byte volume and the first sampled frame's fingerprint.
+
+    The Spark side is the REAL multimodal plumbing — Arrow-batched
+    mapInPandas over binary columns, one pass, no shuffle, schema'd
+    output — with the codec swapped for byte-slicing. The oracle
+    replicates the frame math in SQL over ascii-only docs (DuckDB can't
+    slice BLOBs, so the corpus is restricted to rows where char length
+    equals byte length and VARCHAR slicing is byte slicing)."""
+    import hashlib
+
+    import pandas as pd
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") == F.octet_length("text"))
+        .select("doc_id", F.col("text").cast("binary").alias("blob"))
+    )
+
+    def sample_frames(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                frames = [b[i : i + 64] for i in range(0, len(b), 64)]
+                sampled = frames[::4]
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(frames),
+                        len(sampled),
+                        hashlib.md5(sampled[0]).hexdigest() if sampled else None,
+                        sum(len(fr) for fr in sampled),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "n_sampled", "first_frame_md5", "sampled_bytes"],
+            )
+
+    out_schema = (
+        "doc_id bigint, n_frames bigint, n_sampled bigint, "
+        "first_frame_md5 string, sampled_bytes bigint"
+    )
+    return d.mapInPandas(sample_frames, out_schema).orderBy("doc_id")

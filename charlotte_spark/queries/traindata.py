@@ -23,9 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..functions.portable import portable_hash_long, pround, sql_hash_long, sql_round
-from ..functions.shingles import with_shingles
+from ..functions.shingles import explode_shingles
 from ..registry import query
 
 
@@ -90,7 +90,7 @@ def d76_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-bigram mode is one explode + two-level groupBy keyed on
     (doc_id, gram) then doc_id — shuffles on the doc axis only, never
     collects per-doc state to the driver."""
-    t = _docs(spark, sf_dir).withColumn("toks", F.split("text", " ")).filter(
+    t = fan_out(_docs(spark, sf_dir)).withColumn("toks", F.split("text", " ")).filter(
         F.size("toks") >= 2
     )
     base = t.select(
@@ -261,14 +261,16 @@ def d79_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny (eval suites are MBs), so it broadcasts and the train side
     never shuffles; here both sides are synthetic so the join key is
     the gram hash either way."""
-    docs = _docs(spark, sf_dir)
-    bench = with_shingles(docs.filter(F.col("source") == "src0"), 5).select(
-        F.explode("shingles").alias("gram")
-    ).distinct()
-    train = docs.filter(F.col("source") != "src0")
-    train_grams = with_shingles(train, 5).select(
-        "doc_id", F.explode("shingles").alias("gram")
+    # the test corpus is one parquet row group = one scan task; shingling
+    # is the compute-heavy stage, so spread it (at 100 TB the scan has
+    # thousands of natural splits and fan_out is a no-op by design)
+    docs = fan_out(_docs(spark, sf_dir))
+    bench = (
+        explode_shingles(docs.filter(F.col("source") == "src0"), 5, keep=())
+        .distinct()
     )
+    train = docs.filter(F.col("source") != "src0")
+    train_grams = explode_shingles(train, 5)
     contaminated = (
         train_grams.join(F.broadcast(bench), "gram", "left_semi")
         .select("doc_id")
