@@ -120,3 +120,97 @@ def d6_file_stream_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("n"), F.countDistinct("user_id").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+_DERBY = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _derby_url(tag: str, sf_dir: str) -> str:
+    import hashlib
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"jdbc:derby:memory:{tag}_{sfx};create=true"
+
+
+@query(
+    "d3_jdbc_scan",
+    tags=("D3", "R21"),
+    oracle=f"""
+    SELECT o_orderstatus AS status, count(*) AS n,
+           {sql_round("sum(o_totalprice)", 2)} AS total
+    FROM orders
+    WHERE o_orderkey < 5000
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def d3_jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC scan against a REAL database (embedded Apache Derby — the
+    DBMS Spark ships for its metastore): seed the table over JDBC, then
+    read it back with a predicate-partitioned scan — four predicates →
+    four parallel partitions, each executor opening its own connection,
+    the D3 scale shape. The aggregate runs on the Spark side, so the
+    oracle comparison checks the whole scan→compute path, including the
+    dialect's type round-trip (DECIMAL/VARCHAR/TIMESTAMP)."""
+    from ..sinks.jdbc import read_jdbc
+
+    url = _derby_url("d3", sf_dir)
+    src = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    src.select("o_orderkey", "o_orderstatus", "o_totalprice").write.jdbc(
+        url, "orders_jdbc", mode="overwrite", properties=_DERBY
+    )
+    bounds = [0, 1250, 2500, 3750]
+    # Spark creates the table with quoted (case-exact) identifiers, so
+    # the pushed predicates must quote them too or Derby uppercases
+    preds = [
+        f'"o_orderkey" >= {lo} AND "o_orderkey" < {hi}'
+        for lo, hi in zip(bounds, bounds[1:] + [5000])
+    ]
+    back = read_jdbc(spark, url, "orders_jdbc", properties=_DERBY, predicates=preds)
+    return (
+        back.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"), pround(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("status")
+    )
+
+
+@query(
+    "d5_jdbc_sink",
+    tags=("D5", "R21"),
+    oracle=f"""
+    SELECT o_orderpriority AS priority, count(*) AS n,
+           {sql_round("sum(o_totalprice)", 2)} AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def d5_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC append sink against embedded Derby with bounded connection
+    fan-in (repartition(2) → two writer connections) and retry/backoff
+    — R21's semantics over a real driver. The sink table is fresh per
+    invocation; reading it back and re-aggregating proves the batched
+    INSERT path round-trips every row."""
+    import itertools
+
+    from ..sinks.jdbc import write_jdbc_append
+
+    if not hasattr(d5_jdbc_sink, "_counter"):
+        d5_jdbc_sink._counter = itertools.count()
+    url = _derby_url("d5", sf_dir)
+    table = f"sink_{next(d5_jdbc_sink._counter)}_{os.getpid()}"
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n"), pround(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    write_jdbc_append(agg, url, table, properties=_DERBY, batchsize=1000, num_partitions=2)
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", _DERBY["driver"])
+        .load()
+        .select("priority", "n", "total")
+        .orderBy("priority")
+    )

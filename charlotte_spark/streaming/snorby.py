@@ -69,15 +69,20 @@ def _pa_schema(schema: str):
     return pa.schema(fields)
 
 
-def with_retry(fn, max_tries: int = 8, base_sleep: float = 1.0):
+def with_retry(fn, max_tries: int = 8, base_sleep: float = 1.0, fatal=None):
     """R21: exponential backoff (1,2,4,... s) around a sink write.
     The reference retries forever (:393-397); we cap so tests terminate,
-    and bubble the last error."""
+    and bubble the last error. ``fatal(e) -> bool`` short-circuits
+    errors that no amount of retrying fixes (missing table, SQL syntax)
+    — retrying those burns the full backoff budget (127 s at defaults)
+    before the caller's absent-table handling can run."""
     last = None
     for attempt in range(max_tries):
         try:
             return fn()
         except Exception as e:  # noqa: BLE001 — sink errors are env-specific
+            if fatal is not None and fatal(e):
+                raise
             last = e
             time.sleep(base_sleep * (2**attempt))
     raise last
