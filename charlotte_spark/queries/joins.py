@@ -426,3 +426,55 @@ def d84_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "d87_salted_skew_join",
+    tags=("D87", "D14", "D24"),
+    oracle=f"""
+    WITH weights(event_type, weight) AS (
+        VALUES ('click', CAST(1.0 AS DOUBLE)), ('view', CAST(0.5 AS DOUBLE)),
+               ('purchase', CAST(5.0 AS DOUBLE)), ('signup', CAST(3.0 AS DOUBLE)),
+               ('error', CAST(0.0 AS DOUBLE))
+    )
+    SELECT e.event_type, count(*) AS n,
+           {sql_round("sum(e.value * w.weight)", 2)} AS weighted
+    FROM events e JOIN weights w USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def d87_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: the events⋈weights key has 5 values over 100k
+    rows — a shuffle join would land each key on ONE reducer (worst
+    task = 1/5 of the table). Salting replicates the build side x8
+    (explode a salt sequence) and tags each probe row with
+    event_id % 8, so the join key becomes (event_type, salt) and every
+    hot key spreads over 8 partitions. The salt never reaches the
+    result — it aggregates out — so the oracle is the plain join.
+
+    At test scale AQE would simply broadcast the 5-row dim (and its
+    skew-join splitting handles moderate skew automatically); the salt
+    is the technique for the case neither handles — a build side too
+    big to broadcast joined on a power-law key. The mechanics here are
+    the real ones: deterministic salt, replicated build, exact result."""
+    events = load_table(spark, sf_dir, "events")
+    dim = local_df(
+        spark,
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0), ("signup", 3.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    n_salt = 8
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    fact = events.withColumn("salt", (F.col("event_id") % n_salt).cast("int"))
+    return (
+        fact.join(salted_dim, ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted"),
+        )
+        .orderBy("event_type")
+    )

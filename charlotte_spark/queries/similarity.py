@@ -18,6 +18,8 @@ cosine ≥ 0.9999.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -403,3 +405,125 @@ def d75_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("qv", lambda x: F.abs(x) == 127)).alias("n_saturated"),
         pround("raw_err", 6).alias("max_abs_err"),
     ).orderBy("vec_id")
+
+
+_KM_K = 4
+_KM_ITERS = 3
+
+
+def _km_oracle() -> str:
+    """Generate the 3-iteration Lloyd's CTE chain: assignment by
+    squared-distance argmin (dot(c,c) - 2*dot(a,c); the |a|^2 term is
+    constant per vector), centroid update by per-dimension mean."""
+    dv = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    sql = f"""
+    WITH vecs AS (
+        SELECT vec_id, {dv} AS v FROM embeddings
+    ),
+    cent0 AS (
+        SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < {_KM_K}
+    )"""
+    prev = "cent0"
+    for it in range(1, _KM_ITERS + 1):
+        sql += f""",
+    scored{it} AS (
+        SELECT vecs.vec_id, vecs.v, {prev}.cid,
+               list_dot_product({prev}.c, {prev}.c) - 2 * list_dot_product(vecs.v, {prev}.c) AS d
+        FROM vecs CROSS JOIN {prev}
+    ),
+    asg{it} AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+            FROM scored{it}
+        ) WHERE rk = 1
+    ),
+    cent{it} AS (
+        SELECT cid, list(m ORDER BY pos) AS c FROM (
+            SELECT a.cid, t.i AS pos, avg(a.v[t.i]) AS m
+            FROM asg{it} a, range(1, 65) t(i)
+            GROUP BY a.cid, t.i
+        ) GROUP BY cid
+    )"""
+        prev = f"cent{it}"
+    sql += f"""
+    SELECT a.cid AS cluster_id,
+           count(*) AS n_members,
+           {sql_round("any_value(sqrt(list_dot_product(c.c, c.c)))", 4)} AS centroid_norm
+    FROM asg{_KM_ITERS} a JOIN cent{_KM_ITERS} c USING (cid)
+    GROUP BY a.cid
+    ORDER BY cluster_id
+    """
+    return sql
+
+
+@query("d86_kmeans", tags=("D86", "D67"), oracle=_km_oracle())
+def d86_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's, k=4, 3 fixed iterations,
+    deterministic init = the first k vectors) — the iterative-algorithm
+    shape: per-iteration work is ONE narrow projection (distances to k
+    broadcast-literal centroids, JVM higher-order folds) plus ONE
+    shuffle (per-dimension mean via posexplode + groupBy), and only the
+    k x 64 centroid matrix ever reaches the driver. The oracle replays
+    the identical 3 iterations as a DuckDB CTE chain; both engines use
+    the same sequential-fold dot products in DOUBLE so assignment
+    argmins agree bit-for-bit at the synthetic clusters' margins.
+
+    At 100 TB: the corpus stays partitioned and is re-scanned per
+    iteration (persist() it on a real cluster); centroids are KBs
+    regardless of corpus size, so driver traffic is O(k*dim*iters)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    emb = emb.persist()
+    centroids = [
+        (r["vec_id"], r["v"])
+        for r in emb.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    ]
+
+    def dot_lit(c: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with("v", arr, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    asg = None
+    for _ in range(_KM_ITERS):
+        dists = [
+            (cid, float(sum(x * x for x in c)), dot_lit(c)) for cid, c in centroids
+        ]
+        # argmin over k (dist, cid) structs — least() on structs orders
+        # lexicographically, ties broken by cid exactly like the oracle
+        best = F.least(
+            *[
+                F.struct((F.lit(cc) - 2.0 * d).alias("d"), F.lit(cid).alias("cid"))
+                for cid, cc, d in dists
+            ]
+        )
+        asg = emb.select("vec_id", "v", best.getField("cid").alias("cid"))
+        new_cent = (
+            asg.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.col("pm.m").alias("c"))
+        )
+        centroids = sorted(
+            ((r["cid"], list(r["c"])) for r in new_cent.collect()), key=lambda t: t[0]
+        )
+    def round_half_up(x: float, n: int) -> float:
+        scale = float(10**n)
+        return math.floor(x * scale + 0.5) / scale
+
+    norms = {cid: round_half_up(math.sqrt(sum(x * x for x in c)), 4) for cid, c in centroids}
+    emb.unpersist()
+    norm_col = F.create_map(
+        *[F.lit(x) for cid in norms for x in (cid, norms[cid])]
+    )
+    return (
+        asg.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .withColumn("centroid_norm", norm_col[F.col("cluster_id")])
+        .orderBy("cluster_id")
+    )
