@@ -38,6 +38,9 @@ HEADLINE = [
     "d33_ranking_functions",
     "d68_topk_bruteforce",
     "a66_minhash_lsh_neardup",
+    "d79_contamination_screen",
+    "d84_bucketed_colocated_join",
+    "d86_kmeans",
 ]
 
 

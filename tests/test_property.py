@@ -194,3 +194,56 @@ def test_enrich_default_fabrication(spark, miss_rate):
         else:
             assert r["sig_priority"] == 1 and r["sig_msg"].startswith("sig ")
         assert r["class_name"] == "known-class"  # classification_id=1 hits
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation invariants (D77/D78/D80)
+# ---------------------------------------------------------------------------
+
+
+def test_split_assignment_is_append_stable(spark, sf_dir):
+    """D78: hash-splitting must not move existing documents when the
+    corpus grows — assignment depends only on doc_id, so the split of
+    any subset equals its restriction from the full corpus."""
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.functions.portable import portable_hash_long
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = portable_hash_long("doc_id", "split1|") % 10
+    split = F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+    full = {r["doc_id"]: r["s"] for r in docs.select("doc_id", split.alias("s")).collect()}
+    subset = docs.filter(F.col("doc_id") % 3 == 0)
+    sub = {r["doc_id"]: r["s"] for r in subset.select("doc_id", split.alias("s")).collect()}
+    assert sub == {k: v for k, v in full.items() if k % 3 == 0}
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """D80: every document lands in exactly one sequence; sequences are
+    dense per shard; a sequence's starting offset is below the budget
+    boundary it was assigned to (offset-based packing contract)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    budget = 512
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks"))
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = toks.withColumn("cum", F.sum("n_toks").over(w)).withColumn(
+        "seq_id", F.floor((F.col("cum") - F.col("n_toks")) / float(budget))
+    )
+    rows = packed.collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)  # one row per doc
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        seqs = sorted({r["seq_id"] for r in rs})
+        assert seqs == list(range(len(seqs))), f"{lang}: sequence ids not dense"
+        for r in rs:
+            start_offset = r["cum"] - r["n_toks"]
+            assert r["seq_id"] == start_offset // budget
