@@ -38,3 +38,16 @@ def test_rows_only(q, spark, sf_dir):
     df = q.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_decimal_output_fails_locally(spark, duck):
+    """Round-1 regression guard: the local harness must be at least as
+    strict as the driver's hash — a Spark DECIMAL output vs a DOUBLE
+    oracle is a representation mismatch even when numerically equal
+    (it cost us d27 in round 1 while the old canon() coerced
+    Decimal→float and passed)."""
+    import pytest
+
+    df = spark.sql("SELECT CAST(1.5 AS DECIMAL(5,2)) AS x")
+    with pytest.raises(AssertionError, match="value mismatch"):
+        assert_oracle_match(df, duck, "SELECT CAST(1.5 AS DOUBLE) AS x", "decimal_guard")
