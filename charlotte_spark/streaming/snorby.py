@@ -345,6 +345,26 @@ def apply_batch(
     if batch_id in db.applied_batches():
         return  # idempotent replay after restart
 
+    # The ~20 jobs in this body all operate on one micro-batch (KBs-MBs
+    # of dims + the batch's facts); in a session tuned for analytic scans
+    # (e.g. 200 shuffle partitions) every tiny job would spawn hundreds
+    # of near-empty tasks. Pin a batch-appropriate count for the body.
+    # At 100 TB per-batch this constant is sized to batch volume instead.
+    spark = enriched.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev_parts), 16)))
+    try:
+        _apply_batch_body(db, enriched, batch_id)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _apply_batch_body(
+    db: SnorbyDB,
+    enriched: DataFrame,
+    batch_id: int,
+) -> None:
+
     # persist, not checkpoint: the batch feeds ~10 downstream jobs, but
     # its lineage is one micro-batch deep and the source is replayable,
     # so cached blocks + retained lineage are already fault-tolerant —
