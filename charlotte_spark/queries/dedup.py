@@ -575,13 +575,26 @@ def d74_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # LSH-bucketed dup components are stars/triangles around the
-    # original doc, so two propagation rounds — composed into ONE plan,
-    # materialized by a single eager checkpoint — reach the fixpoint in
-    # the common case. The fixpoint test is exact (no edge joins two
-    # different labels) and costs one cheap job over the checkpointed
-    # labels; only genuinely deeper chains pay extra rounds.
-    labels = reliable_checkpoint(_propagate(_propagate(labels)))
-    for _ in range(10):
+    # original doc, so two propagation rounds — composed into ONE plan —
+    # reach the fixpoint in the common case. The fixpoint test is exact
+    # (no edge joins two different labels) and costs one cheap job over
+    # the persisted labels; only genuinely deeper chains pay extra
+    # rounds. Checkpoint INTERVAL pattern: per-round materialization is
+    # persist() (recomputable — lineage stays ≤ interval·2 joins deep);
+    # a reliable checkpoint truncates lineage every 3rd round so a
+    # diameter-d chain never accumulates an O(d) plan.
+    from pyspark.storagelevel import StorageLevel
+
+    def _pin(df: DataFrame, round_no: int) -> DataFrame:
+        if round_no % 3 == 2:
+            return reliable_checkpoint(df)
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        return out
+
+    pinned = [_pin(_propagate(_propagate(labels)), 0)]
+    labels = pinned[-1]
+    for rnd in range(1, 11):
         l_src = labels.select(F.col("id").alias("src"), F.col("lbl").alias("lbl_src"))
         l_dst = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("lbl_dst"))
         viol = (
@@ -592,10 +605,25 @@ def d74_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if viol == 0:
             break
-        labels = reliable_checkpoint(_propagate(labels))
+        pinned.append(_pin(_propagate(labels), rnd))
+        labels = pinned[-1]
+    # materialize the result THROUGH the final plan before releasing the
+    # pinned rounds — JVM-side scratch write, never a driver collect
+    # (the label table is O(docs in dup clusters))
+    import os as _os
 
-    return labels.select(
+    from ..streaming.harness import _scratch_root
+
+    result = labels.select(
         F.col("id").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),
         (F.col("id") == F.col("lbl")).cast("int").alias("is_survivor"),
-    ).orderBy("cluster_id", "doc_id")
+    )
+    out_dir = f"{_scratch_root('CHARLOTTE_CC_TMP', 'charlotte_cc')}/labels_{_os.getpid()}"
+    result.write.mode("overwrite").parquet(out_dir)
+    for df in pinned:
+        df.unpersist()
+    spark = labels.sparkSession
+    return spark.read.parquet(out_dir).orderBy("cluster_id", "doc_id")
+
+
