@@ -110,7 +110,22 @@ def run(config: dict, test_mode: bool, follow: bool, spark: SparkSession | None 
     spark = spark or get_spark("charlotte")
     alerts = read_spools(spark, config["spools"], streaming=True)
 
-    ckpt = config.get("global", {}).get("checkpoint_dir") or "/tmp/charlotte_cli_ckpt"
+    # Default checkpoint dir is keyed by (config content, mode): a fixed
+    # shared path would make test mode and sink mode (or two differently
+    # configured runs) share source offsets, silently draining nothing on
+    # the second run — the reference daemon's test mode never consumes
+    # spool position (ADVICE r02).
+    import hashlib as _hashlib
+    import json as _json
+
+    _cfg_key = _hashlib.md5(
+        (_json.dumps(config, sort_keys=True, default=str)
+         + f"|mode={'test' if test_mode else 'sink'}").encode()
+    ).hexdigest()[:12]
+    ckpt = (
+        config.get("global", {}).get("checkpoint_dir")
+        or f"/tmp/charlotte_cli_ckpt_{_cfg_key}"
+    )
 
     if test_mode:
         # R22: per-batch map reload (R15) + formatted console lines.

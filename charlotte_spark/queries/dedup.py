@@ -569,17 +569,31 @@ def d74_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("nid")
             .agg(F.min("nlbl").alias("nbr_lbl"))
         )
-        return lbls.join(nbr, F.col("id") == F.col("nid"), "left").select(
-            "id",
-            F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+        # `chg` rides along so convergence is readable off the persisted
+        # round output (O(V) scan) — labels decrease monotonically, so an
+        # application with sum(chg)=0 is the identity, i.e. the fixpoint.
+        # Two selects: never alias a computed column to a name a sibling
+        # expression still references (lateral-alias rebinding).
+        return (
+            lbls.join(nbr, F.col("id") == F.col("nid"), "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                (F.coalesce("nbr_lbl", F.col("lbl")) < F.col("lbl"))
+                .cast("int")
+                .alias("chg"),
+            )
+            .select("id", F.col("new_lbl").alias("lbl"), "chg")
         )
 
     # LSH-bucketed dup components are stars/triangles around the
     # original doc, so two propagation rounds — composed into ONE plan —
     # reach the fixpoint in the common case. The fixpoint test is exact
-    # (no edge joins two different labels) and costs one cheap job over
-    # the persisted labels; only genuinely deeper chains pay extra
-    # rounds. Checkpoint INTERVAL pattern: per-round materialization is
+    # (monotone labels: a round with zero `chg` is the identity) and
+    # costs one O(V) scan of the persisted labels; only genuinely deeper
+    # chains pay extra rounds. Checkpoint INTERVAL pattern: per-round materialization is
     # persist() (recomputable — lineage stays ≤ interval·2 joins deep);
     # a reliable checkpoint truncates lineage every 3rd round so a
     # diameter-d chain never accumulates an O(d) plan.
@@ -595,15 +609,11 @@ def d74_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned = [_pin(_propagate(_propagate(labels)), 0)]
     labels = pinned[-1]
     for rnd in range(1, 11):
-        l_src = labels.select(F.col("id").alias("src"), F.col("lbl").alias("lbl_src"))
-        l_dst = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("lbl_dst"))
-        viol = (
-            edges.join(l_src, "src")
-            .join(l_dst, "dst")
-            .filter(F.col("lbl_src") != F.col("lbl_dst"))
-            .count()
-        )
-        if viol == 0:
+        # O(V) fixpoint test over the already-persisted round output: the
+        # last propagate application changed nothing => identity => done.
+        # (r02 used an edges⋈labels⋈labels violation join here — an extra
+        # O(E) double-join per round for the same answer.)
+        if (labels.agg(F.sum("chg")).first()[0] or 0) == 0:
             break
         pinned.append(_pin(_propagate(labels), rnd))
         labels = pinned[-1]

@@ -66,6 +66,7 @@ def d72_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, text, octet_length(encode(text)) AS blen
         FROM documents
         WHERE length(text) = octet_length(encode(text))
+          AND octet_length(encode(text)) > 0
     ),
     framed AS (
         SELECT doc_id, blen,
@@ -102,7 +103,11 @@ def d85_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.length("text") == F.octet_length("text"))
+        # empty blobs excluded on BOTH sides: a zero-length blob has no
+        # frames, but the oracle's md5(substring(text,1,64)) would emit
+        # md5('') where the sampler emits no frame — divergent on the
+        # first empty doc (ADVICE r02).
+        .filter((F.length("text") == F.octet_length("text")) & (F.octet_length("text") > 0))
         .select("doc_id", F.col("text").cast("binary").alias("blob"))
     )
 

@@ -98,15 +98,13 @@ def d76_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size("toks").alias("n_toks"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
-            ),
-        ).alias("bigrams"),
     )
+    # Bigram stream via explode_shingles (position-sequence explode):
+    # exploding a transform()-built gram array lets Catalyst inline the
+    # builder into Generate, which re-evaluates it per OUTPUT row — O(g²)
+    # per doc (see functions/shingles.py). The position explode is O(g).
     top_bi = (
-        base.select("doc_id", F.explode("bigrams").alias("gram"))
+        explode_shingles(t, 2, keep=("doc_id",))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
@@ -137,20 +135,23 @@ def d76_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # D77: deterministic stratified sampling
 # ---------------------------------------------------------------------------
 
-_STRATA_RATES = {"en": 0.5, "zh": 0.3, "es": 0.3, "de": 0.3, "fr": 0.3}
+# Rates held as integer basis points: float rates diverge across engines
+# (Spark double 0.3*10000 -> 2999.99... truncates to 2999; DuckDB DECIMAL
+# math yields exactly 3000), so the threshold is integral by construction.
+_STRATA_RATES_BP = {"en": 5000, "zh": 3000, "es": 3000, "de": 3000, "fr": 3000}
 
 
 @query(
     "d77_stratified_sample",
     tags=("D77", "D40"),
     oracle=f"""
-    WITH rates(lang, rate) AS (
-        VALUES ('en', 0.5), ('zh', 0.3), ('es', 0.3), ('de', 0.3), ('fr', 0.3)
+    WITH rates(lang, rate_bp) AS (
+        VALUES ('en', 5000), ('zh', 3000), ('es', 3000), ('de', 3000), ('fr', 3000)
     ),
     sampled AS (
         SELECT d.lang
         FROM documents d JOIN rates r USING (lang)
-        WHERE ({sql_hash_long("d.doc_id", "strat7|")} % 10000) < CAST(r.rate * 10000 AS BIGINT)
+        WHERE ({sql_hash_long("d.doc_id", "strat7|")} % 10000) < r.rate_bp
     )
     SELECT lang, count(*) AS n_sampled
     FROM sampled GROUP BY lang ORDER BY lang
@@ -164,12 +165,12 @@ def d77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     languages/domains; the filter is a pure per-row predicate, so it
     pushes into the scan stage and shuffles nothing."""
     rates = F.create_map(
-        *[F.lit(x) for kv in _STRATA_RATES.items() for x in kv]
+        *[F.lit(x) for kv in _STRATA_RATES_BP.items() for x in kv]
     )
     d = _docs(spark, sf_dir)
     kept = d.filter(
         (portable_hash_long("doc_id", "strat7|") % 10000)
-        < (rates[F.col("lang")] * 10000).cast("long")
+        < rates[F.col("lang")].cast("long")
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")).orderBy("lang")
 
@@ -315,7 +316,7 @@ _PACK_BUDGET = 512
     SELECT lang,
            count(DISTINCT seq_id) AS n_sequences,
            {sql_round(f"avg(CAST(n_docs AS DOUBLE))", 3)} AS avg_docs_per_seq,
-           max(seq_tokens) AS max_seq_tokens
+           CAST(max(seq_tokens) AS BIGINT) AS max_seq_tokens
     FROM (
         SELECT lang, seq_id, count(*) AS n_docs, sum(n_toks) AS seq_tokens
         FROM packed GROUP BY lang, seq_id
@@ -373,7 +374,7 @@ def d80_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     floorrate AS (
         SELECT lang, n,
-               CAST((SELECT min(n) FROM counts) * 10000 / n AS BIGINT) AS rate_bp
+               CAST(floor((SELECT min(n) FROM counts) * 10000.0 / n) AS BIGINT) AS rate_bp
         FROM counts
     ),
     kept AS (
@@ -398,7 +399,10 @@ def d81_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     min_n = counts.agg(F.min("n").alias("min_n"))
     rates = counts.crossJoin(F.broadcast(min_n)).select(
-        "lang", "n", (F.col("min_n") * 10000 / F.col("n")).cast("long").alias("rate_bp")
+        # floor() on BOTH sides: DuckDB CAST(DOUBLE AS BIGINT) rounds to
+        # nearest while Spark .cast('long') truncates — explicit floor makes
+        # the basis-point threshold engine-independent at boundary values.
+        "lang", "n", F.floor(F.col("min_n") * 10000 / F.col("n")).alias("rate_bp")
     )
     kept = (
         d.join(F.broadcast(rates), "lang")

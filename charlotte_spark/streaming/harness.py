@@ -145,6 +145,25 @@ def events_stream(
     return reader.option("recursiveFileLookup", "true").parquet(src)
 
 
+def unload_state_stores(spark: SparkSession) -> None:
+    """Unload every cached state-store provider and park the maintenance
+    thread (it restarts lazily with the next stateful stream).
+
+    The replay harness runs many short-lived stateful streams in one
+    JVM; each leaves its partitions' providers cached for a maintenance
+    thread that assumes the checkpoint dir still exists. We delete
+    checkpoints on teardown, so background maintenance can only do
+    useless (and occasionally contended) work — unloading providers at
+    stream end keeps later stateful queries from ever waiting on it.
+    Scala-object call via py4j; best-effort, a no-op if the internal
+    API moves."""
+    try:
+        pkg = spark._jvm.org.apache.spark.sql.execution.streaming.state
+        getattr(pkg, "StateStore$").__getattr__("MODULE$").stop()
+    except Exception:
+        pass
+
+
 def run_to_memory(
     sdf: DataFrame, output_mode: str, state_partitions: int = 16
 ) -> DataFrame:
@@ -187,4 +206,5 @@ def run_to_memory(
     out.coalesce(4).write.mode("overwrite").parquet(rows_dir)
     spark.catalog.dropTempView(name)
     shutil.rmtree(ckpt, ignore_errors=True)
+    unload_state_stores(spark)
     return spark.read.parquet(rows_dir)

@@ -51,3 +51,28 @@ def test_decimal_output_fails_locally(spark, duck):
     df = spark.sql("SELECT CAST(1.5 AS DECIMAL(5,2)) AS x")
     with pytest.raises(AssertionError, match="value mismatch"):
         assert_oracle_match(df, duck, "SELECT CAST(1.5 AS DOUBLE) AS x", "decimal_guard")
+
+
+@pytest.mark.parametrize(
+    "q", [q for q in REGISTRY.values() if q.oracle], ids=lambda q: q.name
+)
+def test_oracle_output_types_are_portable(q, duck):
+    """No oracle may emit HUGEINT or DECIMAL output columns.
+
+    DuckDB types sum(INTEGER) / count-style CASE sums as HUGEINT and
+    bare numeric literals as DECIMAL; the driver's canon hash treats
+    those representations as distinct from Spark's BIGINT/DOUBLE even
+    when numerically equal — the exact failure mode of r01's d27 and
+    r02's q12 (VERDICT.md, What's wrong #1/#2). Every integer aggregate
+    must be CAST(... AS BIGINT) and every float expression kept DOUBLE.
+    """
+    types = [str(t) for t in duck.sql(q.oracle).types]
+    offenders = [
+        (c, t)
+        for c, t in zip(duck.sql(q.oracle).columns, types)
+        if "HUGEINT" in t or "DECIMAL" in t
+    ]
+    assert not offenders, (
+        f"{q.name}: non-portable oracle output types {offenders}; "
+        "CAST integer sums to BIGINT and decimals to DOUBLE"
+    )
