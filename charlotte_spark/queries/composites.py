@@ -376,10 +376,16 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two cascaded aggregations, both map-side partial."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    # push the count below the outer join: aggregate orders per custkey
+    # FIRST (shrinks the shuffled side from |orders| rows to |customers|
+    # rows — at 100 TB that's the difference between shuffling the fact
+    # table and shuffling a key-count pair per customer), then left-join
+    # and coalesce missing customers to 0.
+    ocnt = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    per_cust = c.select("c_custkey").join(ocnt, "c_custkey", "left").select(
+        "c_custkey", F.coalesce("n_orders", F.lit(0)).alias("c_count")
     )
     return (
         per_cust.groupBy("c_count")

@@ -148,6 +148,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     # Remaining never-verified dedicated queries (their SURVEY rows are
     # already green via composites, or they are secondary variants).
     "d58_cid_sequencer_stream",
+    "r_charlotte_rollover_hook",
+    "r_charlotte_graceful_drain",
     "r_charlotte_event_records",
     "d33_ranking_functions",
     "d35_running_aggregates",

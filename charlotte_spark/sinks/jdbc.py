@@ -22,6 +22,23 @@ At scale: each executor partition opens its own connection
 (`numPartitions` bounds the connection fan-in); dimension upserts stay
 single-writer (anti-join-then-append races otherwise — same assumption
 the reference makes, backstopped by unique keys in DDL).
+
+MySQL dialect parity notes (what changes off-Derby, none of it
+engine-side logic):
+- identifier quoting: Spark's MySQLDialect quotes with backticks
+  automatically; no table/column here needs quoting in either dialect.
+- upsert: the reference relies on MySQL `INSERT ... ON DUPLICATE KEY
+  UPDATE` semantics implicitly (unique keys absorb replays). This
+  engine gets idempotence from the applied-batch marker + natural-key
+  anti-joins instead, which is dialect-neutral; on MySQL the DDL's
+  unique keys remain the final backstop, as in the reference.
+- type mapping: the star uses only int/bigint/varchar/timestamp, which
+  map 1:1 in both Derby and MySQL JDBC dialects (no decimal/blob edge
+  cases in this schema; payload hex is varchar by design, matching the
+  reference's `data_payload` text column).
+- `inet_aton(%s)` (charlotte/__init__.py:488) is MySQL-only; the engine
+  computes the dotted-quad → bigint conversion in Spark (S9 row) so the
+  SQL sent over JDBC is dialect-free.
 """
 
 from __future__ import annotations
