@@ -419,3 +419,195 @@ def d81_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# D88: PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax that Java regex (Spark) and RE2 (DuckDB)
+# evaluate identically: character classes, bounded repetition, no
+# backrefs/lookaround.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d[\d ]{5,}\d"
+_PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+# documents carry no PII, so the corpus injects synthetic markers
+# deterministically (same construction in both engines): every 7th doc
+# an email, every 11th an IPv4, every 13th a phone number.
+_SQL_CORPUS_PII = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                     || CAST(doc_id % 100 AS VARCHAR) || ' logged'
+                ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                THEN ' call +1 555 ' || CAST(1000000 + doc_id AS VARCHAR) || ' today'
+                ELSE '' END AS pii_text
+    FROM documents
+"""
+
+
+@query(
+    "d88_pii_redaction",
+    tags=("D88", "D69"),
+    oracle=f"""
+    WITH p AS ({_SQL_CORPUS_PII})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(pii_text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(pii_text, '{_PII_IP}')) AS BIGINT) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g')) AS redacted_md5
+    FROM p
+    WHERE len(regexp_extract_all(pii_text, '{_PII_EMAIL}'))
+        + len(regexp_extract_all(pii_text, '{_PII_PHONE}'))
+        + len(regexp_extract_all(pii_text, '{_PII_IP}')) > 0
+    ORDER BY doc_id
+    """,
+)
+def d88_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the standard pre-training redaction pass (emails,
+    phone numbers, IPv4 addresses → typed placeholder tokens), as run by
+    every public corpus pipeline (e.g. the C4/Dolma cleanup recipes).
+    Counts are taken pre-redaction; the redacted text is verified by
+    md5. Pure per-row regexp projection: no shuffle, no UDF — at 100 TB
+    this runs entirely inside the scan stage."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit(" logged"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" call +1 555 "),
+                (F.lit(1_000_000) + F.col("doc_id")).cast("string"),
+                F.lit(" today"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pii_text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return (
+        d.withColumn("pii_text", pii_text)
+        .select(
+            "doc_id",
+            F.regexp_count("pii_text", F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+            F.regexp_count("pii_text", F.lit(_PII_PHONE)).cast("long").alias("n_phone"),
+            F.regexp_count("pii_text", F.lit(_PII_IP)).cast("long").alias("n_ip"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .filter(F.col("n_email") + F.col("n_phone") + F.col("n_ip") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D89: intra-document repetition removal (line dedup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d89_intradoc_line_dedup",
+    tags=("D89", "D76"),
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    lined AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(0, CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1),
+                   i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ')
+               ) AS lines0
+        FROM t
+    ),
+    dup AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN list_append(lines0, lines0[1]) ELSE lines0 END AS lines
+        FROM lined
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_distinct(lines)) AS BIGINT) AS n_unique,
+           CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_removed,
+           md5(array_to_string(list_sort(list_distinct(lines)), chr(10))) AS kept_md5
+    FROM dup
+    WHERE len(lines) > len(list_distinct(lines))
+    ORDER BY doc_id
+    """,
+)
+def d89_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal: split each document into
+    8-token lines, drop duplicate lines, report how much was removed —
+    the within-doc analog of corpus dedup (repeated boilerplate
+    paragraphs are the classic web-scrape failure mode; cf. the C4 "three
+    sentence dedup" rule). documents has no repeated lines, so every 5th
+    doc gets its first line re-appended (same construction both engines);
+    any *natural* 8-token chunk collision is caught identically too.
+
+    The kept-lines fingerprint is md5 over the SORTED unique lines:
+    Spark's array_distinct is first-occurrence-ordered but DuckDB's
+    list_distinct is unordered, so the sorted canon is the portable
+    check (counts pin the multiset sizes).
+
+    Pure per-row array computation — no explode, no shuffle; at 100 TB
+    this is a map-only pass inside the scan stage."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("toks"))
+    lines0 = F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(F.size("toks") / F.lit(8.0)).cast("long") - 1
+        ),
+        lambda i: F.array_join(F.slice(F.col("toks"), i * 8 + 1, 8), " "),
+    )
+    lines = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("lines0"), F.array(F.col("lines0")[0]))
+    ).otherwise(F.col("lines0"))
+    return (
+        d.withColumn("lines0", lines0)
+        .withColumn("lines", lines)
+        .select(
+            "doc_id",
+            F.size("lines").cast("long").alias("n_lines"),
+            F.size(F.array_distinct("lines")).cast("long").alias("n_unique"),
+            (F.size("lines") - F.size(F.array_distinct("lines")))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(
+                F.array_join(F.array_sort(F.array_distinct("lines")), "\n")
+            ).alias("kept_md5"),
+        )
+        .filter(F.col("n_lines") > F.col("n_unique"))
+        .orderBy("doc_id")
+    )

@@ -150,6 +150,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d58_cid_sequencer_stream",
     "r_charlotte_rollover_hook",
     "r_charlotte_graceful_drain",
+    "d88_pii_redaction",
+    "d89_intradoc_line_dedup",
     "r_charlotte_event_records",
     "d33_ranking_functions",
     "d35_running_aggregates",
