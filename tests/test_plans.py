@@ -5,6 +5,8 @@ a bounded BNLJ into an unbounded one — fails here, not at 100 TB.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from charlotte_spark.plans.audit import audit_plan
@@ -118,3 +120,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning(o_orderkey" not in below
     assert "Exchange hashpartitioning(l_orderkey" not in below
     assert "Bucketed: true" in below
+
+
+def test_map_only_curation_ops_have_no_shuffle(audits):
+    """D88/D89 and the simhash signature stage are scan-stage projections:
+    the only allowed exchange is the final presentation ORDER BY (range
+    partitioning for the sort). A Generate (explode) or a second exchange
+    means the map-only property regressed."""
+    for name in ("d88_pii_redaction", "d89_intradoc_line_dedup"):
+        a = audits(name)
+        # formatted explain prints each Exchange node twice (tree line +
+        # detail block), so one physical exchange == count of 2
+        assert a["n_exchanges"] <= 2, f"{name}: {a['n_exchanges'] // 2} exchanges"
+        assert "Generate" not in a["plan"], f"{name}: explode in a map-only op"
+        assert not a["sort_merge_join"] and not a["broadcast_hash_join"]
+
+
+def test_simhash_signature_is_map_side(audits):
+    """d66_simhash: signatures must come out of the scan stage (HOF fold,
+    no token explode + re-aggregate). The remaining exchanges are the
+    self-join on doc_id and the output sort."""
+    a = audits("d66_simhash")
+    assert "Generate" not in a["plan"], "token explode crept back in"
+    assert not re.search(r"partial_sum", a["plan"]), (
+        "32-column partial aggregate means the shuffle-free fold regressed"
+    )
