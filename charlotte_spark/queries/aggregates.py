@@ -450,3 +450,55 @@ def a83_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# events has 5 uniform event_types, so the heavy-hitter query derives a
+# deliberately skewed key: every 3rd event maps to one of 2 hot keys
+# (~16.7% each), the rest spread over 997 cold keys (~0.08% each) —
+# identical construction in both engines.
+_SQL_SKEWED_KEY = """
+    SELECT CASE WHEN event_id % 3 = 0
+                THEN 'hot_' || CAST(event_id % 2 AS VARCHAR)
+                ELSE 'cold_' || CAST(event_id % 997 AS VARCHAR) END AS k
+    FROM events
+"""
+
+
+@query(
+    "a90_heavy_hitters",
+    tags=("A90", "A31"),
+    oracle=f"""
+    WITH keyed AS ({_SQL_SKEWED_KEY})
+    SELECT k, count(*) AS n
+    FROM keyed
+    GROUP BY k
+    HAVING count(*) * 20 > (SELECT count(*) FROM keyed)
+    ORDER BY k
+    """,
+)
+def a90_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (frequent items > 5% support) with an
+    exact verification pass. ``df.stat.freqItems`` is single-pass lossy
+    counting (Karp/Shenker/Papadimitriou): each partition keeps at most
+    1/support counters, merged on the driver — the sketch never shuffles
+    raw keys and is guaranteed a SUPERSET of the true heavy hitters.
+    The second pass counts only the <= 1/support candidates and drops
+    false positives, so the result is exact (hash-checkable) while the
+    candidate generation is the sketch. At 100 TB: pass 1 is a map-only
+    scan + KB-sized driver merge; pass 2 aggregates a 20-key subset.
+    Integer threshold (n*20 > total) avoids float boundary drift."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(F.lit("hot_"), (F.col("event_id") % 2).cast("string")),
+    ).otherwise(F.concat(F.lit("cold_"), (F.col("event_id") % 997).cast("string")))
+    d = e.select(key.alias("k"))
+    candidates = [str(x) for x in d.stat.freqItems(["k"], 0.05).first()[0]]
+    total = d.count()
+    return (
+        d.filter(F.col("k").isin(candidates))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * 20 > F.lit(total))
+        .orderBy("k")
+    )

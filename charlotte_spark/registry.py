@@ -152,6 +152,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "r_charlotte_graceful_drain",
     "d88_pii_redaction",
     "d89_intradoc_line_dedup",
+    "a90_heavy_hitters",
     "r_charlotte_event_records",
     "d33_ranking_functions",
     "d35_running_aggregates",

@@ -247,3 +247,63 @@ def test_sequence_packing_invariants(spark, sf_dir):
         for r in rs:
             start_offset = r["cum"] - r["n_toks"]
             assert r["seq_id"] == start_offset // budget
+
+
+def test_pii_redaction_is_idempotent_and_conservative(spark, sf_dir):
+    """D88 invariants: (1) redacting already-redacted text changes
+    nothing (placeholders contain no redactable syntax); (2) docs with
+    zero PII counts hash to their original injected text (the scrubber
+    never touches clean text)."""
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.queries.traindata import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+        _docs,
+    )
+
+    def redact(c):
+        return F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(c, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+            ),
+            _PII_IP,
+            "<IP>",
+        )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    once = redact(F.col("text"))
+    n_bad = (
+        d.select(once.alias("r1"), redact(once).alias("r2"))
+        .filter(F.col("r1") != F.col("r2"))
+        .count()
+    )
+    assert n_bad == 0, f"{n_bad} docs changed on second redaction pass"
+    # clean docs (no injected PII pattern present) must pass through
+    n_touched = (
+        d.filter(
+            (F.regexp_count("text", F.lit(_PII_EMAIL)) == 0)
+            & (F.regexp_count("text", F.lit(_PII_PHONE)) == 0)
+            & (F.regexp_count("text", F.lit(_PII_IP)) == 0)
+        )
+        .filter(redact(F.col("text")) != F.col("text"))
+        .count()
+    )
+    assert n_touched == 0
+
+
+def test_line_dedup_counts_are_consistent(spark, sf_dir):
+    """D89 invariants over the declared output: n_removed = n_lines -
+    n_unique > 0 on every emitted row, and every 5th doc (the injected
+    duplicate) is present."""
+    from charlotte_spark.registry import load_all_queries
+
+    reg = load_all_queries()
+    rows = reg["d89_intradoc_line_dedup"].fn(spark, sf_dir).collect()
+    assert rows, "line-dedup output is vacuous"
+    for r in rows:
+        assert r.n_removed == r.n_lines - r.n_unique > 0
+    emitted = {r.doc_id for r in rows}
+    missing = [i for i in range(0, 500, 5) if i not in emitted]
+    assert not missing, f"injected duplicates not detected: {missing[:5]}"
