@@ -1,0 +1,166 @@
+"""Relational reshaping + statistical profile operators (SURVEY §2.2
+D91/D93).
+
+The reference has no reshaping surface at all — its closest analog is
+the fixed per-protocol fan-out of one logical alert into multiple fact
+tables (/root/reference/charlotte/__init__.py:473-526), which is a
+hand-rolled pivot of the protocol axis. D91 declares the general
+operator pair (pivot: long→wide, unpivot: wide→long); D93 declares the
+column-profile statistics a curation pipeline runs before mixing
+decisions (count/mean/stddev/variance/correlation per stratum).
+
+Scale notes: ``groupBy().pivot(col, values)`` with an EXPLICIT value
+list is one ordinary partial-agg shuffle — the values become projected
+columns, no extra pass to discover them (never call pivot without the
+list at scale: it runs a distinct scan first). ``unpivot`` is a
+map-only Expand (rows × measures) with no shuffle. The moment
+statistics in D93 are all single-pass mergeable aggregates (Welford /
+co-moment merges), so they partial-aggregate map-side like sum/count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round
+from ..registry import query
+
+_STATUSES = ("F", "O", "P")
+
+
+def _status_cases(agg: str) -> str:
+    cols = []
+    for s in _STATUSES:
+        low = s.lower()
+        if agg == "n":
+            cols.append(
+                f"CAST(sum(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS {low}_n"
+            )
+        else:
+            expr = sql_round(
+                f"coalesce(sum(CASE WHEN o_orderstatus = '{s}' THEN o_totalprice END), 0.0)", 2
+            )
+            cols.append(f"{expr} AS {low}_total")
+    return ",\n           ".join(cols)
+
+
+@query(
+    "d91_pivot",
+    tags=("D91",),
+    oracle=f"""
+    SELECT o_orderpriority,
+           {_status_cases("n")},
+           {_status_cases("total")}
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def d91_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: order counts and totals per priority × status.
+
+    The status value list is explicit, so the plan is a single
+    hash-aggregate over ``o_orderpriority`` with the three statuses as
+    projected CASE columns — no value-discovery pass, no extra shuffle
+    (the shape the reference hand-rolls for its protocol fan-out)."""
+    wide = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_STATUSES))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    out = wide.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"{s}_n"), F.lit(0)).cast("long").alias(f"{s.lower()}_n")
+            for s in _STATUSES
+        ],
+        *[
+            F.coalesce(F.col(f"{s}_total"), F.lit(0.0)).alias(f"{s.lower()}_total")
+            for s in _STATUSES
+        ],
+    )
+    return out.orderBy("o_orderpriority")
+
+
+@query(
+    "d91_unpivot",
+    tags=("D91",),
+    oracle=f"""
+    WITH agg AS (
+        SELECT l_returnflag,
+               {sql_round("sum(l_quantity)", 2)} AS sum_qty,
+               {sql_round("sum(l_extendedprice)", 2)} AS sum_base,
+               {sql_round("sum(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, amount FROM (
+        SELECT l_returnflag, 'sum_qty'  AS measure, sum_qty  AS amount FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'sum_base' AS measure, sum_base AS amount FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS amount FROM agg
+    )
+    ORDER BY l_returnflag, measure
+    """,
+)
+def d91_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): three revenue measures per return flag
+    stacked into (key, measure, amount) rows. ``unpivot`` lowers to a
+    map-only Expand (3 output rows per input row), zero shuffle beyond
+    the feeding aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        pround(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc"
+        ),
+    )
+    long = wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_base", "sum_disc"], "measure", "amount"
+    )
+    return long.orderBy("l_returnflag", "measure")
+
+
+@query(
+    "d93_summary_stats",
+    tags=("D93", "D24"),
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_round("avg(l_quantity)", 4)} AS avg_qty,
+           {sql_round("stddev_samp(l_quantity)", 4)} AS std_qty,
+           {sql_round("var_samp(l_quantity)", 4)} AS var_qty,
+           {sql_round("corr(l_quantity, l_discount)", 4)} AS corr_qty_disc,
+           {sql_round("covar_samp(l_quantity, l_discount)", 4)} AS covar_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def d93_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum statistical profile: count, mean, sample
+    stddev/variance, and quantity↔discount correlation/covariance.
+
+    Every statistic here is a mergeable moment aggregate, so the plan
+    is one partial-agg shuffle exactly like a sum — the profile of a
+    100 TB table costs one pass. (Quantile profiles live in A32/D32x.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            pround(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+            pround(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            pround(F.corr("l_quantity", "l_discount"), 4).alias("corr_qty_disc"),
+            pround(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+        )
+        .orderBy("l_returnflag")
+    )

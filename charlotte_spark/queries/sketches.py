@@ -1,0 +1,302 @@
+"""Probabilistic-structure operators over the documents corpus
+(SURVEY §2.2 A94/A96/D95).
+
+Three sketch-family operators a 100 TB curation pipeline runs
+constantly, complementing A31 (HLL cardinality), A83 (mergeable HLL
+union) and A90 (heavy hitters):
+
+- **A94 Bloom-filter membership screen** — the scale path for the
+  D79 contamination screen: the benchmark side is folded into an
+  m-bit / k-hash bitmap (here 16 Kib / 4 hashes) that BROADCASTS to
+  every executor, so the 100 TB training side is screened map-only
+  with zero shuffle; the exact gram join (D79's shape) is computed
+  alongside to materialize the false-positive accounting.
+- **A96 Count-Min sketch** — mergeable (d × w) frequency sketch built
+  with one groupBy over (row, bucket); point estimates = min over the
+  d cells, always ≥ the true count.
+- **D95 vocabulary top-k** — token frequency table + coverage share,
+  the first step of any tokenizer/vocab build.
+
+All three use the portable md5 hash family, so every bit position and
+every cell index is identical in Spark and DuckDB — the sketches are
+deterministic, and the oracle hash-checks them exactly (same
+convention as A83/A90: the approximation ERROR is part of the checked
+output, e.g. ``n_false_pos`` / ``overcount``).
+
+The reference has no sketch surface; its only membership logic is the
+exact per-row dimension lookups (/root/reference/charlotte/
+__init__.py:184-205), which R13/R14 already cover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import fan_out, load_table
+from ..functions.portable import portable_hash_long, pround, sql_hash_long, sql_round
+from ..functions.shingles import explode_shingles
+from ..registry import query
+
+_BLOOM_BITS = 16384  # m: 16 Kib bitmap = 256 longs, broadcast as a literal
+_BLOOM_K = 4  # k: hash functions, seeds bf0|..bf3|
+
+_CM_D = 4  # count-min rows, seeds cm0|..cm3|
+_CM_W = 1024  # count-min buckets per row
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# DuckDB 5-gram builders (same shapes as the D79 oracle).
+_SQL_GRAMS = (
+    "list_transform(range(1, len(toks) - 3), i -> toks[i] || ' ' || toks[i+1] || "
+    "' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])"
+)
+
+
+def _bloom_pos_union(src: str, extra: str = "") -> str:
+    """UNION ALL of the K bloom bit positions for every row of ``src``."""
+    return "\n        UNION ALL ".join(
+        f"SELECT {extra}{sql_hash_long('gram', f'bf{i}|')} % {_BLOOM_BITS} AS pos FROM {src}"
+        for i in range(_BLOOM_K)
+    )
+
+
+@query(
+    "a94_bloom_contamination",
+    tags=("A94", "D79"),
+    oracle=f"""
+    WITH bench AS (
+        SELECT string_split(text, ' ') AS toks FROM documents WHERE source = 'src0'
+    ),
+    bench_grams AS (
+        SELECT DISTINCT unnest({_SQL_GRAMS}) AS gram
+        FROM bench WHERE len(toks) >= 5
+    ),
+    bench_pos AS (
+        SELECT DISTINCT pos FROM (
+        {_bloom_pos_union("bench_grams")}
+        )
+    ),
+    train AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        WHERE source <> 'src0'
+    ),
+    probe AS (
+        SELECT doc_id, unnest(list_distinct({_SQL_GRAMS})) AS gram
+        FROM train WHERE len(toks) >= 5
+    ),
+    pairs AS (
+        {_bloom_pos_union("probe", extra="doc_id, gram, ")}
+    ),
+    hits AS (
+        SELECT doc_id, gram FROM pairs p JOIN bench_pos b USING (pos)
+        GROUP BY doc_id, gram HAVING count(*) = {_BLOOM_K}
+    ),
+    bloom_docs AS (SELECT DISTINCT doc_id FROM hits),
+    exact_docs AS (
+        SELECT DISTINCT p.doc_id FROM probe p JOIN bench_grams b USING (gram)
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_train_docs,
+           CAST(count(bd.doc_id) AS BIGINT) AS n_bloom_flagged,
+           CAST(count(ed.doc_id) AS BIGINT) AS n_exact,
+           CAST(count(bd.doc_id) - count(ed.doc_id) AS BIGINT) AS n_false_pos
+    FROM (SELECT doc_id, lang FROM documents WHERE source <> 'src0') t
+    LEFT JOIN bloom_docs bd USING (doc_id)
+    LEFT JOIN exact_docs ed USING (doc_id)
+    GROUP BY t.lang ORDER BY t.lang
+    """,
+)
+def a94_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination screen with exact false-positive
+    accounting.
+
+    Pass 1 folds the benchmark 5-grams into an m-bit bitmap: the K bit
+    positions per gram are computed JVM-side, DISTINCT-ed (≤ m rows
+    reach the driver — sketch-sized traffic, same budget class as
+    D86's centroids), and packed into 256 longs that ship to every
+    task as a literal array. Pass 2 screens the training side map-only
+    — per distinct gram, K portable hashes + K bit probes, no shuffle
+    against the benchmark. A doc is bloom-flagged if ANY of its grams
+    has all K bits set; the exact D79-style gram join runs alongside so
+    ``n_false_pos = bloom − exact`` is part of the checked result (the
+    Bloom guarantee — no false negatives — is therefore hash-verified:
+    the driver would flag any row where exact > bloom)."""
+    docs = fan_out(_docs(spark, sf_dir))
+    bench = explode_shingles(docs.filter(F.col("source") == "src0"), 5, keep=()).distinct()
+    pos_cols = [
+        (portable_hash_long("gram", f"bf{i}|") % _BLOOM_BITS) for i in range(_BLOOM_K)
+    ]
+    positions = bench.select(F.explode(F.array(*pos_cols)).alias("pos")).distinct()
+    bits = [r[0] for r in positions.collect()]
+    words = [0] * (_BLOOM_BITS // 64)
+    for p in bits:
+        words[p // 64] |= 1 << (p % 64)
+    mask = F.array(
+        *[
+            F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
+            for w in words
+        ]
+    )
+
+    train = docs.filter(F.col("source") != "src0")
+    grams = explode_shingles(train, 5, keep=("doc_id",)).distinct()
+    g = grams.withColumn("__mask", mask)
+    hit = F.lit(True)
+    for i in range(_BLOOM_K):
+        g = g.withColumn(f"__p{i}", portable_hash_long("gram", f"bf{i}|") % _BLOOM_BITS)
+        hit = hit & (
+            F.expr(
+                f"shiftright(element_at(__mask, CAST(__p{i} div 64 AS INT) + 1), "
+                f"CAST(__p{i} % 64 AS INT)) & 1"
+            )
+            == 1
+        )
+    bloom_docs = g.filter(hit).select("doc_id").distinct().withColumn("bf", F.lit(1))
+    exact_docs = (
+        grams.join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("ex", F.lit(1))
+    )
+    return (
+        train.select("doc_id", "lang")
+        .join(bloom_docs, "doc_id", "left")
+        .join(exact_docs, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("bf").alias("n_bloom_flagged"),
+            F.count("ex").alias("n_exact"),
+            (F.count("bf") - F.count("ex")).alias("n_false_pos"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _cm_pairs_union(src: str, extra: str = "") -> str:
+    """UNION ALL of the D (row, bucket) cells for every token of ``src``."""
+    return "\n        UNION ALL ".join(
+        f"SELECT {extra}{i} AS r, {sql_hash_long('token', f'cm{i}|')} % {_CM_W} AS pos "
+        f"FROM {src}"
+        for i in range(_CM_D)
+    )
+
+
+@query(
+    "a96_countmin_sketch",
+    tags=("A96", "A90"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    pairs AS (
+        {_cm_pairs_union("toks")}
+    ),
+    sketch AS (
+        SELECT r, pos, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY r, pos
+    ),
+    exact AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY token
+    ),
+    top AS (
+        SELECT token, n_exact FROM exact ORDER BY n_exact DESC, token LIMIT 20
+    ),
+    qp AS (
+        {_cm_pairs_union("top", extra="token, n_exact, ")}
+    ),
+    est AS (
+        SELECT token, n_exact, min(c) AS n_est
+        FROM qp JOIN sketch USING (r, pos) GROUP BY token, n_exact
+    )
+    SELECT token, n_exact,
+           CAST(n_est AS BIGINT) AS n_est,
+           CAST(n_est - n_exact AS BIGINT) AS overcount,
+           CAST(CASE WHEN n_est >= n_exact THEN 1 ELSE 0 END AS BIGINT) AS ok_lower
+    FROM est ORDER BY n_exact DESC, token
+    """,
+)
+def a96_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (d=4 × w=1024) over the token stream,
+    point-queried for the 20 most frequent tokens.
+
+    The sketch is ONE groupBy over (row, bucket) — d·w = 4096 cells
+    regardless of corpus size, mergeable across partitions/days by
+    cell-wise addition (the property that matters at 100 TB: the full
+    pass is a partial-agg shuffle onto 4096 keys, and incremental
+    ingest just adds sketches). Estimates join the broadcast sketch and
+    take min over the d cells; ``overcount`` (always ≥ 0, bounded by
+    ε·N with ε = e/w) and ``ok_lower`` are part of the hash-checked
+    output, so the one-sided error guarantee is driver-verified."""
+    docs = fan_out(_docs(spark, sf_dir))
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    cell_cols = [
+        (portable_hash_long("token", f"cm{i}|") % _CM_W) for i in range(_CM_D)
+    ]
+    pairs = toks.select(F.posexplode(F.array(*cell_cols)).alias("r", "pos"))
+    sketch = pairs.groupBy("r", "pos").agg(F.count(F.lit(1)).alias("c"))
+
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = exact.orderBy(F.desc("n_exact"), F.asc("token")).limit(20)
+    qp = top.select(
+        "token",
+        "n_exact",
+        F.posexplode(F.array(*cell_cols)).alias("r", "pos"),
+    )
+    est = (
+        qp.join(F.broadcast(sketch), ["r", "pos"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return est.select(
+        "token",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+        (F.col("n_est") >= F.col("n_exact")).cast("long").alias("ok_lower"),
+    ).orderBy(F.desc("n_exact"), "token")
+
+
+@query(
+    "d95_vocab_topk",
+    tags=("D95", "D69"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS t FROM toks),
+    top AS (
+        SELECT token, n,
+               CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+        FROM counts ORDER BY n DESC, token LIMIT 100
+    )
+    SELECT rank, token, n, {sql_round("n / t", 6)} AS share
+    FROM top, total ORDER BY rank
+    """,
+)
+def d95_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-100 tokens by corpus frequency with their
+    coverage share — the first pass of a tokenizer/vocab build.
+
+    Token counting partial-aggregates map-side onto the token key; the
+    top-100 selection is TakeOrdered (no global sort materialization);
+    the rank window runs over the already-reduced 100-row result, so
+    its single-partition ordering is O(k), never O(corpus)."""
+    docs = fan_out(_docs(spark, sf_dir))
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(100)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select("rank", "token", "n", pround(F.col("n") / F.col("t"), 6).alias("share"))
+        .orderBy("rank")
+    )

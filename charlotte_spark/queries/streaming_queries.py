@@ -251,6 +251,76 @@ def d59_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d92_stream_stream_join",
+    tags=("D92", "D22"),
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id AS user_id,
+           CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS lag_sec
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+    ORDER BY purchase_id, click_id
+    """,
+)
+def d92_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream inner join with an event-time range condition:
+    each purchase matched to the same user's clicks in the preceding
+    10 minutes (attribution join). Both sides are watermarked, so the
+    join state each side buffers is bounded by (watermark + range) ×
+    arrival rate — the state-cleanup contract that makes stream-stream
+    joins viable at 100 TB; without the time bound the buffers grow
+    with stream length. The far-future sentinel flows through BOTH
+    side's filters so each watermark advances and state drains; its
+    self-pair (user_id −1) is dropped after the sink.
+
+    Oracle: the batch interval join over the same rows — inner-join
+    results are arrival-order invariant once both streams flush, so
+    stream-equals-batch holds exactly."""
+    s = _replay(spark, sf_dir)
+    purchases = (
+        s.filter((F.col("event_type") == "purchase") | (F.col("event_id") < 0))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "40 days")
+    )
+    clicks = (
+        s.filter((F.col("event_type") == "click") | (F.col("event_id") < 0))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "40 days")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    out = run_to_memory(joined, "append")
+    return (
+        out.filter((F.col("purchase_id") >= 0) & (F.col("click_id") >= 0))
+        .select(
+            "purchase_id",
+            "click_id",
+            F.col("p_user").alias("user_id"),
+            F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias(
+                "lag_sec"
+            ),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+@query(
     "d82_custom_stateful_sessions",
     tags=("D82", "D55", "D58"),
     oracle="""

@@ -57,6 +57,8 @@ _QUERY_MODULES = (
     "charlotte_spark.queries.textstats",
     "charlotte_spark.queries.multimodal",
     "charlotte_spark.queries.traindata",
+    "charlotte_spark.queries.reshape",
+    "charlotte_spark.queries.sketches",
     "charlotte_spark.queries.streaming_queries",
     "charlotte_spark.queries.charlotte_pipeline",
 )
@@ -153,6 +155,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d88_pii_redaction",
     "d89_intradoc_line_dedup",
     "a90_heavy_hitters",
+    "d91_pivot",
+    "d91_unpivot",
+    "d92_stream_stream_join",
+    "d93_summary_stats",
+    "a94_bloom_contamination",
+    "d95_vocab_topk",
+    "a96_countmin_sketch",
     "r_charlotte_event_records",
     "d33_ranking_functions",
     "d35_running_aggregates",
