@@ -1,0 +1,115 @@
+"""Iterative graph analytics over relational edges (SURVEY §2.2 D97).
+
+PageRank over the customer↔supplier trade graph — the third iterative
+algorithm shape in the engine next to connected components (D74,
+label propagation) and k-means (D86, centroid refinement). Where D74's
+per-round state is a min-label and D86's is k broadcast centroids,
+PageRank carries an O(V) double per node and reduces O(E)
+contributions per round: the general "join ranks to edges, re-group by
+destination" pattern every Pregel-style computation lowers to on
+Spark.
+
+The reference has no graph surface; this is part of the mandated
+analytic extension.
+
+Scale notes (mirrors D74's hardening): the edge list is materialized
+ONCE behind a reliable checkpoint, pre-partitioned on ``src`` so every
+iteration shuffles only the O(V) rank table to the edge partitioning,
+never the O(E) edges; per-round driver traffic is zero (no collects —
+the loop is a fixed 3 unrolled plan segments). The oracle replays the
+identical 3 iterations as a DuckDB CTE chain in DOUBLE; outputs are
+portable-rounded at 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round
+from ..registry import query
+from ..session import reliable_checkpoint
+
+_PR_ITERS = 3
+_DAMP = 0.85
+
+
+def _pr_oracle() -> str:
+    cte = [
+        """
+    pairs AS (
+        SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS r FROM deg)"""
+    ]
+    for t in range(_PR_ITERS):
+        cte.append(
+            f"""
+    c{t} AS (
+        SELECT r{t}.node, r{t}.r / d.outdeg AS c
+        FROM r{t} JOIN deg d ON r{t}.node = d.src
+    ),
+    r{t + 1} AS (
+        SELECT e.dst AS node, {1 - _DAMP} + {_DAMP} * sum(c{t}.c) AS r
+        FROM edges e JOIN c{t} ON e.src = c{t}.node
+        GROUP BY e.dst
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(cte)
+        + f"""
+    SELECT node, {sql_round("r", 6)} AS pr
+    FROM r{_PR_ITERS} ORDER BY node
+    """
+    )
+
+
+@query("d97_pagerank", tags=("D97", "D74", "D86"), oracle=_pr_oracle())
+def d97_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 fixed iterations, rank₀ = 1.0) over the
+    symmetrized customer↔supplier graph: an edge per distinct
+    (customer, supplier) trade pair in both directions, so every node
+    has out-degree ≥ 1 and the dangling-mass term vanishes.
+
+    Per iteration: contributions = ranks ⋈ degrees (two O(V) tables,
+    node-keyed), then ONE shuffle joining contributions to the
+    checkpointed src-partitioned edges and re-grouping by dst. Rank
+    values stay distributed end-to-end — nothing O(V) or O(E) ever
+    reaches the driver."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), "o_custkey").alias("c"),
+            F.concat(F.lit("s"), "l_suppkey").alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    # one materialization serves deg + every iteration's join, already
+    # laid out on the per-round join key
+    edges = reliable_checkpoint(edges.repartition("src"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = ranks.join(deg, ranks.node == deg.src).select(
+            F.col("node"), (F.col("r") / F.col("outdeg")).alias("c")
+        )
+        ranks = (
+            edges.join(contrib, edges.src == contrib.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.lit(1 - _DAMP) + F.lit(_DAMP) * F.sum("c")).alias("r"))
+        )
+    return ranks.select("node", pround("r", 6).alias("pr")).orderBy("node")

@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     "charlotte_spark.queries.traindata",
     "charlotte_spark.queries.reshape",
     "charlotte_spark.queries.sketches",
+    "charlotte_spark.queries.graph",
     "charlotte_spark.queries.streaming_queries",
     "charlotte_spark.queries.charlotte_pipeline",
 )
@@ -162,6 +163,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "a94_bloom_contamination",
     "d95_vocab_topk",
     "a96_countmin_sketch",
+    "d97_pagerank",
+    "d98_scd2_history",
     "r_charlotte_event_records",
     "d33_ranking_functions",
     "d35_running_aggregates",

@@ -136,6 +136,63 @@ def test_map_only_curation_ops_have_no_shuffle(audits):
         assert not a["sort_merge_join"] and not a["broadcast_hash_join"]
 
 
+def test_pivot_is_single_pass(audits):
+    """d91_pivot passes the status values explicitly, so the plan is
+    aggregate shuffles only — no value-discovery job, no join. (Spark
+    lowers a two-function pivot to two stacked aggregates + the output
+    sort: 3 physical exchanges, each printed twice.)"""
+    a = audits("d91_pivot")
+    assert a["partial_aggregate"]
+    assert a["n_exchanges"] <= 6
+    assert not (a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"])
+
+
+def test_unpivot_is_map_only_expand(audits):
+    """d91_unpivot: the wide→long reshape itself must be an Expand
+    (map-only), with the only exchanges belonging to the feeding
+    aggregate and the output sort."""
+    a = audits("d91_unpivot")
+    assert "Expand" in a["plan"], "unpivot should lower to Expand"
+    assert a["n_exchanges"] <= 4
+    assert not (a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"])
+
+
+def test_summary_stats_single_pass(audits):
+    """d93: all moment aggregates must partial-aggregate in one pass —
+    one agg exchange + the output sort, nothing else."""
+    a = audits("d93_summary_stats")
+    assert a["partial_aggregate"]
+    assert a["n_exchanges"] <= 4
+
+
+def test_vocab_topk_avoids_global_sort(audits):
+    """d95: the top-100 selection must be TakeOrdered (per-partition
+    top-k merged on the driver), never a full sort of the vocabulary.
+    The only nested-loop join allowed is the 1-row total crossJoin."""
+    a = audits("d95_vocab_topk")
+    assert "TakeOrdered" in a["plan"]
+
+
+def test_countmin_probe_broadcasts_sketch(audits):
+    """a96: the point-query join against the 4096-cell sketch must be a
+    broadcast hash join — shuffling the sketch (or worse, the query
+    side) would defeat the sketch's purpose."""
+    a = audits("a96_countmin_sketch")
+    assert a["broadcast_hash_join"]
+    assert a["partial_aggregate"]
+    assert not a["sort_merge_join"]
+
+
+def test_bloom_screen_never_shuffles_probe_against_benchmark(audits):
+    """a94: the bloom probe is a literal-bitmap projection and the exact
+    accounting join broadcasts the benchmark grams — no sort-merge join
+    or cartesian product may appear anywhere in the screen."""
+    a = audits("a94_bloom_contamination")
+    assert a["broadcast_hash_join"]
+    assert not a["sort_merge_join"]
+    assert not a["nested_loop_join"]
+
+
 def test_simhash_signature_is_map_side(audits):
     """d66_simhash: signatures must come out of the scan stage (HOF fold,
     no token explode + re-aggregate). The remaining exchanges are the

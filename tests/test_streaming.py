@@ -50,6 +50,71 @@ def test_watermark_drops_late_rows(spark, sf_dir):
     assert kept > 0
 
 
+def test_stream_stream_join_matches_across_batches(spark, sf_dir):
+    """D92: with admission control forcing many micro-batches over
+    shuffled chunk order, a purchase and its matching click usually
+    arrive in DIFFERENT batches — the watermarked join state must
+    buffer across batches and still produce exactly the batch answer."""
+    from charlotte_spark.catalog import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    pe = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    ce = batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    expected = sorted(
+        (r["purchase_id"], r["click_id"]) for r in pe.join(ce, cond).collect()
+    )
+    assert expected, "fixture must produce at least one attribution pair"
+
+    s = events_stream(
+        spark,
+        sf_dir,
+        n_chunks=8,
+        shuffle_chunks=True,
+        sentinel_ts="2024-06-01 00:00:00",
+        max_files_per_trigger=2,
+    )
+    purchases = (
+        s.filter((F.col("event_type") == "purchase") | (F.col("event_id") < 0))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "40 days")
+    )
+    clicks = (
+        s.filter((F.col("event_type") == "click") | (F.col("event_id") < 0))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "40 days")
+    )
+    joined = purchases.join(clicks, cond, "inner")
+    out = run_to_memory(joined, "append")
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in out.filter(
+            (F.col("purchase_id") >= 0) & (F.col("click_id") >= 0)
+        ).collect()
+    )
+    assert got == expected
+
+
 def test_snorby_restart_recovery(spark):
     """Kill the streaming pipeline mid-run (sink raises after 2
     micro-batches), restart from the same checkpoint + db, and the final
