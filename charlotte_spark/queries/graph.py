@@ -13,11 +13,11 @@ The reference has no graph surface; this is part of the mandated
 analytic extension.
 
 Scale notes (mirrors D74's hardening): the edge list is materialized
-ONCE behind a reliable checkpoint, pre-partitioned on ``src`` so every
-iteration shuffles only the O(V) rank table to the edge partitioning,
-never the O(E) edges; per-round driver traffic is zero (no collects —
-the loop is a fixed 3 unrolled plan segments). The oracle replays the
-identical 3 iterations as a DuckDB CTE chain in DOUBLE; outputs are
+ONCE (persisted), pre-partitioned on ``src`` so every iteration
+shuffles only the O(V) rank table to the edge partitioning, never the
+O(E) edges; per-round driver traffic is zero (no collects — the loop
+is a fixed 3 unrolled plan segments). The oracle replays the identical
+3 iterations as a DuckDB CTE chain in DOUBLE; outputs are
 portable-rounded at 6 decimals.
 """
 
@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.portable import pround, sql_round
 from ..registry import query
-from ..session import reliable_checkpoint
 
 _PR_ITERS = 3
 _DAMP = 0.85
@@ -82,7 +81,7 @@ def d97_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per iteration: contributions = ranks ⋈ degrees (two O(V) tables,
     node-keyed), then ONE shuffle joining contributions to the
-    checkpointed src-partitioned edges and re-grouping by dst. Rank
+    persisted src-partitioned edges and re-grouping by dst. Rank
     values stay distributed end-to-end — nothing O(V) or O(E) ever
     reaches the driver."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -98,9 +97,14 @@ def d97_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    # one materialization serves deg + every iteration's join, already
-    # laid out on the per-round join key
-    edges = reliable_checkpoint(edges.repartition("src"))
+    # One materialization serves deg + every iteration's join, already
+    # laid out on the per-round join key. persist (not checkpoint): the
+    # iteration count is FIXED at 3, so lineage depth is bounded and
+    # recomputable-on-loss caching is enough — an unbounded-round loop
+    # (d74) needs the checkpoint-interval pattern instead.
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
     for _ in range(_PR_ITERS):

@@ -96,6 +96,50 @@ def d4_partitioned_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d99_orc_roundtrip",
+    tags=("D99", "D2", "D4"),
+    oracle="""
+    SELECT lang,
+           count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS corpus_md5
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def d99_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth: write the corpus as lang-partitioned ORC
+    (Spark's second built-in columnar format — the interchange target
+    for Hive-era warehouses), re-read it, and prove byte-exact content
+    preservation with an order-independent corpus digest (md5 over
+    per-doc md5s in doc_id order). Same pushdown/pruning machinery as
+    parquet: partition pruning on lang, predicate pushdown into the ORC
+    reader."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{TMP}/documents_orc_{sig}"
+    docs.write.mode("overwrite").partitionBy("lang").orc(out)
+    back = spark.read.orc(out)
+    digest = F.md5(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", F.md5("text").alias("h")))),
+                lambda s: s["h"],
+            ),
+        )
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+            digest.alias("corpus_md5"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "d6_file_stream_checkpoint",
     tags=("D6", "R1", "R2"),
     oracle="""

@@ -305,7 +305,12 @@ def d92_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts")),
         "inner",
     )
-    out = run_to_memory(joined, "append")
+    # 8 state partitions, not the harness default 16: a stream-stream
+    # join keeps FOUR state stores per partition (left/right ×
+    # key/index), so commit fan-out per batch is 4× a windowed agg's —
+    # halving the partition count halves the replay's fixed cost while
+    # the keyed state (≤ user cardinality) stays far from any skew.
+    out = run_to_memory(joined, "append", state_partitions=8)
     return (
         out.filter((F.col("purchase_id") >= 0) & (F.col("click_id") >= 0))
         .select(

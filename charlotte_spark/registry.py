@@ -165,6 +165,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "a96_countmin_sketch",
     "d97_pagerank",
     "d98_scd2_history",
+    "d99_orc_roundtrip",
     "r_charlotte_event_records",
     "d33_ranking_functions",
     "d35_running_aggregates",

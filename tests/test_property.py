@@ -307,3 +307,78 @@ def test_line_dedup_counts_are_consistent(spark, sf_dir):
     emitted = {r.doc_id for r in rows}
     missing = [i for i in range(0, 500, 5) if i not in emitted]
     assert not missing, f"injected duplicates not detected: {missing[:5]}"
+
+
+def test_bloom_screen_has_no_false_negatives(spark, sf_dir):
+    """A94: the Bloom guarantee — every exactly-contaminated doc must be
+    bloom-flagged (n_bloom_flagged ≥ n_exact per stratum, and the flag
+    sets nest doc-by-doc via n_false_pos ≥ 0)."""
+    from charlotte_spark.registry import load_all_queries
+
+    out = load_all_queries()["a94_bloom_contamination"].fn(spark, sf_dir).collect()
+    assert out, "screen must produce at least one stratum"
+    for r in out:
+        assert r["n_bloom_flagged"] >= r["n_exact"], r
+        assert r["n_false_pos"] == r["n_bloom_flagged"] - r["n_exact"], r
+        assert r["n_bloom_flagged"] <= r["n_train_docs"], r
+
+
+def test_countmin_estimates_bound_truth(spark, sf_dir):
+    """A96: Count-Min one-sided error — every estimate ≥ the exact
+    count, and overcount ≤ ε·N with ε = e/w (the standard CM bound;
+    deterministic here because the hash family is fixed)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.registry import load_all_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_total = docs.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    eps_bound = math.e / 1024 * n_total
+    rows = load_all_queries()["a96_countmin_sketch"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["ok_lower"] == 1 and r["n_est"] >= r["n_exact"], r
+        assert r["overcount"] <= eps_bound, (r, eps_bound)
+
+
+def test_pagerank_mass_and_floor(spark, sf_dir):
+    """D97: every rank ≥ the teleport floor (1 − d) = 0.15, and total
+    rank mass stays within the damping geometry's bounds — with rank₀=1
+    per node, total mass after any iteration is N·(1−d)·Σdᵏ-shaped and
+    must stay within [0.15·N, N] for a stochastic-ish symmetric graph."""
+    from charlotte_spark.registry import load_all_queries
+
+    rows = load_all_queries()["d97_pagerank"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r["pr"] for r in rows)
+    assert all(r["pr"] >= 0.15 for r in rows)
+    # symmetric edge construction conserves contribution mass exactly:
+    # Σr_{t+1} = 0.15·N + 0.85·Σr_t, fixed point = N
+    assert 0.9 * n <= total <= 1.1 * n
+
+
+def test_scd2_intervals_partition_history(spark, sf_dir):
+    """D98: per customer, versions are dense from 1; intervals chain
+    (valid_to of version k equals valid_from of version k+1); exactly
+    one open (is_current) interval per customer; consecutive versions
+    never repeat a status."""
+    from collections import defaultdict
+
+    from charlotte_spark.registry import load_all_queries
+
+    rows = load_all_queries()["d98_scd2_history"].fn(spark, sf_dir).collect()
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r["o_custkey"]].append(r)
+    assert by_cust
+    for cust, hist in by_cust.items():
+        hist.sort(key=lambda r: r["version"])
+        assert [h["version"] for h in hist] == list(range(1, len(hist) + 1))
+        assert sum(h["is_current"] for h in hist) == 1
+        assert hist[-1]["is_current"] == 1
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to"] == b["valid_from"], (cust, a, b)
+            assert a["status"] != b["status"], (cust, a, b)
