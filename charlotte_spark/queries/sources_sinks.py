@@ -140,6 +140,60 @@ def d99_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d101_shard_export",
+    tags=("D101", "D4", "D78"),
+    oracle="""
+    WITH sharded AS (
+        SELECT *, CAST('0x' || substring(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard
+        FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS shard_md5
+    FROM sharded GROUP BY shard ORDER BY shard
+    """,
+)
+def d101_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export: split the corpus into 8 hash-addressed
+    shards (stable under appends, like the D78 split), write them as a
+    shard-partitioned dataset, and re-read to produce the manifest a
+    training loader consumes — per-shard row count, byte volume, and a
+    byte-exact content digest. The digest is computed from the files
+    actually written (not the logical plan), so the check covers the
+    full write→read path. At 100 TB the shard column bounds file counts
+    (writers per shard × shards) and lets loaders address work without
+    listing the whole dataset."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "shard",
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        % 8,
+    )
+    sig = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{TMP}/shards_{sig}"
+    docs.write.mode("overwrite").partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    digest = F.md5(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", F.md5("text").alias("h")))),
+                lambda s: s["h"],
+            ),
+        )
+    )
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            digest.alias("shard_md5"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
     "d6_file_stream_checkpoint",
     tags=("D6", "R1", "R2"),
     oracle="""

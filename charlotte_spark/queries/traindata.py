@@ -422,6 +422,73 @@ def d81_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D100: temperature-based mixture sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d100_temperature_sampling",
+    tags=("D100", "D81"),
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang, n,
+               CAST(floor(10000.0 * sqrt((SELECT min(n) FROM counts) * 1.0 / n)) AS BIGINT) AS rate_bp
+        FROM counts
+    ),
+    kept AS (
+        SELECT d.lang
+        FROM documents d JOIN rates r USING (lang)
+        WHERE ({sql_hash_long("d.doc_id", "temp5|")} % 10000) < r.rate_bp
+    )
+    SELECT r.lang, r.n AS n_before, r.rate_bp,
+           CAST(count(k.lang) AS BIGINT) AS n_after
+    FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+    GROUP BY r.lang, r.n, r.rate_bp ORDER BY r.lang
+    """,
+)
+def d100_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (alpha = 0.5): flatten the
+    language mixture PART of the way to uniform rather than all the way
+    (d81) — the standard multilingual-pretraining recipe (alpha-scaled
+    sampling as in mBERT/XLM-R and UNIMAX-style caps). With
+    p_l proportional to n_l^alpha and the budget pinned so the rarest
+    language keeps all its documents, the per-language keep rate
+    reduces to (n_min/n_l)^(1-alpha) — sqrt for alpha = 0.5; alpha = 0
+    degenerates to d81's full leveling, alpha = 1 to no resampling.
+    Same scale shape as d81: one tiny per-stratum aggregate broadcast
+    back, then a pure per-row hash filter — no corpus shuffle. sqrt is
+    IEEE-identical in both engines, so the basis-point thresholds (and
+    therefore membership) are deterministic."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        "n",
+        F.floor(10000.0 * F.sqrt(F.col("min_n") / F.col("n"))).alias("rate_bp"),
+    )
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .filter((portable_hash_long("doc_id", "temp5|") % 10000) < F.col("rate_bp"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").alias("n_before"),
+            "rate_bp",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # D88: PII redaction
 # ---------------------------------------------------------------------------
 

@@ -166,6 +166,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d97_pagerank",
     "d98_scd2_history",
     "d99_orc_roundtrip",
+    "d100_temperature_sampling",
+    "d101_shard_export",
     "r_charlotte_event_records",
     "d33_ranking_functions",
     "d35_running_aggregates",
