@@ -1,0 +1,149 @@
+"""Event-sequence analytics over the events table (SURVEY §2.2
+D103/D104).
+
+The funnel and cohort-retention shapes every product/telemetry
+warehouse runs — and, for this engine's security lineage, the same
+computation as attack-chain staging (recon → exploit → exfil within a
+bound) and sensor-population retention. The reference's closest analog
+is its per-sensor event sequencing (R19); these operators declare the
+general multi-stage form.
+
+Scale notes: both lower to ONE groupBy shuffle on user_id (funnel:
+conditional min-timestamps per stage, then stage predicates composed
+row-wise; retention: first-activity cohort joined back by key). No
+self-joins over the event log, no window over the full stream — the
+event table is touched once per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round
+from ..registry import query
+
+_FUNNEL_DAYS = 7
+
+
+@query(
+    "d103_conversion_funnel",
+    tags=("D103", "D28"),
+    oracle=f"""
+    WITH stages AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+        FROM events GROUP BY user_id
+    ),
+    flags AS (
+        SELECT user_id,
+               CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS s1,
+               CASE WHEN t1 IS NOT NULL AND t2 > t1
+                     AND t2 <= t1 + INTERVAL {_FUNNEL_DAYS} DAY THEN 1 ELSE 0 END AS s2,
+               CASE WHEN t1 IS NOT NULL AND t2 > t1
+                     AND t2 <= t1 + INTERVAL {_FUNNEL_DAYS} DAY
+                     AND t3 > t2
+                     AND t3 <= t1 + INTERVAL {_FUNNEL_DAYS} DAY THEN 1 ELSE 0 END AS s3
+        FROM stages
+    )
+    SELECT CAST(sum(s1) AS BIGINT) AS n_signup,
+           CAST(sum(s2) AS BIGINT) AS n_click,
+           CAST(sum(s3) AS BIGINT) AS n_purchase,
+           {sql_round("sum(s3) * 1.0 / nullif(sum(s1), 0)", 6)} AS conversion
+    FROM flags
+    """,
+)
+def d103_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase within a
+    7-day window of the first signup. Stage k counts users whose
+    EARLIEST stage-k event strictly follows their stage-(k−1) entry
+    and lands inside the window — the standard first-touch funnel.
+
+    One conditional-min aggregate per user (map-side partial), then
+    pure row-wise stage predicates: the event log is scanned once and
+    shuffled once, never self-joined — at 100 TB the funnel costs the
+    same as a count per user."""
+    e = load_table(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t2"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t3"),
+    )
+    lim = F.col("t1") + F.expr(f"INTERVAL {_FUNNEL_DAYS} DAYS")
+    s1 = F.col("t1").isNotNull()
+    s2 = s1 & (F.col("t2") > F.col("t1")) & (F.col("t2") <= lim)
+    s3 = s2 & (F.col("t3") > F.col("t2")) & (F.col("t3") <= lim)
+    flags = stages.select(
+        s1.cast("int").alias("s1"), s2.cast("int").alias("s2"), s3.cast("int").alias("s3")
+    )
+    return flags.agg(
+        F.sum("s1").alias("n_signup"),
+        F.sum("s2").alias("n_click"),
+        F.sum("s3").alias("n_purchase"),
+        pround(F.sum("s3") / F.nullif(F.sum("s1"), F.lit(0)), 6).alias("conversion"),
+    )
+
+
+@query(
+    "d104_cohort_retention",
+    tags=("D104", "D45"),
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    cohorts AS (
+        SELECT user_id,
+               date_trunc('week', first_ts) AS cohort_week
+        FROM firsts
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               c.cohort_week,
+               CAST(floor(date_diff('day', c.cohort_week, date_trunc('week', e.ts)) / 7.0) AS BIGINT) AS week_k
+        FROM events e JOIN cohorts c USING (user_id)
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_k,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity
+    GROUP BY cohort_week, week_k
+    ORDER BY cohort_week, week_k
+    """,
+)
+def d104_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-activity
+    week; n_active counts distinct cohort members active k weeks later.
+
+    Two aggregates on the SAME user_id key (first-activity, then
+    distinct user-week) with the cohort map joined back by that key —
+    the cohort table is O(users) and the event log shuffles once; at
+    100 TB the cohort join is the already-partitioned side, no log
+    self-join."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorts = firsts.select(
+        "user_id", F.date_trunc("week", "first_ts").alias("cohort_week")
+    )
+    activity = (
+        e.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7.0
+            )
+            .cast("long")
+            .alias("week_k"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"), "week_k"
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_k")
+    )

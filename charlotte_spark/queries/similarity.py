@@ -527,3 +527,98 @@ def d86_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("centroid_norm", norm_col[F.col("cluster_id")])
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D102: distributed PCA (top principal component via power iteration)
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 3
+_DIM = 64
+
+
+def _pca_oracle() -> str:
+    """3-iteration power-method CTE chain: s = X·w (list_dot_product —
+    same sequential fold as Spark's aggregate/zip_with, the d86-proven
+    parity), c = Xᵀs (per-dimension sum), w' = c/‖c‖ with the norm
+    folded in list (pos) order to match the Python-side normalization."""
+    sql = f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    w0 AS (
+        SELECT list_transform(range(1, {_DIM + 1}), i -> 1.0 / sqrt({_DIM}.0)) AS w
+    )"""
+    prev = "w0"
+    for t in range(1, _PCA_ITERS + 1):
+        sql += f""",
+    s{t} AS (
+        SELECT vec_id, v, list_dot_product(v, w) AS s FROM vecs, {prev}
+    ),
+    c{t} AS (
+        SELECT t.i AS pos, sum(x.v[t.i] * x.s) AS c
+        FROM s{t} x, range(1, {_DIM + 1}) t(i) GROUP BY t.i
+    ),
+    w{t} AS (
+        SELECT list_transform(cl, x -> x / sqrt(list_dot_product(cl, cl))) AS w
+        FROM (SELECT list(c ORDER BY pos) AS cl FROM c{t})
+    )"""
+        prev = f"w{t}"
+    return (
+        sql
+        + f"""
+    SELECT CAST(t.i - 1 AS INT) AS pos,
+           {sql_round(f"w[t.i]", 6)} AS loading
+    FROM {prev}, range(1, {_DIM + 1}) t(i)
+    ORDER BY pos
+    """
+    )
+
+
+@query("d102_pca_power", tags=("D102", "D86", "D75"), oracle=_pca_oracle())
+def d102_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA: top principal component of the (uncentered)
+    embedding Gram matrix by power iteration — the dimensionality-
+    reduction primitive next to quantization (D75) and clustering
+    (D86) in an embedding-pipeline toolbox.
+
+    The covariance matrix is NEVER materialized: each iteration
+    computes s = X·w as a per-row JVM fold against the broadcast
+    literal w (zero shuffle), then c = Xᵀs as ONE posexplode shuffle
+    onto dim keys — at 100 TB each round moves O(dim) aggregates, and
+    only the dim-length vector reaches the driver per iteration (the
+    same budget class as D86's centroids). Fixed 3 iterations from a
+    deterministic uniform start keep the result — including the
+    component's sign — bit-stable; the oracle replays the identical
+    chain in DOUBLE."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # linear re-scans only (no downstream join planning) => persist,
+    # per the SCALE.md checkpoint-vs-persist rule
+    emb = emb.persist()
+    w = [1.0 / math.sqrt(float(_DIM))] * _DIM
+    for _ in range(_PCA_ITERS):
+        arr = F.array(*[F.lit(float(x)) for x in w])
+        score = F.aggregate(
+            F.zip_with("v", arr, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+        )
+        comp = (
+            emb.select(score.alias("s"), F.posexplode("v").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("x") * F.col("s")).alias("c"))
+        )
+        cmap = {r["pos"]: r["c"] for r in comp.collect()}
+        c = [cmap[i] for i in range(_DIM)]
+        nrm = math.sqrt(sum(x * x for x in c))
+        w = [x / nrm for x in c]
+    emb.unpersist()
+    from ..session import local_df
+
+    rows = [(i, w[i]) for i in range(_DIM)]
+    return (
+        local_df(spark, rows, "pos int, loading double")
+        .select("pos", pround("loading", 6).alias("loading"))
+        .orderBy("pos")
+    )

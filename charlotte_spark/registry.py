@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "charlotte_spark.queries.reshape",
     "charlotte_spark.queries.sketches",
     "charlotte_spark.queries.graph",
+    "charlotte_spark.queries.eventanalytics",
     "charlotte_spark.queries.streaming_queries",
     "charlotte_spark.queries.charlotte_pipeline",
 )
@@ -168,6 +169,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d99_orc_roundtrip",
     "d100_temperature_sampling",
     "d101_shard_export",
+    "d102_pca_power",
+    "d103_conversion_funnel",
+    "d104_cohort_retention",
     "r_charlotte_event_records",
     "d33_ranking_functions",
     "d35_running_aggregates",

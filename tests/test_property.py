@@ -382,3 +382,39 @@ def test_scd2_intervals_partition_history(spark, sf_dir):
         for a, b in zip(hist, hist[1:]):
             assert a["valid_to"] == b["valid_from"], (cust, a, b)
             assert a["status"] != b["status"], (cust, a, b)
+
+
+def test_unpivot_inverts_pivot(spark, sf_dir):
+    """D91: pivoting a long aggregate wide and unpivoting it back must
+    reproduce the long form exactly (reshape round-trip identity)."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    long = (
+        orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    statuses = ["F", "O", "P"]
+    wide = (
+        long.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.first("n"))
+    )
+    back = (
+        wide.unpivot(["o_orderpriority"], statuses, "o_orderstatus", "n")
+        .filter(F.col("n").isNotNull())
+    )
+    a = sorted(map(tuple, long.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_funnel_stages_are_monotone(spark, sf_dir):
+    """D103: later funnel stages can never exceed earlier ones, and the
+    conversion ratio is consistent with the stage counts."""
+    from charlotte_spark.registry import load_all_queries
+
+    r = load_all_queries()["d103_conversion_funnel"].fn(spark, sf_dir).collect()[0]
+    assert r["n_signup"] >= r["n_click"] >= r["n_purchase"] >= 0
+    if r["n_signup"]:
+        assert abs(r["conversion"] - r["n_purchase"] / r["n_signup"]) < 1e-4
