@@ -1,0 +1,236 @@
+"""Approximate matching & retrieval primitives (SURVEY §2.2
+D105–D107).
+
+Three corpus/catalog operators rounding out the text-pipeline surface:
+fuzzy record reconciliation (typo-tolerant matching of a dirty catalog
+back to a master list — the entity-resolution shape), collocation
+extraction by pointwise mutual information (corpus phrase mining), and
+an inverted-index build (the retrieval primitive under every search
+stack).
+
+Scale notes: the fuzzy join is BLOCKED — candidate pairs come from an
+equality join on a cheap blocking key (first token + next initial), so
+edit distance runs on O(block²) pairs per block, never all-pairs (the
+same never-all-pairs discipline as A66's LSH). PMI and the inverted
+index are one-to-two groupBy shuffles on the token key with map-side
+partial aggregation; posting lists are built per token, top-k selected
+via TakeOrdered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import fan_out, load_table
+from ..functions.portable import pround, sql_round
+from ..functions.shingles import explode_shingles
+from ..registry import query
+
+
+@query(
+    "d105_fuzzy_reconcile",
+    tags=("D105", "A66"),
+    oracle="""
+    WITH clean AS (
+        SELECT p_partkey, p_name,
+               string_split(p_name, ' ')[1] || ' ' || substring(string_split(p_name, ' ')[2], 1, 1) AS blk
+        FROM part
+    ),
+    dirty AS (
+        SELECT p_partkey AS d_key, p_name || 'x' AS d_name, blk
+        FROM clean WHERE p_partkey % 3 = 0
+    ),
+    cand AS (
+        SELECT d.d_key, c.p_partkey AS c_key,
+               levenshtein(d.d_name, c.p_name) AS dist
+        FROM dirty d JOIN clean c USING (blk)
+        WHERE levenshtein(d.d_name, c.p_name) <= 1
+    ),
+    best AS (
+        SELECT d_key, min(dist) AS best_d,
+               CAST(count(*) AS BIGINT) AS n_cand
+        FROM cand GROUP BY d_key
+    ),
+    scored AS (
+        SELECT b.d_key, b.n_cand,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM cand c
+                   WHERE c.d_key = b.d_key AND c.c_key = b.d_key AND c.dist = b.best_d
+               ) THEN 1 ELSE 0 END AS correct
+        FROM best b
+    )
+    SELECT CAST((SELECT count(*) FROM dirty) AS BIGINT) AS n_dirty,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(sum(correct) AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN n_cand > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ambiguous
+    FROM scored
+    """,
+)
+def d105_fuzzy_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant catalog reconciliation: a deterministically
+    corrupted copy of every 3rd part name (one appended character) is
+    matched back to the master list by Levenshtein distance ≤ 1 inside
+    BLOCKS keyed on (first token, initial of second token) — the
+    entity-resolution recipe: cheap blocking key for candidate
+    generation, exact edit distance only within blocks. The checked
+    output includes recovery accuracy (did the true partkey win?) and
+    ambiguity count, so matching quality — not just plumbing — is
+    hash-verified. Levenshtein is an exact DP, identical across
+    engines."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    toks = F.split("p_name", " ")
+    blk = F.concat(
+        F.element_at(toks, 1), F.lit(" "), F.substring(F.element_at(toks, 2), 1, 1)
+    )
+    clean = p.withColumn("blk", blk)
+    dirty = clean.filter(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("d_key"),
+        F.concat("p_name", F.lit("x")).alias("d_name"),
+        "blk",
+    )
+    cand = (
+        dirty.join(clean, "blk")
+        .withColumn("dist", F.levenshtein("d_name", "p_name"))
+        .filter(F.col("dist") <= 1)
+        .select("d_key", F.col("p_partkey").alias("c_key"), "dist")
+    )
+    best = cand.groupBy("d_key").agg(
+        F.min("dist").alias("best_d"), F.count(F.lit(1)).alias("n_cand")
+    )
+    correct = (
+        cand.join(best, "d_key")
+        .filter((F.col("c_key") == F.col("d_key")) & (F.col("dist") == F.col("best_d")))
+        .select("d_key")
+        .distinct()
+        .withColumn("correct", F.lit(1))
+    )
+    scored = best.join(correct, "d_key", "left").select(
+        "n_cand", F.coalesce("correct", F.lit(0)).alias("correct")
+    )
+    n_dirty = dirty.count()
+    return scored.agg(
+        F.lit(n_dirty).cast("long").alias("n_dirty"),
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("correct").cast("long").alias("n_correct"),
+        F.sum((F.col("n_cand") > 1).cast("int")).cast("long").alias("n_ambiguous"),
+    )
+
+
+@query(
+    "d106_pmi_collocations",
+    tags=("D106", "D70"),
+    oracle=f"""
+    WITH docs AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+    ),
+    uni AS (
+        SELECT unnest(toks) AS w FROM docs
+    ),
+    ucnt AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w
+    ),
+    utot AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM uni),
+    bi AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS gram
+        FROM docs WHERE len(toks) >= 2
+    ),
+    bcnt AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY gram
+    ),
+    btot AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bi),
+    top AS (
+        SELECT gram, cab FROM bcnt ORDER BY cab DESC, gram LIMIT 20
+    )
+    SELECT t.gram, t.cab,
+           {sql_round("ln((t.cab * 1.0 / b.nb) / ((a.c * 1.0 / u.nu) * (c2.c * 1.0 / u.nu)))", 4)} AS pmi
+    FROM top t
+    JOIN ucnt a ON a.w = string_split(t.gram, ' ')[1]
+    JOIN ucnt c2 ON c2.w = string_split(t.gram, ' ')[2]
+    CROSS JOIN utot u CROSS JOIN btot b
+    ORDER BY t.cab DESC, t.gram
+    """,
+)
+def d106_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the 20 most frequent word bigrams scored by
+    pointwise mutual information, PMI = ln(p(ab) / (p(a)·p(b))) — the
+    classic corpus phrase-extraction statistic (Church & Hanks 1990).
+
+    Unigram and bigram counting are each one partial-agg shuffle on the
+    token key; PMI joins touch only the top-20 bigrams against the
+    unigram table (at 100 TB the top-k side is 20 rows — the unigram
+    lookups broadcast the QUERY side, never the vocabulary). ln is
+    IEEE-identical across engines; probabilities divide BIGINT counts
+    in DOUBLE."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    uni = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    utot = uni.agg(F.count(F.lit(1)).alias("nu"))
+    bi = explode_shingles(docs, 2, keep=())
+    bcnt = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("cab"))
+    btot = bi.agg(F.count(F.lit(1)).alias("nb"))
+    top = bcnt.orderBy(F.desc("cab"), F.asc("gram")).limit(20)
+    split = F.split("gram", " ")
+    top = top.withColumn("w1", F.element_at(split, 1)).withColumn(
+        "w2", F.element_at(split, 2)
+    )
+    a = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    b = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    joined = (
+        top.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+    )
+    pmi = F.log(
+        (F.col("cab") * 1.0 / F.col("nb"))
+        / ((F.col("ca") * 1.0 / F.col("nu")) * (F.col("cb") * 1.0 / F.col("nu")))
+    )
+    return joined.select("gram", "cab", pround(pmi, 4).alias("pmi")).orderBy(
+        F.desc("cab"), "gram"
+    )
+
+
+@query(
+    "d107_inverted_index",
+    tags=("D107", "D69"),
+    oracle="""
+    WITH posting AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS token, doc_id
+        FROM documents
+    ),
+    idx AS (
+        SELECT token,
+               CAST(count(*) AS BIGINT) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM posting GROUP BY token
+    )
+    SELECT token, df, md5(postings) AS postings_md5
+    FROM idx ORDER BY df DESC, token LIMIT 20
+    """,
+)
+def d107_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → sorted posting list of doc_ids,
+    reported for the 20 highest-document-frequency terms with the
+    posting lists verified by digest. ONE shuffle keyed on the token
+    builds every posting list (collect_list + array_sort per key);
+    at 100 TB posting lists for stop-word-class tokens are the skew
+    risk — production layouts split them into blocks, which is the
+    same groupBy with a (token, doc_id div B) key."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    posting = docs.select(
+        F.explode(F.split("text", " ")).alias("token"), "doc_id"
+    ).distinct()
+    idx = posting.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+            )
+        ).alias("postings_md5"),
+    )
+    return idx.orderBy(F.desc("df"), "token").limit(20)

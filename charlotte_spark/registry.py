@@ -61,6 +61,7 @@ _QUERY_MODULES = (
     "charlotte_spark.queries.sketches",
     "charlotte_spark.queries.graph",
     "charlotte_spark.queries.eventanalytics",
+    "charlotte_spark.queries.corpus_search",
     "charlotte_spark.queries.streaming_queries",
     "charlotte_spark.queries.charlotte_pipeline",
 )
@@ -172,6 +173,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d102_pca_power",
     "d103_conversion_funnel",
     "d104_cohort_retention",
+    "d105_fuzzy_reconcile",
+    "d106_pmi_collocations",
+    "d107_inverted_index",
     "r_charlotte_event_records",
     "d33_ranking_functions",
     "d35_running_aggregates",
