@@ -282,3 +282,47 @@ def d13_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("l_returnflag", "l_linestatus", "l_suppkey")
     )
+
+
+@query(
+    "d108_sql_text_surface",
+    tags=("D108", "D1", "D14", "D24"),
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_round("sum(o.o_totalprice)", 2)} AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def d108_sql_text_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text entry point: the same engine surface through
+    ``spark.sql`` over registered views — a user of the reference who
+    writes SQL (its queries ARE SQL templates,
+    /root/reference/charlotte/__init__.py:473-608) gets the identical
+    Catalyst plan as the DataFrame API: pushed filters, pruned columns,
+    broadcast dimension joins. The query text below is near-verbatim
+    the DuckDB oracle, modulo the portable rounding wrapper."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    # portable round spelled with explicit DOUBLE casts: in Spark SQL
+    # text, `floor(x)/100.0` types as DECIMAL (bigint ÷ decimal
+    # literal), unlike the DataFrame API where lit(100.0) is DOUBLE
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               count(*) AS n_orders,
+               CAST(floor(sum(o.o_totalprice) * 100.0 + 0.5) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS total
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """
+    )

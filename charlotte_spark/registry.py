@@ -176,6 +176,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d105_fuzzy_reconcile",
     "d106_pmi_collocations",
     "d107_inverted_index",
+    "d108_sql_text_surface",
     "r_charlotte_event_records",
     "d33_ranking_functions",
     "d35_running_aggregates",
