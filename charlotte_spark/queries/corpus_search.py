@@ -45,26 +45,21 @@ from ..registry import query
         SELECT d.d_key, c.p_partkey AS c_key,
                levenshtein(d.d_name, c.p_name) AS dist
         FROM dirty d JOIN clean c USING (blk)
-        WHERE levenshtein(d.d_name, c.p_name) <= 1
+        WHERE abs(len(d.d_name) - len(c.p_name)) <= 1
+          AND levenshtein(d.d_name, c.p_name) <= 1
     ),
     best AS (
         SELECT d_key, min(dist) AS best_d,
-               CAST(count(*) AS BIGINT) AS n_cand
+               CAST(count(*) AS BIGINT) AS n_cand,
+               min(CASE WHEN c_key = d_key THEN dist END) AS self_d
         FROM cand GROUP BY d_key
-    ),
-    scored AS (
-        SELECT b.d_key, b.n_cand,
-               CASE WHEN EXISTS (
-                   SELECT 1 FROM cand c
-                   WHERE c.d_key = b.d_key AND c.c_key = b.d_key AND c.dist = b.best_d
-               ) THEN 1 ELSE 0 END AS correct
-        FROM best b
     )
     SELECT CAST((SELECT count(*) FROM dirty) AS BIGINT) AS n_dirty,
            CAST(count(*) AS BIGINT) AS n_matched,
-           CAST(sum(correct) AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN self_d IS NOT NULL AND self_d = best_d
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
            CAST(sum(CASE WHEN n_cand > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ambiguous
-    FROM scored
+    FROM best
     """,
 )
 def d105_fuzzy_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,28 +86,34 @@ def d105_fuzzy_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         dirty.join(clean, "blk")
-        .withColumn("dist", F.levenshtein("d_name", "p_name"))
-        .filter(F.col("dist") <= 1)
+        # length prefilter: |len diff| ≤ 1 is NECESSARY for lev ≤ 1 and
+        # costs O(1) vs the O(len²) DP — prunes most block pairs first
+        .filter(F.abs(F.length("d_name") - F.length("p_name")) <= 1)
+        # thresholded levenshtein early-exits the DP past distance 1
+        # (returns -1 above the bound) — same kept pairs, less work
+        .withColumn("dist", F.levenshtein("d_name", "p_name", 1))
+        .filter(F.col("dist") >= 0)
         .select("d_key", F.col("p_partkey").alias("c_key"), "dist")
     )
+    # correctness probed INSIDE the same aggregate (min over the
+    # self-match case), so the blocked edit-distance join is consumed
+    # exactly once — no second pass, no checkpoint needed
     best = cand.groupBy("d_key").agg(
-        F.min("dist").alias("best_d"), F.count(F.lit(1)).alias("n_cand")
-    )
-    correct = (
-        cand.join(best, "d_key")
-        .filter((F.col("c_key") == F.col("d_key")) & (F.col("dist") == F.col("best_d")))
-        .select("d_key")
-        .distinct()
-        .withColumn("correct", F.lit(1))
-    )
-    scored = best.join(correct, "d_key", "left").select(
-        "n_cand", F.coalesce("correct", F.lit(0)).alias("correct")
+        F.min("dist").alias("best_d"),
+        F.count(F.lit(1)).alias("n_cand"),
+        F.min(F.when(F.col("c_key") == F.col("d_key"), F.col("dist"))).alias("self_d"),
     )
     n_dirty = dirty.count()
-    return scored.agg(
+    return best.agg(
         F.lit(n_dirty).cast("long").alias("n_dirty"),
         F.count(F.lit(1)).alias("n_matched"),
-        F.sum("correct").cast("long").alias("n_correct"),
+        F.sum(
+            (F.col("self_d").isNotNull() & (F.col("self_d") == F.col("best_d"))).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_correct"),
         F.sum((F.col("n_cand") > 1).cast("int")).cast("long").alias("n_ambiguous"),
     )
 

@@ -193,6 +193,39 @@ def test_bloom_screen_never_shuffles_probe_against_benchmark(audits):
     assert not a["nested_loop_join"]
 
 
+def test_scd2_builds_on_one_shuffle(audits):
+    """d98: change capture and interval close share the custkey window
+    partitioning — one window exchange plus the output sort."""
+    a = audits("d98_scd2_history")
+    assert a["n_exchanges"] <= 4
+
+
+def test_fuzzy_join_is_blocked_not_cartesian(audits):
+    """d105: candidate generation must be an equality join on the
+    blocking key — a cartesian product or BNLJ here is the all-pairs
+    blowup the blocking exists to prevent."""
+    a = audits("d105_fuzzy_reconcile")
+    assert not a["nested_loop_join"]
+    assert a["broadcast_hash_join"] or a["sort_merge_join"] or a["shuffled_hash_join"]
+
+
+def test_funnel_has_no_self_join(audits):
+    """d103: the funnel is one conditional-min aggregate — no join of
+    the event log against itself may appear."""
+    a = audits("d103_conversion_funnel")
+    assert len(a["scans"]) == 1, "event log must be scanned exactly once"
+    assert a["partial_aggregate"]
+    assert not (a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"])
+
+
+def test_inverted_index_topk_is_take_ordered(audits):
+    """d107: top-df selection must be TakeOrdered over the already-
+    reduced index, not a global sort of the vocabulary."""
+    a = audits("d107_inverted_index")
+    assert "TakeOrdered" in a["plan"]
+    assert a["partial_aggregate"]
+
+
 def test_simhash_signature_is_map_side(audits):
     """d66_simhash: signatures must come out of the scan stage (HOF fold,
     no token explode + re-aggregate). The remaining exchanges are the
