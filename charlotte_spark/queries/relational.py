@@ -326,3 +326,57 @@ def d108_sql_text_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name
         """
     )
+
+
+@query(
+    "d109_recursive_cte",
+    tags=("D109", "D108", "D74"),
+    oracle=f"""
+    WITH RECURSIVE walk(key, node, depth) AS (
+        SELECT p_partkey, p_partkey, 0 FROM part
+        UNION ALL
+        SELECT key, node // 4, depth + 1 FROM walk WHERE node > 0
+    ),
+    depths AS (
+        SELECT key, max(depth) AS depth FROM walk GROUP BY key
+    )
+    SELECT d.depth,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_round("sum(p.p_retailprice)", 2)} AS total_price
+    FROM depths d JOIN part p ON d.key = p.p_partkey
+    GROUP BY d.depth ORDER BY d.depth
+    """,
+)
+def d109_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4.x): per-key path-to-root
+    depth over a synthetic quaternary hierarchy on part keys
+    (parent(k) = k div 4), rolled up to per-depth counts and price
+    totals. The general hierarchy/graph-walk SQL surface — the same
+    engine mechanism DuckDB uses for d74's transitive-closure oracle,
+    now exercised on the SPARK side too.
+
+    Execution is Spark's iterative union-loop: each recursion step is
+    one narrow projection over the previous step's frontier (no joins
+    here), with the frontier shrinking ~4× per level — ~log₄(maxkey)
+    bounded steps, never a driver-side loop."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(key, node, depth) AS (
+            SELECT p_partkey, p_partkey, 0 FROM part
+            UNION ALL
+            SELECT key, node div 4, depth + 1 FROM walk WHERE node > 0
+        ),
+        depths AS (
+            SELECT key, max(depth) AS depth FROM walk GROUP BY key
+        )
+        SELECT d.depth,
+               count(*) AS n,
+               CAST(floor(sum(p.p_retailprice) * 100.0 + 0.5) AS DOUBLE)
+                   / CAST(100.0 AS DOUBLE) AS total_price
+        FROM depths d JOIN part p ON d.key = p.p_partkey
+        GROUP BY d.depth ORDER BY d.depth
+        """
+    )

@@ -177,6 +177,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d106_pmi_collocations",
     "d107_inverted_index",
     "d108_sql_text_surface",
+    "d109_recursive_cte",
     "r_charlotte_event_records",
     "d33_ranking_functions",
     "d35_running_aggregates",
