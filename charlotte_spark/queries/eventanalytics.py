@@ -1,5 +1,5 @@
 """Event-sequence analytics over the events table (SURVEY §2.2
-D103/D104).
+D103/D104/D111).
 
 The funnel and cohort-retention shapes every product/telemetry
 warehouse runs — and, for this engine's security lineage, the same
@@ -146,4 +146,78 @@ def d104_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_k")
+    )
+
+
+@query(
+    "d111_session_paths",
+    tags=("D111", "D55", "D29"),
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 300000000
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM ordered
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 8), '>') AS path
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM paths GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def d111_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining (journey analysis): per 5-minute-gap session,
+    the ordered sequence of event types (truncated to 8 steps), ranked
+    by frequency — the sequence-mining shape behind funnel discovery
+    and, in the reference's domain, attack-chain pattern surfacing.
+
+    Sessionization is the d55 gaps-and-islands window (one user_id
+    shuffle); path construction is collect_list + array_sort per
+    session key (the same shuffle's aggregation side); the top-10 is
+    TakeOrdered over the already-aggregated path counts."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # microsecond-exact gap test (ts.cast('long') truncates to seconds
+    # and would disagree with the oracle's epoch_us diff on sub-second
+    # boundaries)
+    # NTZ → TZ cast is the identity under the pinned UTC session TZ;
+    # unix_micros only accepts TIMESTAMP
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_s = (us - F.lag(us).over(w) > 300_000_000) | F.lag("ts").over(w).isNull()
+    sess = e.withColumn("session_id", F.sum(new_s.cast("int")).over(run))
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                8,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
     )

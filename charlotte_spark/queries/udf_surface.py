@@ -166,3 +166,63 @@ def d64_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(bigrams, "doc_id long, bigram string")
         .orderBy("doc_id", "bigram")
     )
+
+
+@query(
+    "d110_python_udtf",
+    tags=("D110", "D64", "D73"),
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n) AS BIGINT) AS total_toks
+    FROM (
+        SELECT lang,
+               unnest(list_transform(
+                   range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                   i -> CASE WHEN (i + 1) * 8 <= len(toks) THEN 8
+                             ELSE len(toks) - i * 8 END)) AS n
+        FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+    )
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def d110_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (the @udtf API, Spark 3.5+)
+    consumed through a SQL LATERAL join: each document expands to its
+    8-token chunks with per-chunk token counts, rolled up per language.
+
+    This row declares the UDTF API surface itself — the engine's BULK
+    chunking path stays the pure-JVM window explode (d73); a UDTF is
+    the right tool when the expansion logic needs arbitrary Python per
+    input row (external tokenizers, format-specific splitters). The
+    expansion is LATERAL — executed per partition alongside the scan,
+    no shuffle added; only the rollup aggregates."""
+    from pyspark.sql.functions import udtf
+
+    from ..catalog import register_views
+
+    # Arrow-batch the UDTF boundary (repo policy: no row-at-a-time
+    # pickling on the Python edge); semantics unchanged if unsupported
+    try:
+        spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    except Exception:
+        pass
+
+    @udtf(returnType="chunk_idx: int, n_toks: int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            for i in range(0, len(toks), 8):
+                yield (i // 8, len(toks[i : i + 8]))
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.lang,
+               count(*) AS n_chunks,
+               sum(c.n_toks) AS total_toks
+        FROM documents d, LATERAL chunk_doc(d.text) c
+        GROUP BY d.lang ORDER BY d.lang
+        """
+    )

@@ -178,6 +178,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d107_inverted_index",
     "d108_sql_text_surface",
     "d109_recursive_cte",
+    "d110_python_udtf",
+    "d111_session_paths",
     "r_charlotte_event_records",
     "d33_ranking_functions",
     "d35_running_aggregates",
