@@ -224,3 +224,109 @@ def d98_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         F.col("valid_to_ts").isNull().cast("long").alias("is_current"),
     ).orderBy("o_custkey", "version")
+
+
+@query(
+    "d112_histogram",
+    tags=("D112", "D93"),
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(least(floor((l_quantity - 1) / 5.0), 9) AS BIGINT) AS bucket
+        FROM lineitem
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM b)
+    SELECT bucket,
+           CAST(bucket * 5 + 1 AS BIGINT) AS lo,
+           CAST(bucket * 5 + 5 AS BIGINT) AS hi,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_round("count(*) / t", 6)} AS share
+    FROM b, tot
+    GROUP BY bucket, t ORDER BY bucket
+    """,
+)
+def d112_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram profile of l_quantity (10 buckets of 5) —
+    the data-profiling primitive behind skew diagnosis and bin-based
+    statistics. One partial-agg shuffle onto ≤10 keys; the bucket
+    expression is a pure scan-stage projection, so a 100 TB histogram
+    costs one pass with KB-sized shuffle traffic. (Quantile-based
+    profiles are A32/D32x; this is the equi-WIDTH companion.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.least(F.floor((F.col("l_quantity") - 1) / 5.0), F.lit(9))
+        .cast("long")
+        .alias("bucket")
+    )
+    tot = b.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (F.col("bucket") * 5 + 1).cast("long").alias("lo"),
+            (F.col("bucket") * 5 + 5).cast("long").alias("hi"),
+            "n",
+            pround(F.col("n") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "d113_chi_square",
+    tags=("D113", "D93"),
+    oracle=f"""
+    WITH cells AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p,
+               CAST(count(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    rows_m AS (SELECT s, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY s),
+    cols_m AS (SELECT p, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY p),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT c.o, (r.rt * 1.0 * m.ct) / t.n AS e
+        FROM cells c JOIN rows_m r USING (s) JOIN cols_m m USING (p)
+        CROSS JOIN tot t
+    )
+    SELECT {sql_round("sum((o - e) * (o - e) / e)", 4)} AS chi2,
+           CAST((SELECT (count(*) - 1) FROM rows_m)
+                * (SELECT (count(*) - 1) FROM cols_m) AS BIGINT) AS dof
+    FROM terms
+    """,
+)
+def d113_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence over the order status × priority
+    contingency table — the categorical-association statistic a
+    curation pipeline uses to detect drift between strata (e.g. source
+    vs language mix shifts).
+
+    The contingency table is ONE partial-agg shuffle (|S|×|P| cells);
+    margins and expected counts derive from the cells (KB-sized), never
+    re-scanning the fact table — at 100 TB the test costs one pass plus
+    joins over ≤dozens of rows."""
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows_m = cells.groupBy("s").agg(F.sum("o").alias("rt"))
+    cols_m = cells.groupBy("p").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    terms = (
+        cells.join(rows_m, "s")
+        .join(cols_m, "p")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o", ((F.col("rt") * 1.0 * F.col("ct")) / F.col("n")).alias("e")
+        )
+    )
+    n_rows = rows_m.count()
+    n_cols = cols_m.count()
+    return terms.agg(
+        pround(F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 4).alias(
+            "chi2"
+        ),
+        F.lit((n_rows - 1) * (n_cols - 1)).cast("long").alias("dof"),
+    )

@@ -180,6 +180,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d109_recursive_cte",
     "d110_python_udtf",
     "d111_session_paths",
+    "d112_histogram",
+    "d113_chi_square",
     "r_charlotte_event_records",
     "d33_ranking_functions",
     "d35_running_aggregates",
