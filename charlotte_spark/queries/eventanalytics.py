@@ -221,3 +221,57 @@ def d111_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@query(
+    "d115_ohlc_downsample",
+    tags=("D115", "D53", "D30"),
+    oracle=f"""
+    WITH keyed AS (
+        SELECT *, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+                  lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+        FROM events
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_hour,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_round("arg_min(value, k)", 4)} AS open,
+           {sql_round("max(value)", 4)} AS high,
+           {sql_round("min(value)", 4)} AS low,
+           {sql_round("arg_max(value, k)", 4)} AS close
+    FROM keyed
+    GROUP BY 1 ORDER BY bar_hour
+    """,
+)
+def d115_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to hourly OHLC bars (open = value at
+    the earliest (ts, event_id) in the bar, close at the latest) — the
+    resampling primitive behind metrics dashboards and market data.
+
+    open/close are min_by/max_by over a zero-padded (epoch_us,
+    event_id) string key — UNIQUE, so the bars are deterministic even
+    under timestamp ties (DuckDB's arg_min can't take composite keys;
+    lexicographic order of the padded string equals numeric order) —
+    and the whole downsample is ONE partial-agg shuffle on the bar key:
+    no window over the raw stream, no self-join; 100 TB of ticks reduce
+    map-side to |bars| rows."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bar_hour"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.min_by("value", key), 4).alias("open"),
+            pround(F.max("value"), 4).alias("high"),
+            pround(F.min("value"), 4).alias("low"),
+            pround(F.max_by("value", key), 4).alias("close"),
+        )
+        .orderBy("bar_hour")
+    )

@@ -330,3 +330,41 @@ def d113_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit((n_rows - 1) * (n_cols - 1)).cast("long").alias("dof"),
     )
+
+
+@query(
+    "d114_grouped_regression",
+    tags=("D114", "D93"),
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_round("regr_slope(l_extendedprice, l_quantity)", 4)} AS slope,
+           {sql_round("regr_intercept(l_extendedprice, l_quantity)", 4)} AS intercept,
+           {sql_round("regr_r2(l_extendedprice, l_quantity)", 6)} AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def d114_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum ordinary least squares: price-on-quantity slope,
+    intercept, and R² per return flag — the grouped-regression
+    analytics shape (trend per segment) as a single aggregate pass.
+
+    regr_slope/regr_intercept/regr_r2 are co-moment aggregates (the
+    same merge algebra as D93's corr/covar), so the whole fit is ONE
+    partial-agg shuffle — no per-group solver, no iteration; a 100 TB
+    per-segment trend fit costs exactly one scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            pround(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+                "intercept"
+            ),
+            pround(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )

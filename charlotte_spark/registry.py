@@ -182,6 +182,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d111_session_paths",
     "d112_histogram",
     "d113_chi_square",
+    "d114_grouped_regression",
+    "d115_ohlc_downsample",
     "r_charlotte_event_records",
     "d33_ranking_functions",
     "d35_running_aggregates",
