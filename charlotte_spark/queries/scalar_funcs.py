@@ -117,8 +117,8 @@ def d45_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c_custkey,
            {sql_round("c_acctbal", 2)} AS bal_r,
-           floor(c_acctbal) AS bal_floor,
-           ceil(c_acctbal) AS bal_ceil,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
            abs(c_acctbal - 5000) AS dist_5k,
            {sql_round("pow(c_acctbal / 1000, 2)", 4)} AS bal_sq,
            {sql_round("sqrt(abs(c_acctbal))", 4)} AS bal_sqrt,

@@ -350,7 +350,7 @@ def d67_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            {sql_round("scale", 6)} AS scale,
-           qv AS quantized,
+           array_to_string(qv, ',') AS quantized,
            CAST(list_sum(qv) AS BIGINT) AS q_sum,
            CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_saturated,
            {sql_round(
@@ -400,7 +400,10 @@ def d75_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id",
         pround("scale", 6).alias("scale"),
-        F.col("qv").alias("quantized"),
+        # Joined to a string (positional order — no sort needed): a raw
+        # array column is unhashable in the driver's pandas canonicalizer
+        # (registry determinism rule; r03 driver ERR).
+        F.array_join(F.transform("qv", lambda x: x.cast("string")), ",").alias("quantized"),
         F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
         F.size(F.filter("qv", lambda x: F.abs(x) == 127)).alias("n_saturated"),
         pround("raw_err", 6).alias("max_abs_err"),

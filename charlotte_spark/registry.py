@@ -86,74 +86,22 @@ def query(
 
 # Explicit enumeration order for the driver contract. The driver's
 # correctness gate checks the FIRST 50 entries of ``queries()`` each
-# round (CORRECTNESS_r01/r02 keys == list(queries())[:50]), so insertion
-# order decides which SURVEY rows get driver evidence. Slots 1-2 confirm
-# the two previously-red rows (q12 HUGEINT oracle fix, d27_grouping_sets
-# r01 fix); slots 3-50 are one representative per SURVEY row that has
-# never appeared in any driver window (scalar/window/setop rows, the
-# whole UDF + LLM-data surface, all streaming rows, and the rows-only
-# charlotte pipeline E2Es). Names past the 50-mark are the remaining
-# never-verified dedicated queries in case the window widens; everything
-# not listed follows in module registration order (all driver-green in
-# r01/r02 already).
+# round (CORRECTNESS_r01-r03 keys == list(queries())[:50]), so insertion
+# order decides which SURVEY rows get driver evidence. Round-4 rotation
+# (VERDICT r03, Next-round #1): slots 1-2 confirm the two r03-red rows
+# (d46 floor/ceil BIGINT oracle cast, d75 array_join output); slots 3-50
+# are 48 of the 49 hash-checkable queries that have never appeared in
+# any driver window — the whole D88-D115 cluster plus the dedicated
+# window/scalar/dedup variants. The one deferred candidate is
+# d68_topk_bruteforce (secondary variant; its SURVEY row D68 is already
+# driver-green via d68_ivf_topk) — it leads the post-window tail for
+# r05. Everything not listed follows in module registration order
+# (all driver-green in r01-r03 already).
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- fix confirmations (red in r01/r02) --
-    "q12_late_shipment_priority",
-    "d27_grouping_sets",
-    # -- never-driver-verified rows, one query per SURVEY row --
-    "d34_lag_lead",
-    "d36_range_frame",
-    "d40_hash_sample",
-    "d41_union_all_distinct",
-    "d42_intersect_all",
-    "d43_except_all",
+    # -- fix confirmations (red in r03) --
     "d46_math_functions",
-    "d47_conditional_null",
-    "d48_explode",
-    "d49_map_functions",
-    "d50_json_functions",
-    "d51_hash_encoding",
-    "d52_ip_str_to_long",
-    "d61_scalar_pandas_udf",
-    "d62_apply_in_pandas",
-    "d63_grouped_agg_udaf",
-    "d64_udtf_explode",
-    "d65_exact_dedup",
-    "a66_minhash_lsh_neardup",
-    "d74_neardup_clusters",
-    "d67_cosine_pairwise",
-    "d68_ivf_topk",
-    "d69_normalize_tokenize",
-    "d70_tf_idf",
-    "d71_langid_heuristic",
-    "d72_binary_fingerprint",
-    "d73_doc_chunking",
     "d75_embedding_quantize",
-    "d76_quality_repetition",
-    "d77_stratified_sample",
-    "d78_train_val_test_split",
-    "d79_contamination_screen",
-    "d80_sequence_packing",
-    "d81_mixture_rebalance",
-    "a83_hll_sketch_union",
-    "d85_frame_sampling",
-    "d86_kmeans",
-    "d53_tumbling_window",
-    "d54_sliding_window",
-    "d55_session_window",
-    "d56_watermark_late_drop",
-    "d57_streaming_dedup",
-    "d59_stream_static_join",
-    "d82_custom_stateful_sessions",
-    "d60_foreachbatch_upsert",
-    "r_charlotte_ingest_decode",
-    "r_charlotte_batch_pipeline",
-    "r_charlotte_text_mode",
-    # ---- 50-slot window boundary ----
-    # Remaining never-verified dedicated queries (their SURVEY rows are
-    # already green via composites, or they are secondary variants).
-    "d58_cid_sequencer_stream",
-    "r_charlotte_rollover_hook",
+    # -- never-driver-verified hash-checkable queries --
     "r_charlotte_graceful_drain",
     "d88_pii_redaction",
     "d89_intradoc_line_dedup",
@@ -184,7 +132,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d113_chi_square",
     "d114_grouped_regression",
     "d115_ohlc_downsample",
-    "r_charlotte_event_records",
     "d33_ranking_functions",
     "d35_running_aggregates",
     "d37_topk_per_group",
@@ -197,14 +144,69 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d48_array_functions",
     "d66_simhash",
     "d66_ngram_jaccard",
-    "d68_topk_bruteforce",
     "a68_lsh_ann_topk",
     "d67_embedding_neardup",
     "d69_quality_score",
     "d69_token_count",
     "d69_fingerprint",
     "d71_language_stats",
+    # ---- 50-slot window boundary ----
+    # r05 candidates: the one deferred hash-checkable variant, then the
+    # never-checked rows-only queries (weaker driver evidence), then the
+    # r03 window (all driver-green r03) for re-confirmation.
+    "d68_topk_bruteforce",
+    "d58_cid_sequencer_stream",
+    "r_charlotte_rollover_hook",
+    "r_charlotte_event_records",
     "d72_decode_pipeline",
+    "q12_late_shipment_priority",
+    "d27_grouping_sets",
+    "d34_lag_lead",
+    "d36_range_frame",
+    "d40_hash_sample",
+    "d41_union_all_distinct",
+    "d42_intersect_all",
+    "d43_except_all",
+    "d47_conditional_null",
+    "d48_explode",
+    "d49_map_functions",
+    "d50_json_functions",
+    "d51_hash_encoding",
+    "d52_ip_str_to_long",
+    "d61_scalar_pandas_udf",
+    "d62_apply_in_pandas",
+    "d63_grouped_agg_udaf",
+    "d64_udtf_explode",
+    "d65_exact_dedup",
+    "a66_minhash_lsh_neardup",
+    "d74_neardup_clusters",
+    "d67_cosine_pairwise",
+    "d68_ivf_topk",
+    "d69_normalize_tokenize",
+    "d70_tf_idf",
+    "d71_langid_heuristic",
+    "d72_binary_fingerprint",
+    "d73_doc_chunking",
+    "d76_quality_repetition",
+    "d77_stratified_sample",
+    "d78_train_val_test_split",
+    "d79_contamination_screen",
+    "d80_sequence_packing",
+    "d81_mixture_rebalance",
+    "a83_hll_sketch_union",
+    "d85_frame_sampling",
+    "d86_kmeans",
+    "d53_tumbling_window",
+    "d54_sliding_window",
+    "d55_session_window",
+    "d56_watermark_late_drop",
+    "d57_streaming_dedup",
+    "d59_stream_static_join",
+    "d82_custom_stateful_sessions",
+    "d60_foreachbatch_upsert",
+    "r_charlotte_ingest_decode",
+    "r_charlotte_batch_pipeline",
+    "r_charlotte_text_mode",
 )
 
 # How many leading entries of queries() the driver's correctness gate

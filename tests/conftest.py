@@ -52,7 +52,11 @@ def canon(v):
     if isinstance(v, (bool, np.bool_)):
         return bool(v)
     if isinstance(v, (int, np.integer)):
-        return int(v)
+        # Tagged like Decimal below: the driver's hash is type-sensitive,
+        # so a Spark BIGINT (e.g. floor/ceil) vs a DuckDB DOUBLE oracle
+        # must fail locally too, even though Python 1234 == 1234.0
+        # (the r03 d46 lesson).
+        return ("i", int(v))
     if isinstance(v, decimal.Decimal):
         # Deliberately NOT coerced to float: the driver's hash distinguishes
         # Decimal('263541.150000') from 263541.15 (it cost us d27 in round 1).
@@ -65,7 +69,7 @@ def canon(v):
             return "NaN"
         # collapse -0.0 / +0.0 and ulp noise below the round(,2)/round(,4)
         # precision every declared query already applies
-        return round(v + 0.0, 6)
+        return ("f", round(v + 0.0, 6))
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, datetime.date):
@@ -77,6 +81,20 @@ def canon(v):
     if isinstance(v, dict):
         return tuple(sorted((k, canon(x)) for k, x in v.items()))
     return v
+
+
+def assert_driver_sortable_schema(df, name: str = "?"):
+    """The driver canonicalizer pandas-sort_values every output column;
+    a top-level ArrayType/MapType cell is unhashable there and crashes
+    the whole row (the r03 d75 lesson). Registry rule: arrays in output
+    are joined to strings (array_join / array_to_string)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    bad = [f.name for f in df.schema.fields if isinstance(f.dataType, (ArrayType, MapType))]
+    assert not bad, (
+        f"{name}: top-level array/map output columns {bad} would crash the "
+        "driver canonicalizer — project them through array_join/to_json"
+    )
 
 
 def _spark_rows(df):
@@ -96,6 +114,7 @@ def _duck_rows(con: duckdb.DuckDBPyConnection, sql: str):
 
 def assert_oracle_match(spark_df, duck_con, oracle_sql: str, name: str = "?"):
     """Order-insensitive (column-name-sorted, row-sorted) equality check."""
+    assert_driver_sortable_schema(spark_df, name)
     s_cols, s_rows = _spark_rows(spark_df)
     d_cols, d_rows = _duck_rows(duck_con, oracle_sql)
     assert s_cols == d_cols, f"{name}: column mismatch spark={s_cols} duck={d_cols}"

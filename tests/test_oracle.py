@@ -11,7 +11,7 @@ import pytest
 
 from charlotte_spark.registry import load_all_queries
 
-from .conftest import assert_oracle_match
+from .conftest import assert_driver_sortable_schema, assert_oracle_match
 
 REGISTRY = load_all_queries()
 HASH_CHECKED = [q for q in REGISTRY.values() if q.oracle and not q.approximate]
@@ -28,7 +28,9 @@ def test_hash_checked(q, spark, duck, sf_dir):
 def test_approx_rowcount(q, spark, duck, sf_dir):
     # A-rows: driver checks bounded relative error; locally we gate on the
     # row-count contract plus each operator's own dedicated error test.
-    n_spark = q.fn(spark, sf_dir).count()
+    df = q.fn(spark, sf_dir)
+    assert_driver_sortable_schema(df, q.name)
+    n_spark = df.count()
     n_duck = duck.execute(f"SELECT count(*) FROM ({q.oracle})").fetchone()[0]
     assert n_spark == n_duck, f"{q.name}: rowcount {n_spark} vs {n_duck}"
 
@@ -51,6 +53,29 @@ def test_decimal_output_fails_locally(spark, duck):
     df = spark.sql("SELECT CAST(1.5 AS DECIMAL(5,2)) AS x")
     with pytest.raises(AssertionError, match="value mismatch"):
         assert_oracle_match(df, duck, "SELECT CAST(1.5 AS DOUBLE) AS x", "decimal_guard")
+
+
+def test_int_vs_float_output_fails_locally(spark, duck):
+    """Round-3 regression guard (d46): the driver's hash distinguishes an
+    int64 1234 from a float64 1234.0 (Spark floor() is BIGINT, DuckDB
+    floor() is DOUBLE). Python's 1234 == 1234.0 hid this locally until
+    canon() started tagging numeric types."""
+    import pytest
+
+    df = spark.sql("SELECT CAST(1234 AS BIGINT) AS x")
+    with pytest.raises(AssertionError, match="value mismatch"):
+        assert_oracle_match(df, duck, "SELECT CAST(1234 AS DOUBLE) AS x", "intfloat_guard")
+
+
+def test_array_output_fails_locally(spark, duck):
+    """Round-3 regression guard (d75): a top-level array output column is
+    unhashable in the driver's pandas canonicalizer (sort_values crash).
+    The local harness must reject it before the driver sees it."""
+    import pytest
+
+    df = spark.sql("SELECT array(1, 2) AS x")
+    with pytest.raises(AssertionError, match="array/map"):
+        assert_oracle_match(df, duck, "SELECT [1, 2] AS x", "array_guard")
 
 
 @pytest.mark.parametrize(

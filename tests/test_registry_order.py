@@ -27,20 +27,30 @@ def test_enumeration_puts_driver_order_first():
 
 def test_window_covers_fixes_and_never_verified_rows():
     window = list(load_all_queries())[:DRIVER_WINDOW]
-    # The two previously-red rows must be retried first.
-    assert window[0] == "q12_late_shipment_priority"
-    assert window[1] == "d27_grouping_sets"
-    # The window must reach the streaming + LLM-data surface that has
-    # never had a driver row (VERDICT r02, Next-round #1).
+    # The two r03-red rows must be retried first.
+    assert window[0] == "d46_math_functions"
+    assert window[1] == "d75_embedding_quantize"
+    # The window must reach the D88-D115 cluster and the dedicated
+    # variants that have never had a driver row (VERDICT r03, #1).
     for must in (
-        "d53_tumbling_window",
-        "d82_custom_stateful_sessions",
-        "d65_exact_dedup",
-        "a66_minhash_lsh_neardup",
-        "d86_kmeans",
-        "r_charlotte_batch_pipeline",
+        "r_charlotte_graceful_drain",
+        "d88_pii_redaction",
+        "d92_stream_stream_join",
+        "d97_pagerank",
+        "d105_fuzzy_reconcile",
+        "d109_recursive_cte",
+        "a94_bloom_contamination",
+        "a96_countmin_sketch",
+        "d115_ohlc_downsample",
+        "d66_simhash",
+        "a68_lsh_ann_topk",
     ):
         assert must in window, f"{must} fell out of the driver window"
+    # Every window slot must be hash-checkable (oracle present): the
+    # rotation spends no slot on a rows-only check this round.
+    reg = load_all_queries()
+    rows_only = [n for n in window if reg[n].oracle is None]
+    assert not rows_only, f"rows-only queries in the window: {rows_only}"
 
 
 def test_spark_entry_exposes_ordered_queries():
