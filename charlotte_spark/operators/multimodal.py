@@ -7,11 +7,13 @@ Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` so
 each task processes a columnar batch of blobs without JVM round-trips
 per asset.
 
-The image/audio codec libraries are NOT in this container, so
-``decode_image_batch``'s pixel path is a deterministic stub (derived
-from the bytes' md5) behind ``CHARLOTTE_FAKE_DECODE=1`` — the Spark
-plumbing (schemas, batching, partitioning, UDF signatures) is real and
-tested; swap `_fake_decode` for PIL/libvips in a real deployment.
+Codec selection is by capability detection: if PIL/Pillow imports, the
+real decoder runs; otherwise (this container has no codec libs) a
+deterministic stub (derived from the bytes' md5) stands in, with a
+one-time logged notice. ``CHARLOTTE_FAKE_DECODE=1`` forces the stub
+even when a codec is present (deterministic tests). The Spark plumbing
+(schemas, batching, partitioning, UDF signatures) is identical on both
+paths.
 """
 
 from __future__ import annotations
@@ -70,21 +72,57 @@ def _fake_decode(data: bytes) -> tuple[int, int, int, str, float]:
     return width, height, channels, fmt, mean_luma
 
 
+def _pil_decode(data: bytes) -> tuple[int, int, int, str, float]:
+    """Real codec path (only reachable when Pillow is installed)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        width, height = im.size
+        channels = len(im.getbands())
+        fmt = (im.format or "unknown").lower()
+        luma = np.asarray(im.convert("L"), dtype=np.float64)
+        return width, height, channels, fmt, float(luma.mean() / 255.0)
+
+
+def codec_available() -> bool:
+    """True iff a real image codec (Pillow) imports in this environment."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+_notified = False
+
+
 def decode_image_batch(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     """Arrow-batched decode: (id, bytes) -> DECODED_IMAGE rows.
 
-    In production the body calls the real codec per batch; here the
-    decode is stubbed (see module docstring) unless a codec is present.
+    Capability-detected: uses Pillow when importable, else the
+    deterministic stub (one-time logged notice). Works with no
+    environment configuration; CHARLOTTE_FAKE_DECODE=1 forces the stub.
     """
-    if not os.environ.get("CHARLOTTE_FAKE_DECODE", "1") == "1":
-        raise NotImplementedError(
-            "real image codecs are not available in this container; "
-            "set CHARLOTTE_FAKE_DECODE=1 for the deterministic stub"
-        )
+    use_real = codec_available() and os.environ.get("CHARLOTTE_FAKE_DECODE") != "1"
+    if not use_real:
+        global _notified
+        if not _notified:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "no image codec available (or CHARLOTTE_FAKE_DECODE=1): "
+                "decode_image_batch uses the deterministic md5-derived stub"
+            )
+            _notified = True
 
     def decode(batches):
+        dec = _pil_decode if use_real else _fake_decode
         for pdf in batches:
-            decoded = [_fake_decode(bytes(b)) for b in pdf[binary_col]]
+            decoded = [dec(bytes(b)) for b in pdf[binary_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,

@@ -103,9 +103,14 @@ def d105_fuzzy_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cand"),
         F.min(F.when(F.col("c_key") == F.col("d_key"), F.col("dist"))).alias("self_d"),
     )
-    n_dirty = dirty.count()
+    # n_dirty computed inside the plan (a 1-row scalar broadcast — the
+    # d113/d106 pattern) instead of an eager .count() job at query
+    # construction time: the query stays lazy and single-.explain()able.
+    # The resulting BroadcastNestedLoopJoin is 1×1 rows by construction;
+    # test_fuzzy_join_is_blocked_not_cartesian distinguishes it from an
+    # all-pairs candidate join by its IdentityBroadcastMode scalar build.
+    n_dirty = dirty.agg(F.count(F.lit(1)).cast("long").alias("n_dirty"))
     return best.agg(
-        F.lit(n_dirty).cast("long").alias("n_dirty"),
         F.count(F.lit(1)).alias("n_matched"),
         F.sum(
             (F.col("self_d").isNotNull() & (F.col("self_d") == F.col("best_d"))).cast(
@@ -115,7 +120,7 @@ def d105_fuzzy_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_correct"),
         F.sum((F.col("n_cand") > 1).cast("int")).cast("long").alias("n_ambiguous"),
-    )
+    ).crossJoin(F.broadcast(n_dirty))
 
 
 @query(

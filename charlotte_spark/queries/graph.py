@@ -72,18 +72,11 @@ def _pr_oracle() -> str:
     )
 
 
-@query("d97_pagerank", tags=("D97", "D74", "D86"), oracle=_pr_oracle())
-def d97_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (damping 0.85, 3 fixed iterations, rank₀ = 1.0) over the
-    symmetrized customer↔supplier graph: an edge per distinct
-    (customer, supplier) trade pair in both directions, so every node
-    has out-degree ≥ 1 and the dangling-mass term vanishes.
-
-    Per iteration: contributions = ranks ⋈ degrees (two O(V) tables,
-    node-keyed), then ONE shuffle joining contributions to the
-    persisted src-partitioned edges and re-grouping by dst. Rank
-    values stay distributed end-to-end — nothing O(V) or O(E) ever
-    reaches the driver."""
+def pagerank_plan(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Build the LAZY PageRank plan; returns (final ranks DF, persisted
+    edges DF). Split from d97_pagerank so the per-iteration plan shape
+    is auditable (tests/test_plans.py) even though the registered query
+    materializes eagerly to release the edges cache."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -116,4 +109,32 @@ def d97_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg((F.lit(1 - _DAMP) + F.lit(_DAMP) * F.sum("c")).alias("r"))
         )
-    return ranks.select("node", pround("r", 6).alias("pr")).orderBy("node")
+    return ranks.select("node", pround("r", 6).alias("pr")), edges
+
+
+@query("d97_pagerank", tags=("D97", "D74", "D86"), oracle=_pr_oracle())
+def d97_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 fixed iterations, rank₀ = 1.0) over the
+    symmetrized customer↔supplier graph: an edge per distinct
+    (customer, supplier) trade pair in both directions, so every node
+    has out-degree ≥ 1 and the dangling-mass term vanishes.
+
+    Per iteration: contributions = ranks ⋈ degrees (two O(V) tables,
+    node-keyed), then ONE shuffle joining contributions to the
+    persisted src-partitioned edges and re-grouping by dst. Rank
+    values stay distributed end-to-end — nothing O(V) or O(E) ever
+    reaches the driver.
+
+    Materializes the O(V) rank table through the final plan to JVM-side
+    scratch, then releases the cached O(E) edges (d74's discipline —
+    returning a lazy plan over the persisted edges would leak the cache
+    for the session lifetime and skew long one-JVM bench sweeps)."""
+    import os as _os
+
+    from ..streaming.harness import _scratch_root
+
+    result, edges = pagerank_plan(spark, sf_dir)
+    out_dir = f"{_scratch_root('CHARLOTTE_PR_TMP', 'charlotte_pr')}/ranks_{_os.getpid()}"
+    result.write.mode("overwrite").parquet(out_dir)
+    edges.unpersist()
+    return spark.read.parquet(out_dir).orderBy("node")

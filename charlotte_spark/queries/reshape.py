@@ -322,14 +322,20 @@ def d113_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o", ((F.col("rt") * 1.0 * F.col("ct")) / F.col("n")).alias("e")
         )
     )
-    n_rows = rows_m.count()
-    n_cols = cols_m.count()
+    # dof stays inside the distributed plan (one 1-row broadcast) rather
+    # than eager .count() jobs at construction time; within the single
+    # plan the repeated `cells` subtrees share their scan+partial-agg
+    # exchange via ReuseExchange, so the test stays one pass as documented.
+    dof = cells.agg(
+        ((F.count_distinct("s") - F.lit(1)) * (F.count_distinct("p") - F.lit(1)))
+        .cast("long")
+        .alias("dof")
+    )
     return terms.agg(
         pround(F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 4).alias(
             "chi2"
         ),
-        F.lit((n_rows - 1) * (n_cols - 1)).cast("long").alias("dof"),
-    )
+    ).crossJoin(F.broadcast(dof))
 
 
 @query(

@@ -67,51 +67,81 @@ def events_chunk_dir(
     marker = f"{out}/_READY"
     if os.path.exists(marker):
         return out
-    df = load_table(spark, sf_dir, "events").orderBy("ts", "event_id").collect()
-    os.makedirs(out, exist_ok=True)
-    n = len(df)
-    chunk_size = max(1, (n + n_chunks - 1) // n_chunks)
-    chunks = [df[i : i + chunk_size] for i in range(0, n, chunk_size)]
+
+    # ONE distributed write, never a driver collect of the table (the
+    # r03 verdict's only unbounded .collect() in the package):
+    # repartitionByRange on (ts, event_id) yields n_chunks contiguous
+    # time ranges (partition 0 = earliest); spark_partition_id() is the
+    # chronological chunk index, remapped to a delivery index and used
+    # as the write partition column — each task holds exactly one
+    # delivery value, so every chunk=NNN dir gets exactly one file.
+    order = list(range(n_chunks))
     if shuffle_chunks:
         # deterministic late-data order: even chunks first, then odd
-        chunks = chunks[::2] + chunks[1::2]
-    if sentinel_ts is not None:
-        import datetime as _dt
-        from pyspark.sql import Row
-
-        sentinel = Row(
-            event_id=-1,
-            ts=_dt.datetime.strptime(sentinel_ts, "%Y-%m-%d %H:%M:%S"),
-            user_id=-1,
-            event_type="__sentinel__",
-            value=0.0,
-            props="{}",
+        order = order[::2] + order[1::2]
+    delivery_of = {c: d for d, c in enumerate(order)}
+    delivery_arr = F.array(*[F.lit(delivery_of[c]) for c in range(n_chunks)])
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    (
+        load_table(spark, sf_dir, "events")
+        .select(*cols)
+        .repartitionByRange(n_chunks, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .withColumn(
+            "chunk",
+            F.format_string(
+                "%03d", F.element_at(delivery_arr, F.spark_partition_id() + 1)
+            ),
         )
-        chunks.append([sentinel])
-    # direct pyarrow writes: one driver-side pass, no Spark job per chunk
-    # (the rows are already collected; this is test-harness scaffolding,
-    # not a production path)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    schema = pa.schema(
-        [
-            pa.field("event_id", pa.int64()),
-            pa.field("ts", pa.timestamp("us")),
-            pa.field("user_id", pa.int64()),
-            pa.field("event_type", pa.string()),
-            pa.field("value", pa.float64()),
-            pa.field("props", pa.string()),
-        ]
+        .write.partitionBy("chunk")
+        .mode("overwrite")
+        .parquet(out)
     )
-    cols = [f.name for f in schema]
-    for i, rows in enumerate(chunks):
-        cdir = f"{out}/chunk={i:03d}"
-        os.makedirs(cdir, exist_ok=True)
-        table = pa.Table.from_pydict(
-            {c: [r[c] for r in rows] for c in cols}, schema=schema
+    if sentinel_ts is not None:
+        # 1-row far-future chunk, delivered last: bounded driver-side
+        # pyarrow write, no Spark job
+        import datetime as _dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                pa.field("event_id", pa.int64()),
+                pa.field("ts", pa.timestamp("us")),
+                pa.field("user_id", pa.int64()),
+                pa.field("event_type", pa.string()),
+                pa.field("value", pa.float64()),
+                pa.field("props", pa.string()),
+            ]
         )
-        pq.write_table(table, f"{cdir}/part-0.parquet")
+        cdir = f"{out}/chunk={n_chunks:03d}"
+        os.makedirs(cdir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "event_id": [-1],
+                    "ts": [_dt.datetime.strptime(sentinel_ts, "%Y-%m-%d %H:%M:%S")],
+                    "user_id": [-1],
+                    "event_type": ["__sentinel__"],
+                    "value": [0.0],
+                    "props": ["{}"],
+                },
+                schema=schema,
+            ),
+            f"{cdir}/part-0.parquet",
+        )
+    # The file-stream source admits files in (modification time, path)
+    # order; the concurrent distributed write gives every chunk file the
+    # same mtime to within clock granularity, so pin mtimes explicitly:
+    # delivery order must be the DIRECTORY order, deterministically.
+    import glob
+    import time as _time
+
+    base = _time.time() - 3600
+    for d in range(n_chunks + (1 if sentinel_ts is not None else 0)):
+        for pth in sorted(glob.glob(f"{out}/chunk={d:03d}/*.parquet")):
+            os.utime(pth, (base + d, base + d))
     with open(marker, "w") as f:
         f.write("ok")
     return out

