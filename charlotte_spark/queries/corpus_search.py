@@ -20,6 +20,7 @@ via TakeOrdered.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load_table
@@ -240,3 +241,111 @@ def d107_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("postings_md5"),
     )
     return idx.orderBy(F.desc("df"), "token").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# D117: BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "hash", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "d117_bm25_retrieval",
+    tags=("D117", "D107", "D70"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS doclen FROM toks
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               avg(doclen * 1.0) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        WHERE w IN {_BM25_TERMS!r}
+        GROUP BY doc_id, w
+    ),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.doclen / s.avgdl))
+               AS part_score
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, bm25, rk FROM (
+        SELECT doc_id, {sql_round("sum(part_score)", 4)} AS bm25,
+               row_number() OVER (
+                   ORDER BY {sql_round("sum(part_score)", 4)} DESC, doc_id) AS rk
+        FROM scored GROUP BY doc_id
+    ) WHERE rk <= 20
+    ORDER BY rk
+    """,
+)
+def d117_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones; k1=1.2, b=0.75)
+    for a fixed 4-term query over the documents corpus — the scoring
+    layer on top of the D107 inverted index, and the lexical half of
+    every retrieval stack next to the D68 ANN path.
+
+    Plan shape: the term filter lands BEFORE the tf shuffle, so only
+    postings for query terms move — at 100 TB the tf table is
+    O(query_terms × matching docs), never O(corpus tokens). Document
+    frequencies and corpus stats are 4-row / 1-row aggregates that
+    broadcast back; the final ranking is a top-k over per-doc partial
+    sums (TakeOrdered, no global sort). idf uses the +1 'Lucene'
+    smoothing so scores stay positive; the rank orders by the ROUNDED
+    score (ties broken by doc_id) so both engines agree at equal-score
+    boundaries."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    dl = toks.select("doc_id", F.size("t").cast("long").alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("doclen") * 1.0).alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (idf * (F.col("tf") * (_BM25_K1 + 1.0)) / norm).alias("part_score"),
+        )
+    )
+    # top-20 via orderBy+limit (TakeOrdered — no global-sort shuffle);
+    # the rank window then runs over 20 rows, not the corpus
+    top = (
+        scored.groupBy("doc_id")
+        .agg(pround(F.sum("part_score"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    w = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return top.withColumn("rk", F.row_number().over(w)).orderBy("rk")

@@ -651,3 +651,75 @@ def d74_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).orderBy("cluster_id", "doc_id")
 
 
+
+
+# ---------------------------------------------------------------------------
+# D116: duplicated n-gram span detection (exact-substring dedup statistic)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8  # token n-gram length (Lee et al. 2021 use 50 BPE tokens; the
+             # synthetic docs are 10-99 tokens, so 8 keeps spans non-vacuous)
+
+
+@query(
+    "d116_dup_ngram_spans",
+    tags=("D116", "A66", "D69"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {_SPAN_N - 2}),
+                      i -> array_to_string(list_slice(t, i, i + {_SPAN_N - 1}), ' '))) AS gram
+        FROM toks WHERE len(t) >= {_SPAN_N}
+    ),
+    pg AS (
+        SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+        FROM g GROUP BY doc_id, gram
+    ),
+    gd AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS n_docs FROM pg GROUP BY gram
+    )
+    SELECT pg.doc_id,
+           CAST(sum(pg.c) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN gd.n_docs >= 2 THEN pg.c ELSE 0 END) AS BIGINT) AS n_dup,
+           {sql_round("sum(CASE WHEN gd.n_docs >= 2 THEN pg.c ELSE 0 END) * 1.0 / sum(pg.c)", 6)} AS dup_frac
+    FROM pg JOIN gd USING (gram)
+    GROUP BY pg.doc_id
+    ORDER BY doc_id
+    """,
+)
+def d116_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span statistic per document: the fraction of a doc's
+    token 8-gram positions whose n-gram also occurs in at least
+    one OTHER document — the distributed form of the exact-substring
+    dedup criterion (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): docs above a dup_frac threshold are
+    the candidates for span-level removal.
+
+    Plan shape: one O(positions) gram stream (position-sequence explode
+    — the O(g) formulation from functions/shingles.py, never the O(g²)
+    array explode), partial-agg shuffle onto (doc_id, gram), a second
+    partial-agg shuffle onto gram for document frequency, then a
+    broadcast-free equi-join back and a final per-doc rollup. Every
+    stage is keyed and map-side combined; nothing is all-pairs and no
+    posting list is materialized — at 100 TB this is a pair of
+    token-keyed aggregations, the same budget as word count."""
+    from ..functions.shingles import explode_shingles
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    g = explode_shingles(docs, _SPAN_N, keep=("doc_id",))
+    pg = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    gd = pg.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup_c = F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(F.lit(0))
+    return (
+        pg.join(gd, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(dup_c).alias("n_dup"),
+            pround(F.sum(dup_c) * 1.0 / F.sum("c"), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -18,6 +18,7 @@ event table is touched once per operator.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -274,4 +275,132 @@ def d115_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.max_by("value", key), 4).alias("close"),
         )
         .orderBy("bar_hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D119: exponentially-weighted moving average (truncated, per user)
+# ---------------------------------------------------------------------------
+
+_EWMA_DECAY = 0.8  # (1 - alpha) for alpha = 0.2
+_EWMA_SPAN = 50  # truncation: only the latest 50 events carry weight
+
+
+@query(
+    "d119_ewma_smoothing",
+    tags=("D119", "D34", "D36"),
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id,
+           CAST(any_value(n) AS BIGINT) AS n_events,
+           {sql_round(f"sum(value * power({_EWMA_DECAY}, rn - 1)) / sum(power({_EWMA_DECAY}, rn - 1))", 6)} AS ewma
+    FROM r WHERE rn <= {_EWMA_SPAN}
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def d119_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of the event
+    value at the stream head (alpha = 0.2, normalized weights), the
+    standard time-decayed feature for behavioral/telemetry models.
+    Weights are truncated to the latest 50 events: the dropped tail
+    carries < 0.8^50 ≈ 1.4e-5 of the mass, and truncation keeps the
+    weight exponent bounded — the untruncated prefix-sum trick needs
+    0.8^(-n), which overflows for long histories.
+
+    Plan shape: ONE window shuffle on user_id assigns recency ranks,
+    then a partial-agg groupBy on the same key computes the weighted
+    sums — Catalyst reuses the window's hash partitioning, so the
+    event log moves once. No collect_list: the weighted fold is two
+    scalar sums, not an array build."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    r = e.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n"),
+    ).filter(F.col("rn") <= _EWMA_SPAN)
+    wt = F.pow(F.lit(_EWMA_DECAY), F.col("rn") - 1)
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.any_value("n").cast("long").alias("n_events"),
+            pround(F.sum(F.col("value") * wt) / F.sum(wt), 6).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D120: robust anomaly detection (median/MAD z-scores per group)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 1.4826  # MAD -> sigma consistency constant for normal data
+_MAD_CUT = 3.5  # Iglewicz-Hoaglin modified z-score threshold
+
+
+@query(
+    "d120_robust_anomalies",
+    tags=("D120", "A32", "D24"),
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.med) AS d, m.med
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, median(d) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {sql_round("any_value(dev.med)", 6)} AS med,
+           {sql_round("any_value(mad.mad)", 6)} AS mad,
+           CAST(sum(CASE WHEN dev.d > {_MAD_CUT} * {_MAD_K} * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    ORDER BY dev.event_type
+    """,
+)
+def d120_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: modified z-score
+    |x − median| / (1.4826 · MAD) > 3.5 (Iglewicz & Hoaglin) — the
+    median/MAD pair is immune to the very outliers it flags, unlike
+    mean/stddev z-scores. Exact medians via sort-based percentile make
+    the whole statistic order-insensitive, so it hash-checks with no
+    float-summation caveats.
+
+    Plan shape: grouped exact percentiles need the values per key —
+    three passes over the event log (median, MAD, flag count), each a
+    partial-agg or broadcast-join stage keyed on the LOW-cardinality
+    event_type. At 100 TB the two median passes would swap to
+    approx_percentile sketches (A32's path) with identical plumbing;
+    the exact form is the oracle-checkable baseline."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("d"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("d", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.any_value("med"), 6).alias("med"),
+            pround(F.any_value("mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("d") > _MAD_CUT * _MAD_K * F.col("mad")).cast("int")
+            ).cast("long").alias("n_anomalies"),
+        )
+        .orderBy("event_type")
     )

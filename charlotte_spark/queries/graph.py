@@ -13,12 +13,15 @@ The reference has no graph surface; this is part of the mandated
 analytic extension.
 
 Scale notes (mirrors D74's hardening): the edge list is materialized
-ONCE (persisted), pre-partitioned on ``src`` so every iteration
-shuffles only the O(V) rank table to the edge partitioning, never the
-O(E) edges; per-round driver traffic is zero (no collects — the loop
-is a fixed 3 unrolled plan segments). The oracle replays the identical
-3 iterations as a DuckDB CTE chain in DOUBLE; outputs are
-portable-rounded at 6 decimals.
+ONCE (persisted); every iteration BROADCASTS the O(V) rank/degree
+tables against it, so the O(E) edges are never shuffled or re-sorted
+after materialization, and per-round driver traffic is the O(V)
+broadcast build only (no row-scale collects — the loop is a fixed 3
+unrolled plan segments). When V outgrows the broadcast budget, the
+src-partitioned persist + sort-merge formulation replaces it (see
+pagerank_plan). The oracle replays the identical 3 iterations as a
+DuckDB CTE chain in DOUBLE; outputs are portable-rounded at 6
+decimals.
 """
 
 from __future__ import annotations
@@ -79,37 +82,56 @@ def pagerank_plan(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     materializes eagerly to release the edges cache."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Long node ids (customer 2k, supplier 2k+1) keep every iteration's
+    # join/agg on 8-byte keys; the 'c…'/'s…' labels the oracle compares
+    # against are minted ONCE in the final O(V) projection (r04 — the
+    # r03 string keys made each iteration hash/compare ~1.2M strings,
+    # ~40% of the per-round cost at sf0.1).
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), "o_custkey").alias("c"),
-            F.concat(F.lit("s"), "l_suppkey").alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    # One materialization serves deg + every iteration's join, already
-    # laid out on the per-round join key. persist (not checkpoint): the
-    # iteration count is FIXED at 3, so lineage depth is bounded and
-    # recomputable-on-loss caching is enough — an unbounded-round loop
-    # (d74) needs the checkpoint-interval pattern instead.
+    # the union doubles the partition count of the distinct's shuffle
+    # output; compact the cache so each iteration is ~32 scan tasks,
+    # not 128 slivers
+    edges = edges.coalesce(32)
+    # One materialization serves deg + every iteration's join. persist
+    # (not checkpoint): the iteration count is FIXED at 3, so lineage
+    # depth is bounded and recomputable-on-loss caching is enough — an
+    # unbounded-round loop (d74) needs the checkpoint-interval pattern
+    # instead. No repartition: the iteration joins BROADCAST the O(V)
+    # side, so no edge layout is ever needed (r04 — the r03 layout
+    # pre-shuffled edges on src and still paid a per-iteration SMJ sort
+    # of the cached O(E) table; broadcasting the rank side removes both
+    # the extra shuffle and the three sorts, 5.9 s → ~2.5 s at sf0.1).
+    # When V outgrows the broadcast budget (≈1e8 nodes at 8 B/rank),
+    # swap to the src-partitioned persist + sort-merge formulation —
+    # that layout is the right one exactly when the broadcast isn't.
     from pyspark.storagelevel import StorageLevel
 
-    edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
     for _ in range(_PR_ITERS):
-        contrib = ranks.join(deg, ranks.node == deg.src).select(
+        contrib = ranks.join(F.broadcast(deg), ranks.node == deg.src).select(
             F.col("node"), (F.col("r") / F.col("outdeg")).alias("c")
         )
         ranks = (
-            edges.join(contrib, edges.src == contrib.node)
+            edges.join(F.broadcast(contrib), edges.src == contrib.node)
             .groupBy(F.col("dst").alias("node"))
             .agg((F.lit(1 - _DAMP) + F.lit(_DAMP) * F.sum("c")).alias("r"))
         )
-    return ranks.select("node", pround("r", 6).alias("pr")), edges
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
+    return ranks.select(label.alias("node"), pround("r", 6).alias("pr")), edges
 
 
 @query("d97_pagerank", tags=("D97", "D74", "D86"), oracle=_pr_oracle())
@@ -119,11 +141,13 @@ def d97_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customer, supplier) trade pair in both directions, so every node
     has out-degree ≥ 1 and the dangling-mass term vanishes.
 
-    Per iteration: contributions = ranks ⋈ degrees (two O(V) tables,
-    node-keyed), then ONE shuffle joining contributions to the
-    persisted src-partitioned edges and re-grouping by dst. Rank
-    values stay distributed end-to-end — nothing O(V) or O(E) ever
-    reaches the driver.
+    Per iteration: contributions = ranks ⋈ broadcast(degrees) (two
+    O(V) tables, node-keyed), then a broadcast-hash join of the
+    persisted edges against the O(V) contributions and a partial-agg
+    re-group by dst — the only per-iteration shuffle is the O(V)
+    aggregated rank table. Nothing O(E) ever moves after the one-time
+    edge materialization, and nothing row-scale reaches the driver
+    beyond the broadcast builds.
 
     Materializes the O(V) rank table through the final plan to JVM-side
     scratch, then releases the cached O(E) edges (d74's discipline —

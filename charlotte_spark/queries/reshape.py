@@ -374,3 +374,103 @@ def d114_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# D121: CDC snapshot diff (full-row-digest change classification)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d121_snapshot_diff",
+    tags=("D121", "D98", "D14"),
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_orderkey AS k,
+               md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                   || CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority) AS digest
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    snap_b AS (
+        SELECT o_orderkey AS k,
+               md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                   || CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority
+                   || CASE WHEN o_orderkey % 7 = 0 THEN 'x' ELSE '' END) AS digest
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    classified AS (
+        SELECT coalesce(a.k, b.k) AS k,
+               CASE WHEN a.k IS NULL THEN 'insert'
+                    WHEN b.k IS NULL THEN 'delete'
+                    WHEN a.digest <> b.digest THEN 'update'
+                    ELSE 'unchanged' END AS op
+        FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+    )
+    SELECT CAST(sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+           CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+           CAST(sum(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(sum(CASE WHEN op = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+           md5(string_agg(CASE WHEN op = 'update' THEN CAST(k AS VARCHAR) END,
+                          ',' ORDER BY k)) AS upd_keys_md5
+    FROM classified
+    """,
+)
+def d121_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: two synthesized snapshots of ``orders``
+    (A drops every 13th key; B drops every 11th and mutates the order
+    priority of every 7th) are reconciled into insert/delete/update/unchanged
+    classes by FULL OUTER join on the key with full-row md5 digests —
+    the change-data-capture primitive that feeds the D98 SCD-2 builder,
+    done the only way that scales: digest compare, never column-by-
+    column predicates over wide rows. The updated-key set is verified
+    by an order-insensitive digest (md5 over the sorted key list), so
+    classification — not just the counts — is hash-checked.
+
+    Plan shape: digests are scan-stage projections (map-only); the diff
+    is ONE key-keyed shuffle join of the two snapshots; the rollup is a
+    1-row aggregate. At 100 TB both snapshots would be bucketed by key
+    on write (D84's layout), making the diff join shuffle-free."""
+    digest_cols = [
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderdate").cast("string"),
+    ]
+
+    def snapshot(mutate: bool) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        priority = (
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.concat("o_orderpriority", F.lit("x"))
+            ).otherwise(F.col("o_orderpriority"))
+            if mutate
+            else F.col("o_orderpriority")
+        )
+        drop_mod = 11 if mutate else 13
+        return o.filter(F.col("o_orderkey") % drop_mod != 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(F.concat_ws("|", *digest_cols, priority)).alias("digest"),
+        )
+
+    a = snapshot(mutate=False).select(F.col("k").alias("ak"), F.col("digest").alias("ad"))
+    b = snapshot(mutate=True).select(F.col("k").alias("bk"), F.col("digest").alias("bd"))
+    op = (
+        F.when(F.col("ak").isNull(), "insert")
+        .when(F.col("bk").isNull(), "delete")
+        .when(F.col("ad") != F.col("bd"), "update")
+        .otherwise("unchanged")
+    )
+    classified = a.join(b, F.col("ak") == F.col("bk"), "full_outer").select(
+        F.coalesce("ak", "bk").alias("k"), op.alias("op")
+    )
+    upd_keys = F.array_sort(
+        F.collect_list(F.when(F.col("op") == "update", F.col("k")))
+    )
+    return classified.agg(
+        F.sum((F.col("op") == "insert").cast("int")).cast("long").alias("n_inserted"),
+        F.sum((F.col("op") == "delete").cast("int")).cast("long").alias("n_deleted"),
+        F.sum((F.col("op") == "update").cast("int")).cast("long").alias("n_updated"),
+        F.sum((F.col("op") == "unchanged").cast("int")).cast("long").alias("n_unchanged"),
+        F.md5(
+            F.concat_ws(",", F.transform(upd_keys, lambda x: x.cast("string")))
+        ).alias("upd_keys_md5"),
+    )

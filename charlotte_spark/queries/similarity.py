@@ -625,3 +625,87 @@ def d102_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pos", pround("loading", 6).alias("loading"))
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# D118: semantic dedup (SemDeDup-style keep-one within coarse clusters)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.9999
+
+
+@query(
+    "d118_semantic_dedup",
+    tags=("D118", "D67", "A66"),
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    pairs AS (
+        SELECT b.vec_id AS dropped_id, b.label, a.vec_id AS nbr
+        FROM corpus a JOIN corpus b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {sql_cosine("a.embedding", "b.embedding")} >= {_SEMDEDUP_TAU}
+    )
+    SELECT dropped_id, CAST(any_value(label) AS INT) AS label,
+           CAST(min(nbr) AS BIGINT) AS kept_id
+    FROM pairs GROUP BY dropped_id
+    ORDER BY dropped_id
+    """,
+)
+def d118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): within each
+    coarse cluster (the ``label`` column ≡ a k-means cell, the same
+    stand-in as D68's IVF), drop every vector that has a LOWER-id
+    neighbor at cosine ≥ 0.9999 and report which kept vector it
+    collapses onto (the minimum such neighbor). Exact-copy rows are
+    synthesized at vec_id + 1e6 for every 50th vector, so the expected
+    dedup set is known by construction and the output is non-vacuous.
+
+    This is D67's near-dup PAIR detection hardened into the keep-one
+    DECISION operator a curation pipeline actually applies: keep-list =
+    corpus minus dropped_ids. Same 100 TB shape as D67: blocks shuffle
+    to executors by cluster id, each block runs one chunked BLAS Gram
+    matrix inside applyInPandas (never an all-pairs join across cells),
+    and only per-row (dropped, kept) decisions leave the executor."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.unionByName(
+        e.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+        )
+    ).select("vec_id", "embedding", "label")
+
+    def block_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"dropped_id": ids[:0], "label": np.empty(0, dtype=np.int32),
+                 "kept_id": ids[:0]}
+            )
+        lbl = np.int32(pdf["label"].iloc[0])
+        v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        gram = vn @ vn.T
+        dup = np.tril(gram >= _SEMDEDUP_TAU, k=-1)  # [j, i] with i < j
+        has_nbr = dup.any(axis=1)
+        # argmax over booleans = first (lowest-id) duplicate neighbor
+        kept = ids[np.argmax(dup, axis=1)]
+        return pd.DataFrame(
+            {
+                "dropped_id": ids[has_nbr],
+                "label": np.full(int(has_nbr.sum()), lbl, dtype=np.int32),
+                "kept_id": kept[has_nbr],
+            }
+        )
+
+    return (
+        corpus.groupBy("label")
+        .applyInPandas(block_dedup, "dropped_id long, label int, kept_id long")
+        .orderBy("dropped_id")
+    )

@@ -155,6 +155,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     # never-checked rows-only queries (weaker driver evidence), then the
     # r03 window (all driver-green r03) for re-confirmation.
     "d68_topk_bruteforce",
+    # round-4 additions (D116-D121): local-green, first driver shot in r05
+    "d116_dup_ngram_spans",
+    "d117_bm25_retrieval",
+    "d118_semantic_dedup",
+    "d119_ewma_smoothing",
+    "d120_robust_anomalies",
+    "d121_snapshot_diff",
     "d58_cid_sequencer_stream",
     "r_charlotte_rollover_hook",
     "r_charlotte_event_records",

@@ -236,6 +236,13 @@ def test_pagerank_iteration_plan(spark, sf_dir):
         assert a["partial_aggregate"]
         assert not a["nested_loop_join"]
         assert "InMemoryTableScan" in a["plan"], "iterations must reuse cached edges"
+        # r04: the O(V) rank side broadcasts, so the cached O(E) edges
+        # are never re-sorted — a SortMergeJoin appearing here means an
+        # iteration regressed to shuffling/sorting the edge table.
+        assert a["broadcast_hash_join"]
+        assert "SortMergeJoin" not in a["plan"], (
+            "PageRank iteration re-sorts the O(E) edges; broadcast the O(V) side"
+        )
     finally:
         edges.unpersist()
 
