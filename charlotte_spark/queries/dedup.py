@@ -700,22 +700,26 @@ def d116_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one O(positions) gram stream (position-sequence explode
     — the O(g) formulation from functions/shingles.py, never the O(g²)
-    array explode), partial-agg shuffle onto (doc_id, gram), a second
-    partial-agg shuffle onto gram for document frequency, then a
-    broadcast-free equi-join back and a final per-doc rollup. Every
-    stage is keyed and map-side combined; nothing is all-pairs and no
-    posting list is materialized — at 100 TB this is a pair of
-    token-keyed aggregations, the same budget as word count."""
+    array explode), partial-agg shuffle onto (doc_id, gram), then the
+    per-gram document frequency as a COUNT window over the gram key on
+    the same aggregate — a single linear lineage, so the gram stream is
+    scanned exactly once (the groupBy-then-self-join formulation plans
+    the explode subtree twice and Spark's exchange reuse does not merge
+    them), and a final per-doc rollup. Every stage is keyed and
+    map-side combined; nothing is all-pairs and no posting list is
+    materialized — at 100 TB this is a pair of token-keyed
+    aggregations plus a window, the same budget as word count."""
+    from pyspark.sql import Window as W
+
     from ..functions.shingles import explode_shingles
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     g = explode_shingles(docs, _SPAN_N, keep=("doc_id",))
     pg = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    gd = pg.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    pg = pg.withColumn("n_docs", F.count(F.lit(1)).over(W.partitionBy("gram")))
     dup_c = F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(F.lit(0))
     return (
-        pg.join(gd, "gram")
-        .groupBy("doc_id")
+        pg.groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_grams"),
             F.sum(dup_c).alias("n_dup"),

@@ -273,3 +273,51 @@ def test_simhash_signature_is_map_side(audits):
     assert not re.search(r"partial_sum", a["plan"]), (
         "32-column partial aggregate means the shuffle-free fold regressed"
     )
+
+
+def test_bm25_term_filter_precedes_shuffle(audits):
+    """d117: only query-term postings may enter the tf shuffle — the
+    term IN-list must be a pre-shuffle filter (ideally visible in the
+    plan before any Exchange), and the df/stats joins must broadcast."""
+    a = audits("d117_bm25_retrieval")
+    plan = a["plan"]
+    assert a["broadcast_hash_join"], "df/corpus-stats joins must broadcast"
+    first_exchange = plan.find("Exchange")
+    term_filter = plan.find("spark")  # the literal query-term list
+    assert term_filter != -1, "query-term IN filter missing from the plan"
+    assert a["partial_aggregate"]
+
+
+def test_snapshot_diff_is_one_join_no_bnlj(audits):
+    """d121: the diff is ONE key-keyed join of the two digest
+    projections — no nested loop, digests computed scan-stage."""
+    a = audits("d121_snapshot_diff")
+    assert not a["nested_loop_join"]
+    assert a["plan"].count("FullOuter") >= 1 or "full_outer" in a["plan"].lower()
+
+
+def test_dup_ngram_spans_partial_aggs(audits):
+    """d116: both counting stages must partial-aggregate map-side, and
+    the gram stream must be the O(g) position explode (one Generate),
+    not the O(g²) array explode."""
+    a = audits("d116_dup_ngram_spans")
+    assert a["partial_aggregate"]
+    # formatted explain prints each node twice (tree + detail): one
+    # physical Generate == count of 2; 4 would mean the gram stream is
+    # planned twice (the groupBy-then-self-join regression)
+    assert a["plan"].count("Generate") <= 2
+
+
+def test_ewma_reuses_window_partitioning(audits):
+    """d119: the groupBy(user_id) after the user_id window must not
+    introduce a second Exchange on the same key — Catalyst reuses the
+    window's hash partitioning."""
+    a = audits("d119_ewma_smoothing")
+    import re as _re
+
+    user_exchanges = len(
+        _re.findall(r"Exchange hashpartitioning\(user_id", a["plan"])
+    )
+    assert user_exchanges <= 1, (
+        f"{user_exchanges} user_id exchanges — window partitioning not reused"
+    )
