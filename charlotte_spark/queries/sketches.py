@@ -7,7 +7,10 @@ union) and A90 (heavy hitters):
 
 - **A94 Bloom-filter membership screen** — the scale path for the
   D79 contamination screen: the benchmark side is folded into an
-  m-bit / k-hash bitmap (here 16 Kib / 4 hashes) that BROADCASTS to
+  m-bit / k-hash bitmap (here 128 Kib / 4 hashes — sized so the
+  benchmark's ~25k grams load the filter at kn/m ≈ 0.7 for a ~6%
+  false-positive rate; 16 Kib saturated it to ~95% of bits set and
+  flagged nearly everything) that BROADCASTS to
   every executor, so the 100 TB training side is screened map-only
   with zero shuffle; the exact gram join (D79's shape) is computed
   alongside to materialize the false-positive accounting.
@@ -38,7 +41,7 @@ from ..functions.portable import portable_hash_long, pround, sql_hash_long, sql_
 from ..functions.shingles import explode_shingles
 from ..registry import query
 
-_BLOOM_BITS = 16384  # m: 16 Kib bitmap = 256 longs, broadcast as a literal
+_BLOOM_BITS = 131072  # m: 128 Kib bitmap = 2048 longs, shipped as ONE array literal
 _BLOOM_K = 4  # k: hash functions, seeds bf0|..bf3|
 
 _CM_D = 4  # count-min rows, seeds cm0|..cm3|
@@ -117,8 +120,8 @@ def a94_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pass 1 folds the benchmark 5-grams into an m-bit bitmap: the K bit
     positions per gram are computed JVM-side, DISTINCT-ed (≤ m rows
     reach the driver — sketch-sized traffic, same budget class as
-    D86's centroids), and packed into 256 longs that ship to every
-    task as a literal array. Pass 2 screens the training side map-only
+    D86's centroids), and packed into 2048 longs that ship to every
+    task as one array literal. Pass 2 screens the training side map-only
     — per distinct gram, K portable hashes + K bit probes, no shuffle
     against the benchmark. A doc is bloom-flagged if ANY of its grams
     has all K bits set; the exact D79-style gram join runs alongside so
@@ -126,25 +129,35 @@ def a94_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bloom guarantee — no false negatives — is therefore hash-verified:
     the driver would flag any row where exact > bloom)."""
     docs = fan_out(_docs(spark, sf_dir))
-    bench = explode_shingles(docs.filter(F.col("source") == "src0"), 5, keep=()).distinct()
+    bench_raw = explode_shingles(docs.filter(F.col("source") == "src0"), 5, keep=())
+    # the exact-join side needs distinct grams; bit-SETTING doesn't
+    # (idempotent), so pass 1 hashes the raw stream and dedups only the
+    # ≤m positions — one shuffle instead of two
+    bench = bench_raw.distinct()
     pos_cols = [
         (portable_hash_long("gram", f"bf{i}|") % _BLOOM_BITS) for i in range(_BLOOM_K)
     ]
-    positions = bench.select(F.explode(F.array(*pos_cols)).alias("pos")).distinct()
+    positions = bench_raw.select(F.explode(F.array(*pos_cols)).alias("pos")).distinct()
     bits = [r[0] for r in positions.collect()]
     words = [0] * (_BLOOM_BITS // 64)
     for p in bits:
         words[p // 64] |= 1 << (p % 64)
-    mask = F.array(
-        *[
-            F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
-            for w in words
-        ]
-    )
+    # ONE array<long> literal (F.lit on the list) — an F.array of 2048
+    # per-element literals is a CreateArray re-evaluated per probed row
+    mask = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
 
+    # ONE pass over the train gram stream: the bloom probe is a per-gram
+    # projection against the literal mask and the exact check is a
+    # broadcast left join against the benchmark grams — both flags
+    # reduce in the same per-doc aggregate, so the train side is
+    # exploded once and shuffled once (on doc_id). No gram-level
+    # distinct: duplicate grams only re-evaluate cheap hash projections
+    # and fold into the same max(), which is cheaper than a full
+    # (doc_id, gram) dedup shuffle. (The r03 formulation planned the
+    # explode twice — separate bloom/exact branches with their own
+    # distincts — and re-scanned the corpus for each.)
     train = docs.filter(F.col("source") != "src0")
-    grams = explode_shingles(train, 5, keep=("doc_id",)).distinct()
-    g = grams.withColumn("__mask", mask)
+    g = explode_shingles(train, 5, keep=("doc_id",)).withColumn("__mask", mask)
     hit = F.lit(True)
     for i in range(_BLOOM_K):
         g = g.withColumn(f"__p{i}", portable_hash_long("gram", f"bf{i}|") % _BLOOM_BITS)
@@ -155,17 +168,17 @@ def a94_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             == 1
         )
-    bloom_docs = g.filter(hit).select("doc_id").distinct().withColumn("bf", F.lit(1))
-    exact_docs = (
-        grams.join(F.broadcast(bench), "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("ex", F.lit(1))
+    per_doc = (
+        g.join(F.broadcast(bench.withColumn("__ex", F.lit(1))), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(hit, F.lit(1))).alias("bf"),
+            F.max("__ex").alias("ex"),
+        )
     )
     return (
         train.select("doc_id", "lang")
-        .join(bloom_docs, "doc_id", "left")
-        .join(exact_docs, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_train_docs"),
