@@ -384,3 +384,123 @@ def d73_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("n_tokens"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# D123: bigram language-model quality score (CCNet-style LM filter proxy)
+# ---------------------------------------------------------------------------
+
+_LM_TOPBOT = 10
+
+
+@query(
+    "d123_bigram_lm_score",
+    tags=("D123", "D70", "D76"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+        SELECT unnest(t) AS w FROM toks
+    ),
+    ucnt AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY w
+    ),
+    vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ucnt),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+               unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+        FROM toks WHERE len(t) >= 2
+    ),
+    bcnt AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+        FROM bi GROUP BY w1, w2
+    ),
+    scored AS (
+        SELECT bi.doc_id,
+               ln((bcnt.cb + 1.0) / (ucnt.cu + vocab.v)) AS lp
+        FROM bi
+        JOIN bcnt USING (w1, w2)
+        JOIN ucnt ON ucnt.w = bi.w1
+        CROSS JOIN vocab
+    ),
+    per_doc AS (
+        SELECT doc_id, {sql_round("sum(lp) / count(*)", 6)} AS avg_logprob,
+               CAST(count(*) AS BIGINT) AS n_bigrams
+        FROM scored GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, avg_logprob, n_bigrams,
+               row_number() OVER (ORDER BY avg_logprob DESC, doc_id) AS rk_best,
+               row_number() OVER (ORDER BY avg_logprob ASC, doc_id) AS rk_worst
+        FROM per_doc
+    )
+    SELECT doc_id, avg_logprob, n_bigrams,
+           CASE WHEN rk_best <= {_LM_TOPBOT} THEN 'fluent' ELSE 'disfluent' END AS band
+    FROM ranked
+    WHERE rk_best <= {_LM_TOPBOT} OR rk_worst <= {_LM_TOPBOT}
+    ORDER BY avg_logprob DESC, doc_id
+    """,
+)
+def d123_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality score — the in-pipeline proxy
+    for the CCNet/KenLM perplexity filter: train add-1-smoothed bigram
+    statistics on the corpus itself (one counting pass), then score
+    every document by its average bigram log-probability
+    ln((c(w1 w2)+1)/(c(w1)+|V|)) and report the 10 most and least
+    fluent documents. No external model: the LM *is* a pair of count
+    tables, which is exactly how production perplexity filters
+    bootstrap when no curated LM exists for a language.
+
+    Plan shape: bigram and unigram counts are one partial-agg shuffle
+    each; scoring joins the doc bigram stream to the count tables on
+    the gram key (shuffle joins — at 100 TB the bigram table outgrows
+    any broadcast budget, so the gram-keyed shuffle IS the scale
+    plan), |V| rides along as a 1-row broadcast; per-doc averaging is
+    one doc_id shuffle and the final top/bottom-10 is TakeOrdered.
+    Summation order: avg of ~doc-length ln terms rounded at 6 — fp
+    association noise is ~1e-13 relative, far below the rounding."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = ucnt.agg(F.count(F.lit(1)).alias("v"))
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+    )
+    bcnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bi.join(bcnt, ["w1", "w2"])
+        .join(ucnt.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v"))).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        pround(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+    best = (
+        per_doc.orderBy(F.col("avg_logprob").desc(), F.col("doc_id").asc())
+        .limit(_LM_TOPBOT)
+        .withColumn("band", F.lit("fluent"))
+    )
+    worst = (
+        per_doc.orderBy(F.col("avg_logprob").asc(), F.col("doc_id").asc())
+        .limit(_LM_TOPBOT)
+        .withColumn("band", F.lit("disfluent"))
+    )
+    return best.unionByName(worst).orderBy(F.col("avg_logprob").desc(), "doc_id")

@@ -678,3 +678,67 @@ def d89_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_lines") > F.col("n_unique"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D122: weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 100
+
+
+@query(
+    "d122_weighted_sample",
+    tags=("D122", "D77", "D40"),
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+               -- u in (0,1) from the portable hash; key = u^(1/w) via
+               -- exp(ln(u)/w) (same IEEE ops in both engines)
+               exp(ln(({sql_hash_long("doc_id", "ws|")} + 1.0) / 4294967297.0) / n_chars) AS k
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS weight, {sql_round("k", 6)} AS sample_key, rk
+    FROM (
+        SELECT doc_id, w, k,
+               row_number() OVER (ORDER BY k DESC, doc_id) AS rk
+        FROM keyed
+    ) WHERE rk <= {_WSAMPLE_K}
+    ORDER BY rk
+    """,
+)
+def d122_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=100, weight = n_chars —
+    the Efraimidis-Spirakis one-pass scheme (key = u^(1/w), keep the k
+    largest keys), which is how a curation pipeline draws a
+    size-biased subcorpus in one scan: no global state, no sequential
+    draws, mergeable across partitions (each partition keeps its local
+    top-k; the driver merges — exactly Spark's TakeOrdered).
+
+    Determinism: u derives from the portable md5 hash of doc_id
+    (never engine-native rand()), so the drawn sample is hash-checked
+    against the oracle, not statistically compared. exp/ln/division
+    are IEEE-identical across engines.
+
+    Plan shape: scan-stage key projection + TakeOrdered(k) — zero
+    shuffles beyond the per-partition top-k merge; at 100 TB this
+    samples a trillion-row corpus with O(k) driver traffic."""
+    docs = fan_out(_docs(spark, sf_dir)).filter(F.col("n_chars") > 0)
+    u = (portable_hash_long("doc_id", "ws|") + F.lit(1.0)) / F.lit(4294967297.0)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("w"),
+        F.exp(F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    top = keyed.orderBy(F.col("k").desc(), F.col("doc_id").asc()).limit(_WSAMPLE_K)
+    w = Window.orderBy(F.col("k").desc(), F.col("doc_id").asc())
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.col("w").cast("long").alias("weight"),
+            pround("k", 6).alias("sample_key"),
+            "rk",
+        )
+        .orderBy("rk")
+    )

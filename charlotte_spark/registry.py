@@ -162,6 +162,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d119_ewma_smoothing",
     "d120_robust_anomalies",
     "d121_snapshot_diff",
+    "d122_weighted_sample",
+    "d123_bigram_lm_score",
     "d58_cid_sequencer_stream",
     "r_charlotte_rollover_hook",
     "r_charlotte_event_records",
