@@ -727,3 +727,120 @@ def d116_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D124: duplicated-span removal accounting (the action on D116's statistic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d124_span_removal",
+    tags=("D124", "D116", "A66"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(t, i, i + {_SPAN_N - 1}), ' ') AS gram
+        FROM toks, unnest(range(1, len(t) - {_SPAN_N - 2})) u(i)
+        WHERE len(t) >= {_SPAN_N}
+    ),
+    gd AS (
+        SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        GROUP BY gram HAVING count(*) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT g.doc_id, g.pos + k.k AS tok_idx
+        FROM g JOIN gd USING (gram), unnest(range(0, {_SPAN_N})) k(k)
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(count(c.tok_idx) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN covered c ON c.doc_id = t.doc_id
+        GROUP BY t.doc_id, len(t.t)
+    )
+    SELECT doc_id, n_tokens, n_removed,
+           CAST(n_tokens - n_removed AS BIGINT) AS n_kept,
+           {sql_round("n_removed * 1.0 / n_tokens", 6)} AS removed_frac
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def d124_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL accounting — the action half of the
+    Lee et al. 2021 pipeline (D116 is the statistic): for every
+    document, count the token positions covered by at least one
+    corpus-duplicated 8-gram (the spans a dedup pass would excise) and
+    the surviving length. A position covered by several overlapping
+    duplicated grams counts once — the coverage union, not the gram
+    count, which is what makes this the faithful removal budget.
+
+    Plan shape: positional gram stream (pos kept through the explode),
+    position lists carried through the (gram, doc) aggregate, the dup
+    flag as a COUNT window on the gram key (one linear lineage — no
+    flag branch re-joined to a second copy of the gram stream), then
+    each flagged gram fans out to its 8 covered positions and a
+    (doc_id, tok_idx) distinct does the overlap union — every stage
+    keyed, partial-aggregated, and linear in corpus positions; nothing
+    is all-pairs. At 100 TB the gram-keyed shuffles dominate and are
+    the same budget as D116."""
+    from pyspark.sql import Window as W
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _SPAN_N
+    )
+    g = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.size("t") - (_SPAN_N - 1))).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ", *[F.element_at("t", F.col("pos") + k) for k in range(_SPAN_N)]
+        ).alias("gram"),
+    )
+    # single lineage (d116's lesson — a dup-flag branch re-joined to the
+    # gram stream would plan the positional explode twice): the per-doc
+    # position list rides through the (gram, doc) aggregate, the dup
+    # flag is a COUNT window on the gram key, and coverage re-expands
+    # only the flagged grams' positions
+    pg = g.groupBy("gram", "doc_id").agg(F.collect_list("pos").alias("ps"))
+    flagged = pg.withColumn(
+        "n_docs", F.count(F.lit(1)).over(W.partitionBy("gram"))
+    ).filter(F.col("n_docs") >= 2)
+    covered = (
+        flagged.select("doc_id", F.explode("ps").alias("pos"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + _SPAN_N - 1)).alias(
+                "tok_idx"
+            ),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    lens = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")).filter(
+        F.col("n_tokens") >= _SPAN_N
+    )
+    return (
+        lens.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            (F.col("n_tokens") - F.col("n_removed")).cast("long").alias("n_kept"),
+            pround(F.col("n_removed") * 1.0 / F.col("n_tokens"), 6).alias("removed_frac"),
+        )
+        .orderBy("doc_id")
+    )

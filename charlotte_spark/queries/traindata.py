@@ -742,3 +742,70 @@ def d122_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# D125: cross-source quantile normalization of quality scores
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d125_quantile_calibration",
+    tags=("D125", "D76", "D34"),
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id) AS r
+        FROM documents
+    ),
+    ref AS (
+        SELECT r, avg(score) AS ref_score FROM ranked GROUP BY r
+    )
+    SELECT ranked.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {sql_round("avg(ref.ref_score - ranked.score)", 6)} AS mean_shift,
+           {sql_round("max(abs(ref.ref_score - ranked.score))", 6)} AS max_abs_shift
+    FROM ranked JOIN ref USING (r)
+    GROUP BY ranked.source
+    ORDER BY ranked.source
+    """,
+)
+def d125_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of a per-document quality
+    score (here n_chars stands in for the filter score): rank documents
+    within each source, define the reference distribution as the
+    cross-source mean at each rank (the classic quantile-normalization
+    construction — sources are equal-sized in this corpus), and report
+    how far each source's distribution sits from the reference
+    (mean/max calibration shift). This is how a curation pipeline
+    detects that one crawl's "quality 0.8" means something different
+    from another's before applying a global threshold.
+
+    Plan shape: one window shuffle on source assigns ranks, one rank-
+    keyed aggregate builds the O(docs-per-source) reference, one join
+    back on rank (both sides already rank-keyed) and a final
+    source-keyed rollup — all keyed partial-agg stages, no driver
+    traffic. The rank-keyed reference is O(n/k) rows for k sources;
+    at 100 TB you'd bucket ranks (ntile) instead of exact ranks,
+    which is the same plan with a coarser key."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("double").alias("score"),
+        F.row_number().over(w).alias("r"),
+    )
+    ref = ranked.groupBy("r").agg(F.avg("score").alias("ref_score"))
+    shift = F.col("ref_score") - F.col("score")
+    return (
+        ranked.join(ref, "r")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pround(F.avg(shift), 6).alias("mean_shift"),
+            pround(F.max(F.abs(shift)), 6).alias("max_abs_shift"),
+        )
+        .orderBy("source")
+    )

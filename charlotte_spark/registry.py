@@ -164,6 +164,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d121_snapshot_diff",
     "d122_weighted_sample",
     "d123_bigram_lm_score",
+    "d124_span_removal",
+    "d125_quantile_calibration",
     "d58_cid_sequencer_stream",
     "r_charlotte_rollover_hook",
     "r_charlotte_event_records",
