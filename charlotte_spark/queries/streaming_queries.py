@@ -454,3 +454,250 @@ def d82_custom_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(sessions, "append")
     return out.filter(F.col("user_id") >= 0).orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# D126: sessionization on the transformWithState API (Spark 4)
+# ---------------------------------------------------------------------------
+
+_TWS_GAP_US = 300_000_000  # 5 minutes, same contract as d82
+
+def _segment_sessions(ts, state):
+    """Shared numpy segmentation for the stateful sessionizers: fold a
+    sorted int64-μs timestamp array into (closed_sessions, open_state)
+    given the optional carried (start, last, n) open-session state."""
+    import numpy as np
+
+    closed: list[tuple[int, int]] = []
+    if state is not None:
+        start, last, cnt = state
+        if ts[0] - last > _TWS_GAP_US:
+            closed.append((start, cnt))
+            start, cnt = int(ts[0]), 0
+    else:
+        start, cnt = int(ts[0]), 0
+    bounds = np.where(np.diff(ts) > _TWS_GAP_US)[0] + 1
+    segs = np.split(ts, bounds)
+    cnt += len(segs[0])
+    last = int(segs[0][-1])
+    for seg in segs[1:]:
+        closed.append((start, cnt))
+        start, cnt, last = int(seg[0]), len(seg), int(seg[-1])
+    return closed, (int(start), int(last), int(cnt))
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf wire format for its
+    state-server protocol; absent in this container (no pip installs)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def make_session_processor():
+    """Factory for the transformWithState sessionizer (module-level so
+    its batch/timer logic is unit-testable without a streaming query;
+    the TWS wire protocol itself needs protobuf — see _tws_available)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    def _fmt(us: int) -> str:
+        return pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+            self.state = handle.getValueState("open", "start LONG, last LONG, n LONG")
+
+        def handleInputRows(self, key, rows, timer_values):
+            parts = [p for p in rows if len(p)]
+            if not parts:
+                return
+            ts = np.sort(
+                np.concatenate(
+                    [
+                        p["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+                        for p in parts
+                    ]
+                )
+            )
+            prev = self.state.get() if self.state.exists() else None
+            closed, new_state = _segment_sessions(ts, prev)
+            self.state.update(new_state)
+            for t in self.handle.listTimers():
+                self.handle.deleteTimer(t)
+            self.handle.registerTimer(new_state[1] // 1000 + _TWS_GAP_US // 1000 + 1)
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(closed),
+                        "session_start": [_fmt(st) for st, _ in closed],
+                        "n_events": [n for _, n in closed],
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            if self.state.exists():
+                start, last, cnt = self.state.get()
+                self.state.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "session_start": [_fmt(start)],
+                        "n_events": [cnt],
+                    }
+                )
+
+        def close(self):
+            pass
+
+    return SessionProcessor()
+
+
+@query(
+    "d126_transform_with_state",
+    tags=("D126", "D82", "D58"),
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 300000000
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def d126_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 5-minute-gap sessionization on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to D82's
+    applyInPandasWithState: named state variables (ValueState here;
+    ListState/MapState for richer operators), explicit event-time
+    TIMERS instead of a single timeout slot, and the RocksDB state
+    store. Same session contract and the same batch gaps-and-islands
+    oracle as d82, so the two APIs are checked against each other
+    through the shared answer.
+
+    Capability detection: the TWS state-server protocol speaks
+    protobuf, which this container lacks (no installs) — when
+    ``google.protobuf`` is importable the TWS path runs (RocksDB
+    provider set at query start); otherwise the operator falls back to
+    the applyInPandasWithState formulation with a logged notice, the
+    d82-proven path with identical semantics. Both paths share the
+    numpy session segmentation (``_segment_sessions``) — no per-row
+    Python in either."""
+    import logging
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    def _fmt(us: int) -> str:
+        return pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", StringType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    s = _replay(spark, sf_dir)
+
+    if _tws_available():
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        sessions = (
+            s.withWatermark("ts", "40 days")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=make_session_processor(),
+                outputStructType=out_schema,
+                outputMode="Append",
+                timeMode="EventTime",
+            )
+        )
+    else:
+        logging.getLogger(__name__).info(
+            "google.protobuf not importable: d126 falling back to "
+            "applyInPandasWithState (same session semantics)"
+        )
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        state_schema = StructType(
+            [
+                StructField("start", LongType()),
+                StructField("last", LongType()),
+                StructField("n", LongType()),
+            ]
+        )
+
+        def sessionize(key, pdfs, state: GroupState):
+            user_id = key[0]
+            if state.hasTimedOut:
+                start, last, cnt = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [_fmt(start)],
+                        "n_events": [cnt],
+                    }
+                )
+                return
+            parts = [pdf for pdf in pdfs if len(pdf)]
+            if not parts:
+                return
+            ts = np.sort(
+                np.concatenate(
+                    [
+                        p["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+                        for p in parts
+                    ]
+                )
+            )
+            prev = state.get if state.exists else None
+            closed, new_state = _segment_sessions(ts, prev)
+            state.update(new_state)
+            state.setTimeoutTimestamp(new_state[1] // 1000 + _TWS_GAP_US // 1000 + 1)
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id] * len(closed),
+                        "session_start": [_fmt(st) for st, _ in closed],
+                        "n_events": [n for _, n in closed],
+                    }
+                )
+
+        sessions = (
+            s.withWatermark("ts", "40 days")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                sessionize, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+    out = run_to_memory(sessions, "append")
+    return out.filter(F.col("user_id") >= 0).orderBy("user_id", "session_start")

@@ -166,6 +166,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d123_bigram_lm_score",
     "d124_span_removal",
     "d125_quantile_calibration",
+    "d126_transform_with_state",
     "d58_cid_sequencer_stream",
     "r_charlotte_rollover_hook",
     "r_charlotte_event_records",

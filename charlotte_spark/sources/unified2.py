@@ -200,7 +200,21 @@ def parse_alerts(data: bytes) -> list[dict]:
     event + attached packets/extra-data, keyed by (sensor,event,second))."""
     alerts: list[dict] = []
     index: dict[tuple[int, int, int], dict] = {}
+    # A record whose declared length frames correctly but whose payload
+    # is shorter than its type's fixed header is corrupt — skip it
+    # rather than crash the stream task (the reference dies on this;
+    # SURVEY §2.1 documents that defect as deliberately not replicated).
+    _MIN = {
+        U2_IDS_EVENT: _EVENT_STRUCT.size,
+        U2_IDS_EVENT_VLAN: _EVENT_V2_STRUCT.size,
+        U2_IDS_EVENT_IPV6: _EVENT_IP6_STRUCT.size,
+        U2_IDS_EVENT_IPV6_VLAN: _EVENT_IP6_V2_STRUCT.size,
+        U2_PACKET: _PACKET_STRUCT.size,
+        U2_EXTRA_DATA: _EXTRA_STRUCT.size,
+    }
     for rtype, payload in parse_records(data):
+        if rtype in _MIN and len(payload) < _MIN[rtype]:
+            continue  # undersized payload for this record type
         if rtype in EVENT_TYPES:
             if rtype == U2_IDS_EVENT:
                 f = _EVENT_STRUCT.unpack_from(payload)

@@ -88,6 +88,25 @@ def test_parse_tolerates_garbage_and_truncation(data):
     parse_alerts(data)
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    rtype=st.sampled_from([7, 104, 72, 105, 2, 110]),
+    payload=st.binary(min_size=0, max_size=30),
+)
+def test_parse_skips_undersized_known_records(rtype, payload):
+    """A correctly-framed record whose payload is shorter than its
+    type's fixed header is corrupt input, not a crash: the parser must
+    skip it and keep consuming subsequent records (the reference dies
+    on a struct.error here — SURVEY §2.1 defect, not replicated).
+    Payloads up to 30 bytes are below every known header size."""
+    import struct as _struct
+
+    good = pack_event(1, 7, 1000, 42, 1, 1, 1)
+    buf = _struct.pack(">2I", rtype, len(payload)) + payload + good
+    alerts = parse_alerts(buf)
+    assert len(alerts) == 1 and alerts[0]["event_id"] == 7
+
+
 @settings(max_examples=50, deadline=None)
 @given(
     frames=st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=5),

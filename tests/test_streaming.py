@@ -254,3 +254,82 @@ def test_with_retry_exhausts():
 
     with pytest.raises(OSError, match="down"):
         with_retry(always_fails, max_tries=3, base_sleep=0.01)
+
+
+def test_tws_session_processor_logic():
+    """d126's transformWithState processor, driven directly with a fake
+    handle: two input batches (extend + gap) and a timer expiry must
+    reproduce the gaps-and-islands sessions. The TWS wire protocol
+    needs protobuf (absent here), so this pins the batch/timer logic
+    that the streaming harness can't reach in this container."""
+    import numpy as np
+    import pandas as pd
+
+    from charlotte_spark.queries.streaming_queries import (
+        _TWS_GAP_US,
+        make_session_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+            self.timers = []
+
+        def getValueState(self, name, schema):
+            return self.state
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+
+        def registerTimer(self, t):
+            self.timers.append(t)
+
+    proc = make_session_processor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    def batch(ts_strings):
+        return [pd.DataFrame({"ts": pd.to_datetime(ts_strings)})]
+
+    # batch 1: two events 2 min apart -> one open session, no output
+    out1 = list(proc.handleInputRows((7,), batch(
+        ["2024-01-01 00:00:00", "2024-01-01 00:02:00"]), None))
+    assert out1 == []
+    assert handle.state.v == (
+        1704067200000000, 1704067320000000, 2
+    )
+    assert len(handle.timers) == 1
+
+    # batch 2: 1 h later -> closes the first session (2 events), opens a new one
+    out2 = pd.concat(list(proc.handleInputRows((7,), batch(
+        ["2024-01-01 01:00:00"]), None)))
+    assert out2["session_start"].tolist() == ["2024-01-01 00:00:00"]
+    assert out2["n_events"].tolist() == [2]
+    assert handle.state.v[2] == 1
+    # timer re-registered at last + gap
+    assert handle.timers == [handle.state.v[1] // 1000 + _TWS_GAP_US // 1000 + 1]
+
+    # timer expiry flushes the open session and clears state
+    out3 = pd.concat(list(proc.handleExpiredTimer((7,), None, None)))
+    assert out3["session_start"].tolist() == ["2024-01-01 01:00:00"]
+    assert out3["n_events"].tolist() == [1]
+    assert not handle.state.exists()
