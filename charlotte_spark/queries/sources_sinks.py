@@ -312,3 +312,98 @@ def d5_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("priority", "n", "total")
         .orderBy("priority")
     )
+
+
+@query(
+    "d127_text_binary_roundtrip",
+    tags=("D127", "D2", "D99", "D72"),
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           md5(string_agg(text, chr(10) ORDER BY text)) AS corpus_md5,
+           CAST(sum(n_chars) + count(*) AS BIGINT) AS total_bytes
+    FROM documents
+    """,
+)
+def d127_text_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file source breadth: export the corpus through Spark's text
+    sink (one line per document) and re-ingest it through BOTH
+    line-oriented ``spark.read.text`` and whole-file
+    ``format("binaryFile")`` — the ingestion front door for text dumps
+    and the opaque-bytes path multimodal corpora arrive through (D72's
+    upstream). Verified: line count = document count, an
+    order-independent corpus digest over the re-read lines equals the
+    oracle's digest over the source table, and the binaryFile byte
+    total equals sum(n_chars) + one newline per line (byte-exact
+    round-trip, ASCII corpus).
+
+    Scale: the text sink writes one file per partition (never per row);
+    binaryFile streams file CONTENT lazily per task with a 4 MB-default
+    partition packing — at 100 TB both sides parallelize by file, and
+    the digest is a single partial-aggregated fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{TMP}/documents_text_{sig}"
+    docs.select("text").write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    digest = F.md5(F.concat_ws("\n", F.array_sort(F.collect_list("value"))))
+    line_side = lines.agg(
+        F.count(F.lit(1)).alias("n_docs"), digest.alias("corpus_md5")
+    )
+    byte_side = (
+        spark.read.format("binaryFile")
+        .load(out)
+        .agg(F.sum(F.length("content")).cast("long").alias("total_bytes"))
+    )
+    return line_side.crossJoin(F.broadcast(byte_side))
+
+
+@query(
+    "d128_jsonl_roundtrip",
+    tags=("D128", "D2", "D99"),
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS corpus_md5
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def d128_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL round-trip — the de-facto interchange format for training
+    corpora (one JSON object per line, splittable, appendable): write
+    the corpus as lang-partitioned JSON lines with an explicit schema,
+    re-read it WITH that schema (never infer in a production path —
+    inference is an extra full scan and type-drifts on empty
+    partitions), and prove content preservation with the same
+    order-independent per-doc digest as the ORC round-trip (D99).
+
+    Scale: the JSON source is splittable by line, so re-ingest
+    parallelizes like text; partition pruning on lang works exactly as
+    parquet's. JSON pays ~5-10x parquet's scan cost at 100 TB — this
+    operator exists because corpora ARRIVE as JSONL, not because it
+    should stay that way (D101's shard export is the conversion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{TMP}/documents_jsonl_{sig}"
+    docs.write.mode("overwrite").partitionBy("lang").json(out)
+    back = spark.read.schema(
+        "doc_id long, text string, source string, n_chars long, lang string"
+    ).json(out)
+    digest = F.md5(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", F.md5("text").alias("h")))),
+                lambda s: s["h"],
+            ),
+        )
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+            digest.alias("corpus_md5"),
+        )
+        .orderBy("lang")
+    )

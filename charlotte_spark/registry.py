@@ -167,6 +167,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d124_span_removal",
     "d125_quantile_calibration",
     "d126_transform_with_state",
+    "d127_text_binary_roundtrip",
+    "d128_jsonl_roundtrip",
     "d58_cid_sequencer_stream",
     "r_charlotte_rollover_hook",
     "r_charlotte_event_records",

@@ -321,3 +321,37 @@ def test_ewma_reuses_window_partitioning(audits):
     assert user_exchanges <= 1, (
         f"{user_exchanges} user_id exchanges — window partitioning not reused"
     )
+
+
+def test_every_collect_site_is_bounded():
+    """Cluster invariant: no query or pipeline code may collect
+    row-scale data to the driver. Every ``.collect()`` in the package
+    must be one of the audited bounded sites (sketch bits, k×dim
+    centroids, dim-length vectors, KB-scale dimension naturals /
+    per-sensor watermarks, bounded JDBC helpers, CLI test-mode print).
+    A new collect site fails here until it is justified and listed."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "charlotte_spark"
+    allowed = {
+        # file -> max number of .collect() sites, all documented bounded
+        "cli.py": 1,          # test-mode console print (bounded alert fixture)
+        "snorby.py": 4,       # dim naturals + per-sensor max(cid) (KB-scale)
+        "jdbc.py": 2,         # dim-table reads + batch-id marker set
+        "similarity.py": 3,   # k seeds, k×dim centroids, dim-length PCA vec
+        "sketches.py": 1,     # ≤m bloom bit positions
+    }
+    found: dict[str, int] = {}
+    for p in root.rglob("*.py"):
+        code = "\n".join(l.split("#")[0] for l in p.read_text().splitlines())
+        n = len(re.findall(r"\.collect\(\)", code))
+        if n:
+            found[p.name] = n
+    unexpected = {
+        f: n for f, n in found.items() if f not in allowed or n > allowed[f]
+    }
+    assert not unexpected, (
+        f"unaudited .collect() sites {unexpected}; bound and list them, "
+        "or reformulate distributed"
+    )
