@@ -478,3 +478,81 @@ def d87_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# D130: CIDR containment enrichment (security-lineage range-join form)
+# ---------------------------------------------------------------------------
+
+# (name, lo, hi) — numeric [lo, hi] ranges of non-uniform width with
+# deliberate gaps, so containment is a real range predicate (an aligned
+# uniform grid would reduce to an equi-join on a prefix) and unmatched
+# addresses exercise the left-outer default.
+_CIDR_BLOCKS = (
+    ("corp-10/8", 167_772_160, 184_549_375),          # 10.0.0.0/8
+    ("dmz-172.16/12", 2_886_729_728, 2_887_778_303),  # 172.16.0.0/12
+    ("guest-192.168/16", 3_232_235_520, 3_232_301_055),  # 192.168.0.0/16
+    ("cgnat-100.64/10", 1_681_915_904, 1_686_110_207),   # 100.64.0.0/10
+    ("mcast-224/4", 3_758_096_384, 4_026_531_839),       # 224.0.0.0/4
+)
+
+
+@query(
+    "d130_cidr_enrichment",
+    tags=("D130", "D20", "D52"),
+    oracle=f"""
+    WITH evt AS (
+        SELECT event_id, user_id,
+               CAST('0x' || substring(md5('ip|' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS ip
+        FROM events
+    ),
+    dim(block, lo, hi) AS (
+        VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _CIDR_BLOCKS)}
+    )
+    SELECT coalesce(d.block, 'unassigned') AS block,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM evt e LEFT JOIN dim d ON e.ip BETWEEN d.lo AND d.hi
+    GROUP BY coalesce(d.block, 'unassigned')
+    ORDER BY block
+    """,
+)
+def d130_cidr_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR-block enrichment — the security-analytics form of the range
+    join (D20) and the numeric-IP machinery of D52: map each event's
+    address (synthesized 32-bit value from the portable hash — the
+    events table carries no IPs) to its containing network block via a
+    BETWEEN containment join against a literal block dimension, with
+    unmatched addresses kept as 'unassigned' (the reference's
+    fabricate-default semantics, R13-R15).
+
+    Scale shape: the dim side is O(blocks) and BROADCASTS, so
+    containment is a BroadcastNestedLoopJoin with a bounded build side
+    — per-row work is O(blocks) comparisons, the event log never
+    shuffles. For dims beyond ~10^4 blocks the production form is an
+    interval index (prefix bucketing on the high bits → equi-join +
+    residual BETWEEN, D22's shape). The portable-hash IPs make the
+    whole mapping hash-checkable."""
+    from ..functions.portable import portable_hash_long
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", portable_hash_long("event_id", "ip|").alias("ip")
+    )
+    dim = local_df(
+        spark,
+        list(_CIDR_BLOCKS),
+        "block string, lo long, hi long",
+    )
+    return (
+        e.join(
+            F.broadcast(dim),
+            (F.col("ip") >= F.col("lo")) & (F.col("ip") <= F.col("hi")),
+            "left",
+        )
+        .groupBy(F.coalesce("block", F.lit("unassigned")).alias("block"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("block")
+    )

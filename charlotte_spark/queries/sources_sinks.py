@@ -407,3 +407,62 @@ def d128_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "d129_schema_evolution",
+    tags=("D129", "D4", "D2"),
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, CAST(NULL AS DOUBLE) AS quality, 1 AS batch
+        FROM documents
+    ),
+    v2 AS (
+        SELECT doc_id, n_chars / 100.0 AS quality, 2 AS batch
+        FROM documents
+    ),
+    merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT batch,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_quality,
+           floor(coalesce(avg(quality), 0) * 1000000.0 + 0.5) / 1000000.0 AS avg_quality,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM merged GROUP BY batch ORDER BY batch
+    """,
+)
+def d129_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: batch 1 of the corpus lands WITHOUT the
+    ``quality`` column, batch 2 lands with it, and a single
+    ``mergeSchema`` read reconciles both under the widened schema
+    (missing column → NULL for the old files) — how a growing corpus
+    gains derived columns in place without rewriting history. Checked:
+    per-batch counts, null accounting for the evolved column, and its
+    aggregate over the batch that has it.
+
+    Scale: schema merge is a FOOTER-only operation (one metadata task
+    per file, no data scan), and the per-file physical schema drives
+    column pruning as usual — old files never read pages for columns
+    they lack. The practice this operator pins: turn mergeSchema ON for
+    the read that discovers the union schema, then pin the merged
+    schema explicitly in production readers (inference-free, like
+    D128)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{TMP}/documents_evol_{sig}"
+    docs.select("doc_id").write.mode("overwrite").parquet(f"{out}/batch=1")
+    docs.select(
+        "doc_id", (F.col("n_chars") / 100.0).alias("quality")
+    ).write.mode("overwrite").parquet(f"{out}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        merged.groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("quality").isNull().cast("int")).cast("long").alias(
+                "n_null_quality"
+            ),
+            pround(F.coalesce(F.avg("quality"), F.lit(0.0)), 6).alias("avg_quality"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("batch")
+    )

@@ -169,6 +169,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d126_transform_with_state",
     "d127_text_binary_roundtrip",
     "d128_jsonl_roundtrip",
+    "d129_schema_evolution",
+    "d130_cidr_enrichment",
     "d58_cid_sequencer_stream",
     "r_charlotte_rollover_hook",
     "r_charlotte_event_records",
