@@ -437,3 +437,49 @@ def test_funnel_stages_are_monotone(spark, sf_dir):
     assert r["n_signup"] >= r["n_click"] >= r["n_purchase"] >= 0
     if r["n_signup"]:
         assert abs(r["conversion"] - r["n_purchase"] / r["n_signup"]) < 1e-4
+
+
+def test_weighted_sample_invariants(spark, sf_dir):
+    """D122: exactly k rows, ranks are 1..k, keys strictly descend with
+    rank (ties broken by doc_id), and every key is in (0, 1] — the
+    Efraimidis-Spirakis u^(1/w) range."""
+    from charlotte_spark.registry import load_all_queries
+
+    rows = load_all_queries()["d122_weighted_sample"].fn(spark, sf_dir).collect()
+    assert len(rows) == 100
+    assert [r["rk"] for r in rows] == list(range(1, 101))
+    keys = [r["sample_key"] for r in rows]
+    assert all(0.0 < k <= 1.0 for k in keys)
+    assert keys == sorted(keys, reverse=True)
+    assert all(r["weight"] > 0 for r in rows)
+
+
+def test_span_removal_bounds_and_consistency(spark, sf_dir):
+    """D124: removal accounting is a coverage union — for every doc
+    0 ≤ n_removed ≤ n_tokens, n_kept = n_tokens − n_removed, and the
+    removed fraction can only be 1.0 when the whole doc is covered."""
+    from charlotte_spark.registry import load_all_queries
+
+    rows = load_all_queries()["d124_span_removal"].fn(spark, sf_dir).collect()
+    assert rows, "span-removal output is vacuous"
+    for r in rows:
+        assert 0 <= r["n_removed"] <= r["n_tokens"], r
+        assert r["n_kept"] == r["n_tokens"] - r["n_removed"], r
+    assert any(r["n_removed"] > 0 for r in rows), (
+        "no duplicated spans detected anywhere — statistic is vacuous"
+    )
+
+
+def test_cidr_enrichment_partitions_events(spark, sf_dir):
+    """D130: every event lands in exactly one bucket (blocks are
+    disjoint), so per-block counts sum to the event-table count and the
+    'unassigned' bucket is present (gaps are deliberate)."""
+    from charlotte_spark.catalog import load_table
+    from charlotte_spark.registry import load_all_queries
+
+    rows = load_all_queries()["d130_cidr_enrichment"].fn(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    assert "unassigned" in {r["block"] for r in rows}
+    for r in rows:
+        assert 0 < r["n_users"] <= r["n_events"], r
