@@ -579,6 +579,31 @@ def _pca_oracle() -> str:
     )
 
 
+def pca_iteration_plan(
+    spark: SparkSession, sf_dir: str, w: "list[float] | None" = None
+) -> DataFrame:
+    """LAZY plan of ONE power iteration (c = Xᵀ(X·w) for a literal w) —
+    split out so the per-iteration shape is auditable
+    (tests/test_plans.py::test_pca_iteration_plan) even though the
+    registered query materializes each round via a dim-length collect
+    (the PLAN_AUDIT.md caveat: driver-loop queries tabulate only their
+    final local plan)."""
+    if w is None:
+        w = [1.0 / math.sqrt(float(_DIM))] * _DIM
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    arr = F.array(*[F.lit(float(x)) for x in w])
+    score = F.aggregate(
+        F.zip_with("v", arr, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+    )
+    return (
+        emb.select(score.alias("s"), F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("x") * F.col("s")).alias("c"))
+    )
+
+
 @query("d102_pca_power", tags=("D102", "D86", "D75"), oracle=_pca_oracle())
 def d102_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA: top principal component of the (uncentered)

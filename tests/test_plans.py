@@ -355,3 +355,20 @@ def test_every_collect_site_is_bounded():
         f"unaudited .collect() sites {unexpected}; bound and list them, "
         "or reformulate distributed"
     )
+
+
+def test_pca_iteration_plan(spark, sf_dir):
+    """d102's registered query runs its power iterations via dim-length
+    driver collects (documented), so audit the LAZY single-iteration
+    plan via pca_iteration_plan: the Xᵀs reduction must partial-
+    aggregate onto the O(dim) pos keys with exactly one agg exchange
+    (plus none for the scan side), and no join of any kind appears."""
+    from charlotte_spark.plans.audit import audit_plan
+    from charlotte_spark.queries.similarity import pca_iteration_plan
+
+    a = audit_plan(pca_iteration_plan(spark, sf_dir))
+    assert a["partial_aggregate"]
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )
+    assert a["n_exchanges"] <= 2  # one physical exchange, printed twice
