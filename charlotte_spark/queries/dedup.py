@@ -844,3 +844,146 @@ def d124_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D131: incremental dedup of a new batch against a persisted corpus index
+# ---------------------------------------------------------------------------
+
+
+def _bands_of(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, bhash) band table of a minhash signature DF —
+    the same 6-band/2-row layout a66 uses."""
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.md5(
+                F.concat(
+                    F.col(f"mh{2 * i}").cast("string"),
+                    F.lit("_"),
+                    F.col(f"mh{2 * i + 1}").cast("string"),
+                )
+            ).alias("bhash"),
+        )
+        for i in range(N_BANDS)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.bhash").alias("bhash")
+    )
+
+
+_SQL_NEW_BATCH = """
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string((string_split(text, ' '))[1:len(string_split(text, ' ')) - 1], ' ') AS text
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+def _sql_bands(sig_cte: str) -> str:
+    return f"""
+        SELECT doc_id,
+               unnest([{", ".join(str(i) for i in range(N_BANDS))}]) AS band_idx,
+               unnest([{", ".join(
+                   f"md5(CAST(mh{2 * i} AS VARCHAR) || '_' || CAST(mh{2 * i + 1} AS VARCHAR))"
+                   for i in range(N_BANDS)
+               )}]) AS bhash
+        FROM {sig_cte}
+    """
+
+
+@query(
+    "d131_incremental_dedup",
+    tags=("D131", "A66", "D65"),
+    oracle=f"""
+    WITH corpus_sig AS ({_sql_minhash_sig("SELECT doc_id, text FROM documents")}),
+    new_sig AS ({_sql_minhash_sig(_SQL_NEW_BATCH)}),
+    corpus_bands AS ({_sql_bands("corpus_sig")}),
+    new_bands AS ({_sql_bands("new_sig")}),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        FROM new_bands n JOIN corpus_bands c
+          ON n.band_idx = c.band_idx AND n.bhash = c.bhash
+    )
+    SELECT new_id, corpus_id,
+           {sql_round(
+               "(" + " + ".join(
+                   f"CASE WHEN sn.mh{j} = sc.mh{j} THEN 1 ELSE 0 END" for j in range(N_HASHES)
+               ) + f") / {float(N_HASHES)}", 4)} AS est_jaccard
+    FROM cand
+    JOIN new_sig sn ON sn.doc_id = new_id
+    JOIN corpus_sig sc ON sc.doc_id = corpus_id
+    WHERE ({" + ".join(
+        f"CASE WHEN sn.mh{j} = sc.mh{j} THEN 1 ELSE 0 END" for j in range(N_HASHES)
+    )}) / {float(N_HASHES)} >= 0.49
+    ORDER BY new_id, corpus_id
+    """,
+)
+def d131_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup — the continual-pretraining shape: the
+    existing corpus's MinHash signatures + band index are built ONCE
+    and persisted to storage (scratch parquet here, a table in
+    production); each NEW batch (synthesized last-token-dropped copies
+    of every 20th doc) signatures only itself and probes the stored
+    index. Corpus work is O(new batch), not O(corpus), per arrival —
+    the property that makes LSH dedup viable when 100 TB is already
+    curated and a TB lands daily.
+
+    Plan shape: index build = a66's signature + band projection, ONE
+    write; probe = band equi-join of the (tiny) new-batch band table
+    against the index — shuffles keyed on (band_idx, bhash), candidate
+    re-score joins the two signature tables. Never all-pairs, and the
+    corpus text is never re-shingled."""
+    import os as _os
+
+    from ..streaming.harness import _scratch_root
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig_dir = f"{_scratch_root('CHARLOTTE_IDX_TMP', 'charlotte_lsh_idx')}/{_os.path.basename(sf_dir.rstrip('/'))}"
+    # build-once semantics: persist the corpus signatures if absent
+    # (the stored index a production pipeline would maintain)
+    if not _os.path.exists(f"{sig_dir}/_SUCCESS"):
+        _minhash_sig(fan_out(corpus)).write.mode("overwrite").parquet(sig_dir)
+    corpus_sig = spark.read.parquet(sig_dir)
+
+    toks = F.split("text", " ")
+    new_batch = fan_out(corpus).filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
+    )
+    new_sig = _minhash_sig(new_batch)
+
+    cand = (
+        _bands_of(new_sig)
+        .select(F.col("doc_id").alias("new_id"), "band_idx", "bhash")
+        .join(
+            _bands_of(corpus_sig).select(
+                F.col("doc_id").alias("corpus_id"),
+                F.col("band_idx").alias("band_idx_c"),
+                F.col("bhash").alias("bhash_c"),
+            ),
+            (F.col("band_idx") == F.col("band_idx_c"))
+            & (F.col("bhash") == F.col("bhash_c")),
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sn = new_sig.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"mh{j}").alias(f"n_mh{j}") for j in range(N_HASHES)],
+    )
+    sc = corpus_sig.select(
+        F.col("doc_id").alias("corpus_id"),
+        *[F.col(f"mh{j}").alias(f"c_mh{j}") for j in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"n_mh{j}") == F.col(f"c_mh{j}"), 1).otherwise(0)
+        for j in range(N_HASHES)
+    )
+    return (
+        cand.join(sn, "new_id")
+        .join(sc, "corpus_id")
+        .withColumn("ej", matches / float(N_HASHES))
+        .filter(F.col("ej") >= 0.49)
+        .select("new_id", "corpus_id", pround("ej", 4).alias("est_jaccard"))
+        .orderBy("new_id", "corpus_id")
+    )

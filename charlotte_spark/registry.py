@@ -171,6 +171,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d128_jsonl_roundtrip",
     "d129_schema_evolution",
     "d130_cidr_enrichment",
+    "d131_incremental_dedup",
     "d58_cid_sequencer_stream",
     "r_charlotte_rollover_hook",
     "r_charlotte_event_records",
