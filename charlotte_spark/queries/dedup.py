@@ -950,7 +950,11 @@ def d131_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
     )
-    new_sig = _minhash_sig(new_batch)
+    # materialize the (tiny) new-batch signatures once — they feed both
+    # the band explode and the re-score join (a66's lesson), and it
+    # keeps the probe plan free of ANY documents scan: both join sides
+    # read signature tables only
+    new_sig = reliable_checkpoint(_minhash_sig(new_batch))
 
     cand = (
         _bands_of(new_sig)

@@ -372,3 +372,21 @@ def test_pca_iteration_plan(spark, sf_dir):
         a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
     )
     assert a["n_exchanges"] <= 2  # one physical exchange, printed twice
+
+
+def test_incremental_dedup_probes_stored_index(spark, sf_dir):
+    """d131: with the index built, the probe plan must read the corpus
+    SIGNATURES from the persisted parquet index and the new-batch
+    signatures from their checkpoint — NO documents scan may appear in
+    the probe-join plan (the corpus is never re-shingled; the new batch
+    is shingled once, during its checkpoint materialization)."""
+    from charlotte_spark.plans.audit import audit_plan
+
+    REG["d131_incremental_dedup"].fn(spark, sf_dir)  # builds the index
+    a = audit_plan(REG["d131_incremental_dedup"].fn(spark, sf_dir))
+    doc_scans = [s for s in a["scans"] if "documents" in s["path"]]
+    idx_scans = [s for s in a["scans"] if "lsh_idx" in s["path"]]
+    # both probe-join sides read SIGNATURE tables (the persisted corpus
+    # index + the checkpointed new-batch signatures): zero text scans
+    assert not doc_scans, f"{len(doc_scans)} documents scans in the probe plan"
+    assert idx_scans, "no scan of the persisted signature index"
