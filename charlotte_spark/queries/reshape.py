@@ -474,3 +474,111 @@ def d121_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.transform(upd_keys, lambda x: x.cast("string")))
         ).alias("upd_keys_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D132: join-key skew profile (the diagnostic behind D87's salting)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d132_skew_profile",
+    tags=("D132", "D87", "A32"),
+    oracle=f"""
+    WITH per_key AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_cnt,
+           {sql_round("avg(c)", 6)} AS avg_cnt,
+           {sql_round("median(c)", 6)} AS p50_cnt,
+           {sql_round("quantile_cont(c, 0.99)", 6)} AS p99_cnt,
+           {sql_round("max(c) / avg(c)", 6)} AS skew_ratio,
+           CAST(min(CASE WHEN c = (SELECT max(c) FROM per_key)
+                         THEN o_custkey END) AS BIGINT) AS hottest_key
+    FROM per_key
+    """,
+)
+def d132_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for orders.o_custkey — the diagnostic a
+    100 TB operator runs BEFORE picking a join strategy: per-key
+    frequencies reduced to max/avg/median/p99 and the max-to-mean skew
+    ratio, plus the hottest key itself. This statistic is what decides
+    between a plain shuffle join, AQE skew splitting, and explicit
+    salting (D87 implements the remedy; this measures the disease).
+
+    Plan shape: one partial-agg shuffle onto the key builds per-key
+    counts; the profile is a single 1-row aggregate over the O(keys)
+    count table (exact percentiles are sort-based and deterministic).
+    At 100 TB the count table is the only intermediate and it is
+    O(distinct keys), never O(rows)."""
+    per_key = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_cnt"),
+        pround(F.avg("c"), 6).alias("avg_cnt"),
+        pround(F.percentile("c", F.lit(0.5)), 6).alias("p50_cnt"),
+        pround(F.percentile("c", F.lit(0.99)), 6).alias("p99_cnt"),
+        pround(F.max("c") / F.avg("c"), 6).alias("skew_ratio"),
+        F.min_by("o_custkey", F.struct(-F.col("c"), F.col("o_custkey")))
+        .cast("long")
+        .alias("hottest_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D133: equi-depth quantile statistics (the ANALYZE/CBO histogram shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d133_equidepth_stats",
+    tags=("D133", "D112", "A32"),
+    oracle=f"""
+    WITH q AS (
+        SELECT quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                            0.6, 0.7, 0.8, 0.9]) AS qs,
+               min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+    )
+    SELECT t.i / 10.0 AS pct,
+           {sql_round("q.qs[t.i]", 6)} AS boundary,
+           q.n AS n_rows
+    FROM q, range(1, 10) t(i)
+    ORDER BY pct
+    """,
+)
+def d133_equidepth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) decile boundaries of orders.o_totalprice
+    — the histogram a cost-based optimizer's ANALYZE builds (D112 is
+    the fixed-WIDTH profile; this is the fixed-DEPTH one that stays
+    informative under heavy tails). Exact interpolated quantiles, so
+    the boundaries hash-check across engines.
+
+    Plan shape: ONE aggregate computes the whole decile vector
+    (Spark's percentile with an array argument — a single sort-based
+    agg, not nine), then a 9-row posexplode of the result. At 100 TB
+    the exact form becomes approx_percentile with the identical
+    plumbing (A32's accuracy-bounded path)."""
+    q = load_table(spark, sf_dir, "orders").agg(
+        F.percentile(
+            "o_totalprice",
+            F.array(*[F.lit(p / 10.0) for p in range(1, 10)]),
+        ).alias("qs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        q.select(F.posexplode("qs").alias("i", "boundary"), "n")
+        .select(
+            ((F.col("i") + 1) / 10.0).alias("pct"),
+            pround("boundary", 6).alias("boundary"),
+            F.col("n").alias("n_rows"),
+        )
+        .orderBy("pct")
+    )

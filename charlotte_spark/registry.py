@@ -172,6 +172,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d129_schema_evolution",
     "d130_cidr_enrichment",
     "d131_incremental_dedup",
+    "d132_skew_profile",
+    "d133_equidepth_stats",
     "d58_cid_sequencer_stream",
     "r_charlotte_rollover_hook",
     "r_charlotte_event_records",
