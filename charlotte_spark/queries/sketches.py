@@ -313,3 +313,88 @@ def d95_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "token", "n", pround(F.col("n") / F.col("t"), 6).alias("share"))
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# A134: self-join size (F2 moment) estimation from the Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a134_selfjoin_size",
+    tags=("A134", "A96", "D132"),
+    oracle=f"""
+    WITH per_key AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    exact AS (
+        SELECT CAST(sum(c * c) AS BIGINT) AS f2 FROM per_key
+    ),
+    cells AS (
+        SELECT r, pos, CAST(sum(c) AS BIGINT) AS cell FROM (
+            {" UNION ALL ".join(
+                f"SELECT {i} AS r, {sql_hash_long('user_id', f'cm{i}|')} % {_CM_W} AS pos, c FROM per_key"
+                for i in range(_CM_D)
+            )}
+        ) GROUP BY r, pos
+    ),
+    est_rows AS (
+        SELECT r, CAST(sum(cell * cell) AS BIGINT) AS est FROM cells GROUP BY r
+    )
+    SELECT e.f2 AS exact_f2,
+           CAST(min(est) AS BIGINT) AS est_f2,
+           {sql_round("(min(est) - e.f2) * 1.0 / e.f2", 6)} AS rel_error
+    FROM est_rows CROSS JOIN exact e
+    GROUP BY e.f2
+    """,
+)
+def a134_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from a sketch: the self-join size of
+    events on user_id (F2 = Σ f(u)² — exactly |events ⋈ events| on the
+    key) estimated as min over Count-Min rows of Σ cell², against the
+    exact value with the relative error in the checked output. This is
+    the estimator a cost-based planner consults BEFORE running a join
+    it can't afford to mis-size; the CM inner-product bound guarantees
+    est ≥ exact (overcount only), which the oracle verifies via
+    rel_error ≥ 0.
+
+    Plan shape: one key shuffle builds per-key counts (shared with the
+    D132 profile shape), the sketch is a (d × w) aggregate over
+    hash-bucketed counts — O(d·w) cells regardless of key cardinality
+    — and the comparison is a 1-row join. At 100 TB you keep ONLY the
+    4 KiB sketch per table and estimate any equi-join's size in O(d·w)
+    without touching the data again (AGMS/CM inner product)."""
+    per_key = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = per_key.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2"))
+    row_cols = [
+        F.struct(
+            F.lit(i).alias("r"),
+            (portable_hash_long("user_id", f"cm{i}|") % _CM_W).alias("pos"),
+        )
+        for i in range(_CM_D)
+    ]
+    cells = (
+        per_key.select("c", F.explode(F.array(*row_cols)).alias("b"))
+        .groupBy(F.col("b.r").alias("r"), F.col("b.pos").alias("pos"))
+        .agg(F.sum("c").alias("cell"))
+    )
+    est = (
+        cells.groupBy("r")
+        .agg(F.sum(F.col("cell") * F.col("cell")).alias("est"))
+        .agg(F.min("est").cast("long").alias("est_f2"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("f2").alias("exact_f2"),
+            "est_f2",
+            pround((F.col("est_f2") - F.col("f2")) * 1.0 / F.col("f2"), 6).alias(
+                "rel_error"
+            ),
+        )
+    )

@@ -483,3 +483,19 @@ def test_cidr_enrichment_partitions_events(spark, sf_dir):
     assert "unassigned" in {r["block"] for r in rows}
     for r in rows:
         assert 0 < r["n_users"] <= r["n_events"], r
+
+
+def test_selfjoin_estimate_is_one_sided(spark, sf_dir):
+    """A134: the Count-Min inner-product estimate never undercounts the
+    true self-join size (cells sum colliding keys, squares are convex),
+    and the exact F2 equals the brute-force per-key computation."""
+    from charlotte_spark.catalog import load_table
+    from charlotte_spark.registry import load_all_queries
+
+    row = load_all_queries()["a134_selfjoin_size"].fn(spark, sf_dir).collect()[0]
+    assert row["est_f2"] >= row["exact_f2"]
+    assert row["rel_error"] >= 0.0
+    counts = (
+        load_table(spark, sf_dir, "events").groupBy("user_id").count().collect()
+    )
+    assert row["exact_f2"] == sum(r["count"] ** 2 for r in counts)
