@@ -350,7 +350,7 @@ def d51_hash_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d52_ip_str_to_long",
-    tags=("D52", "S9"),
+    tags=("D52", "R12"),
     oracle="""
     WITH ips AS (
         SELECT c_custkey,
