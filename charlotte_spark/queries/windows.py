@@ -162,3 +162,58 @@ def d37_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("c_nationkey", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# D135: distribution window functions (percent_rank / cume_dist / nth_value)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d135_distribution_windows",
+    tags=("D135", "D33", "D34"),
+    oracle=f"""
+    SELECT event_id, event_type,
+           {sql_round("percent_rank() OVER w_val", 6)} AS pct_rank,
+           {sql_round("cume_dist() OVER w_val", 6)} AS cume,
+           {sql_round(
+               "nth_value(value, 3) OVER (PARTITION BY event_type ORDER BY ts, event_id "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)", 4)} AS third_by_time
+    FROM events
+    WINDOW w_val AS (PARTITION BY event_type ORDER BY value, event_id)
+    ORDER BY event_id
+    """,
+)
+def d135_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution window-function family rounding out D33's
+    ranking set: percent_rank and cume_dist of each event's value
+    within its type (the normalized positions analytics dashboards
+    bin on), plus nth_value over the time ordering with an explicit
+    UNBOUNDED frame (nth_value's default frame stops at CURRENT ROW,
+    which silently yields NULL for rows before the nth — the classic
+    window-frame trap, pinned here with the frame spelled out in both
+    engines).
+
+    Plan shape: both windows partition on the same low-cardinality
+    event_type key, so Catalyst plans ONE exchange and two Window
+    operators over the same partitioning — at 100 TB the event log
+    shuffles once regardless of how many same-key window families
+    stack. Rank orders carry event_id tie-breaks, so every normalized
+    position is deterministic."""
+    w_val = W.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    w_time = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            pround(F.percent_rank().over(w_val), 6).alias("pct_rank"),
+            pround(F.cume_dist().over(w_val), 6).alias("cume"),
+            pround(F.nth_value("value", 3).over(w_time), 4).alias("third_by_time"),
+        )
+        .orderBy("event_id")
+    )

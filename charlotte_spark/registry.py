@@ -175,6 +175,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d132_skew_profile",
     "d133_equidepth_stats",
     "a134_selfjoin_size",
+    "d135_distribution_windows",
     "d58_cid_sequencer_stream",
     "r_charlotte_rollover_hook",
     "r_charlotte_event_records",
