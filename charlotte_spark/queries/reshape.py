@@ -582,3 +582,91 @@ def d133_equidepth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# D136: batch MERGE (upsert) — correctness proven by round-trip
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d136_merge_upsert",
+    tags=("D136", "D121", "D98"),
+    oracle="""
+    WITH snap_b AS (
+        SELECT o_orderkey AS k,
+               md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                   || CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority
+                   || CASE WHEN o_orderkey % 7 = 0 THEN 'x' ELSE '' END) AS digest
+        FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           md5(string_agg(CAST(k AS VARCHAR) || '=' || digest, ',' ORDER BY k))
+               AS table_md5
+    FROM snap_b
+    """,
+)
+def d136_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (upsert + delete) with round-trip-proven semantics:
+    apply D121's change feed (inserts, updates, deletes classified
+    between snapshots A and B) to snapshot A — the result must equal
+    snapshot B row-for-row, which the oracle checks by computing B's
+    count and keyed digest DIRECTLY, never seeing the merge. This is
+    the WHEN MATCHED UPDATE / NOT MATCHED INSERT / source-missing
+    DELETE statement lakehouse tables run constantly, expressed as the
+    join Spark lowers it to.
+
+    Plan shape: ONE full-outer join of target and source on the key
+    (digests computed scan-stage, as D121), row-wise CASE picks the
+    surviving version, and the verification digest is a single ordered
+    fold. At 100 TB both sides are bucketed by key (D84's layout) and
+    the merge join is shuffle-free; the row-level semantics here are
+    byte-identical to Delta/Iceberg MERGE on the same classes."""
+    digest_cols = [
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderdate").cast("string"),
+    ]
+
+    def snapshot(mutate: bool) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        priority = (
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.concat("o_orderpriority", F.lit("x"))
+            ).otherwise(F.col("o_orderpriority"))
+            if mutate
+            else F.col("o_orderpriority")
+        )
+        drop_mod = 11 if mutate else 13
+        return o.filter(F.col("o_orderkey") % drop_mod != 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(F.concat_ws("|", *digest_cols, priority)).alias("digest"),
+        )
+
+    target = snapshot(mutate=False).select(
+        F.col("k").alias("tk"), F.col("digest").alias("td")
+    )
+    source = snapshot(mutate=True).select(
+        F.col("k").alias("sk"), F.col("digest").alias("sd")
+    )
+    # MERGE semantics: source row wins when present (insert or update);
+    # target-only rows are deleted (full-refresh CDC feed)
+    merged = (
+        target.join(source, F.col("tk") == F.col("sk"), "full_outer")
+        .filter(F.col("sk").isNotNull())
+        .select(
+            F.coalesce("sk", "tk").alias("k"),
+            F.coalesce("sd", "td").alias("digest"),
+        )
+    )
+    # sort structs (numeric key order, matching the oracle's ORDER BY k),
+    # THEN render strings — sorting the rendered strings would compare
+    # "10=…" < "2=…" lexicographically
+    pairs = F.transform(
+        F.array_sort(F.collect_list(F.struct("k", "digest"))),
+        lambda s: F.concat(s["k"].cast("string"), F.lit("="), s["digest"]),
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.md5(F.concat_ws(",", pairs)).alias("table_md5"),
+    )

@@ -1,0 +1,553 @@
+"""Statistical / ML-data-prep operators (SURVEY §2.2 D143-D148):
+feature diagnostics (WOE/IV), experiment analysis (two-proportion
+z-test), forensic digit audits (Benford), association rules,
+cross-table reconciliation, and seasonal-baseline alerting.
+
+The reference computes none of these — its analytics stop at writing
+raw alert rows (/root/reference/charlotte/__init__.py:463-538). These
+rows extend the mandated analytic surface with the checks an ML/data
+platform runs WEEKLY on 100 TB: is this feature predictive (D143), did
+the experiment move the metric (D144), do the amounts look fabricated
+(D145), which behaviors co-occur (D146), do the fact tables agree
+(D147), and is today's traffic abnormal against its seasonal baseline
+(D148).
+
+All six are single-lineage formulations (no branch re-executes a fact
+scan; totals ride whole-partition window frames or checkpointed
+intermediates) and every expression stays JVM-side — no UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import (
+    portable_hash_long,
+    pround,
+    sql_hash_long,
+    sql_round,
+)
+from ..registry import query
+from ..session import reliable_checkpoint
+
+# ---------------------------------------------------------------------------
+# D143: weight-of-evidence / information-value feature binning
+# ---------------------------------------------------------------------------
+
+_WOE_BIN_W = 50.0
+_WOE_BINS = 10
+
+
+@query(
+    "d143_woe_iv_binning",
+    tags=("D143", "D112", "D35"),
+    oracle=f"""
+    WITH b AS (
+        SELECT least(CAST(floor(value / {_WOE_BIN_W}) AS BIGINT), {_WOE_BINS - 1}) AS bin,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events
+    ),
+    g AS (
+        SELECT bin, count(*) AS n, sum(pos) AS n_pos, sum(1 - pos) AS n_neg
+        FROM b GROUP BY bin
+    ),
+    t AS (
+        SELECT *, sum(n_pos) OVER () AS gp, sum(n_neg) OVER () AS gn FROM g
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           {sql_round("ln(((n_pos + 0.5) / gp) / ((n_neg + 0.5) / gn))", 6)} AS woe,
+           {sql_round(
+               "((n_pos + 0.5) / gp - (n_neg + 0.5) / gn)"
+               " * ln(((n_pos + 0.5) / gp) / ((n_neg + 0.5) / gn))", 6)}
+               AS iv_contrib
+    FROM t ORDER BY bin
+    """,
+)
+def d143_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value profile of the event
+    value against the 'did it convert' outcome (event_type='purchase'):
+    equi-width bins, per-bin WOE = ln((pos_share)/(neg_share)) and its
+    IV contribution — the standard credit-scoring / feature-selection
+    diagnostic run before a feature enters a model.
+
+    Plan shape: binning is a pure projection (floor + least, codegen'd,
+    equi-width so NO pre-pass to find cut points — the equi-depth
+    variant would chain D133's quantile pass first); one partial-agg
+    groupBy builds the 10-bin contingency table; the class totals ride
+    whole-partition window frames over those 10 rows. One fact scan,
+    one shuffle, O(bins) everything after. Per-bin counts get the
+    standard +0.5 Laplace smoothing so sparse tail bins (this value
+    column decays exponentially — bin 9 holds ONE event) keep a finite
+    WOE instead of ln(0)."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.least(
+            F.floor(F.col("value") / _WOE_BIN_W).cast("long"),
+            F.lit(_WOE_BINS - 1),
+        ).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(1 - F.col("pos")).alias("n_neg"),
+    )
+    wt = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    t = g.select(
+        "*", F.sum("n_pos").over(wt).alias("gp"), F.sum("n_neg").over(wt).alias("gn")
+    )
+    pos_share = (F.col("n_pos") + 0.5) / F.col("gp")
+    neg_share = (F.col("n_neg") + 0.5) / F.col("gn")
+    woe = F.log(pos_share / neg_share)
+    return t.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        pround(woe, 6).alias("woe"),
+        pround((pos_share - neg_share) * woe, 6).alias("iv_contrib"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# D144: A/B experiment readout — two-proportion z-test
+# ---------------------------------------------------------------------------
+
+_Z_CRIT = 1.959964  # two-sided alpha = 0.05
+
+
+@query(
+    "d144_ab_proportion_test",
+    tags=("D144", "D113", "D40"),
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               {sql_hash_long("user_id", "ab")} % 2 AS variant,
+               max(CASE WHEN event_type = 'purchase' AND value > 200
+                   THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+               sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_a,
+               sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_b
+        FROM u
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+           {sql_round("conv_a / n_a", 6)} AS rate_a,
+           {sql_round("conv_b / n_b", 6)} AS rate_b,
+           {sql_round(
+               "(conv_a / n_a - conv_b / n_b) / sqrt("
+               "((conv_a + conv_b) / (n_a + n_b)) * (1 - (conv_a + conv_b) / (n_a + n_b))"
+               " * (1.0 / n_a + 1.0 / n_b))", 6)} AS z_stat,
+           CAST(CASE WHEN abs((conv_a / n_a - conv_b / n_b) / sqrt(
+                ((conv_a + conv_b) / (n_a + n_b)) * (1 - (conv_a + conv_b) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b))) > {_Z_CRIT} THEN 1 ELSE 0 END AS INT)
+               AS significant
+    FROM g
+    """,
+)
+def d144_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are hash-split 50/50 (the portable
+    md5-derived hash, so assignment is reproducible across engines and
+    reruns — the D40 rule), per-user conversion is 'emitted at least
+    one purchase', and the two arms are compared with the pooled
+    two-proportion z-test at alpha=0.05. This is the experimentation
+    platform's decision query. The conversion event is 'a purchase
+    above 200' — deliberately rare (the value column decays
+    exponentially), because an every-user-converts metric degenerates
+    the pooled variance to zero and the z statistic to 0/0.
+
+    Plan shape: ONE groupBy(user_id) computes assignment and conversion
+    together (the variant is a deterministic projection of the group
+    key, so it rides the same shuffle), then a single global
+    conditional-sum aggregate folds both arms — the z statistic and its
+    verdict are scalar arithmetic on one row. Two shuffles total at any
+    scale; nothing is ever re-scanned."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
+            ).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (portable_hash_long("user_id", "ab") % 2).alias("variant"), "conv"
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    ra, rb = F.col("conv_a") / F.col("n_a"), F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (ra - rb) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return g.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        pround(ra, 6).alias("rate_a"),
+        pround(rb, 6).alias("rate_b"),
+        pround(z, 6).alias("z_stat"),
+        (F.abs(z) > _Z_CRIT).cast("int").alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D145: Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# expected shares emitted as Python-computed literals so BOTH engines
+# consume the identical double (no cross-engine log10 at query time)
+_BENFORD = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+@query(
+    "d145_benford_audit",
+    tags=("D145", "D113", "D44"),
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    exp_tbl AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({d}, CAST({_BENFORD[d]!r} AS DOUBLE))" for d in range(1, 10))}
+        ) AS v(digit, benford_pct)
+    ),
+    t AS (
+        SELECT e.digit, coalesce(g.n, 0) AS n, e.benford_pct,
+               sum(coalesce(g.n, 0)) OVER () AS total
+        FROM exp_tbl e LEFT JOIN g ON e.digit = g.digit
+    )
+    SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n_obs,
+           {sql_round("n / total", 6)} AS obs_pct,
+           {sql_round("benford_pct", 6)} AS benford_pct,
+           {sql_round(
+               "((n - total * benford_pct) * (n - total * benford_pct))"
+               " / (total * benford_pct)", 6)} AS chi2_contrib
+    FROM t ORDER BY digit
+    """,
+)
+def d145_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    leading-digit shares vs log10(1 + 1/d), with per-digit chi-square
+    contributions — the forensic screen for fabricated or truncated
+    monetary data. (On this synthetic uniform-ish price column the
+    audit FAILS loudly, which is the point: the check is non-vacuous.)
+
+    Determinism note: the first digit is extracted through the integer
+    string (floor -> BIGINT -> VARCHAR -> first char), never through
+    log10/pow at query time — libm and the JVM disagree in the last ulp
+    exactly at power-of-ten boundaries. The nine expected shares are
+    Python-computed literals injected into BOTH dialects. Plan shape:
+    one scan, one 9-group partial agg; the expected table is a 9-row
+    broadcast; the grand total rides a whole-partition window frame."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    exp_tbl = spark.createDataFrame(
+        [(d_, _BENFORD[d_]) for d_ in range(1, 10)], "digit long, benford_pct double"
+    )
+    wt = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    t = (
+        F.broadcast(exp_tbl)
+        .join(g, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "benford_pct",
+        )
+        .select("*", F.sum("n").over(wt).alias("total"))
+    )
+    expected = F.col("total") * F.col("benford_pct")
+    return t.select(
+        F.col("digit").cast("long").alias("digit"),
+        F.col("n").cast("long").alias("n_obs"),
+        pround(F.col("n") / F.col("total"), 6).alias("obs_pct"),
+        pround(F.col("benford_pct"), 6).alias("benford_pct"),
+        # spelled as x*x, not pow(x, 2): libm pow and Math.pow may round
+        # differently; multiplication is IEEE-identical in both engines
+        pround(
+            (F.col("n") - expected) * (F.col("n") - expected) / expected, 6
+        ).alias("chi2_contrib"),
+    ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# D146: association rules (pairwise market-basket over behaviors)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d146_association_rules",
+    tags=("D146", "D106", "D74"),
+    oracle=f"""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    total AS (SELECT count(DISTINCT user_id) AS u FROM ut),
+    tc AS (SELECT event_type, count(*) AS c FROM ut GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS ant, b.event_type AS cons, count(*) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY ant, cons
+    )
+    SELECT ant, cons, CAST(n_both AS BIGINT) AS n_both,
+           {sql_round("n_both / t.u", 6)} AS support,
+           {sql_round("n_both / ca.c", 6)} AS conf_ant_cons,
+           {sql_round("n_both / cb.c", 6)} AS conf_cons_ant,
+           {sql_round("(n_both * t.u) / (ca.c * cb.c)", 6)} AS lift
+    FROM pairs
+    JOIN tc ca ON ca.event_type = pairs.ant
+    JOIN tc cb ON cb.event_type = pairs.cons
+    CROSS JOIN total t
+    ORDER BY ant, cons
+    """,
+)
+def d146_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over user behavior baskets (a user's
+    basket = the set of event types they ever emitted): support,
+    confidence in both directions, and lift for every behavior pair —
+    Apriori's first level, the market-basket readout product analytics
+    runs on co-occurring actions.
+
+    Plan shape: the (user, type) distinct — the only event-scale
+    shuffle — is checkpointed ONCE and read by its three consumers
+    (universe count, per-type counts, pair self-join), the d138/d97
+    shared-intermediate pattern. The pair join is an equi-join on
+    user_id with per-user fan-out bounded by |event types| (k^2 pairs
+    per user, k ≤ 5 here); per-type counts and the universe count are
+    O(types)/O(1) rows BROADCAST onto the 10-row pair table. At 100 TB
+    nothing after the checkpoint touches event-scale data."""
+    e = load_table(spark, sf_dir, "events")
+    ut = reliable_checkpoint(
+        e.select("user_id", "event_type").distinct().coalesce(16)
+    )
+    total = ut.agg(F.count_distinct("user_id").alias("u"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ant"), F.col("b.event_type").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = tc.select(F.col("event_type").alias("ant"), F.col("c").alias("c_ant"))
+    cb = tc.select(F.col("event_type").alias("cons"), F.col("c").alias("c_cons"))
+    return (
+        pairs.join(F.broadcast(ca), "ant")
+        .join(F.broadcast(cb), "cons")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "ant",
+            "cons",
+            F.col("n_both").cast("long").alias("n_both"),
+            pround(F.col("n_both") / F.col("u"), 6).alias("support"),
+            pround(F.col("n_both") / F.col("c_ant"), 6).alias("conf_ant_cons"),
+            pround(F.col("n_both") / F.col("c_cons"), 6).alias("conf_cons_ant"),
+            pround(
+                (F.col("n_both") * F.col("u")) / (F.col("c_ant") * F.col("c_cons")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("ant", "cons")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D147: cross-table total reconciliation
+# ---------------------------------------------------------------------------
+
+_RECON_TOL = 0.01
+
+
+@query(
+    "d147_total_reconciliation",
+    tags=("D147", "D141", "D16"),
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS recomputed
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_totalprice, li.recomputed,
+               abs(li.recomputed - o.o_totalprice) AS d
+        FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_no_lineitems,
+           CAST(sum(CASE WHEN d <= {_RECON_TOL} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+           CAST(sum(CASE WHEN d > {_RECON_TOL} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mismatched,
+           {sql_round("max(d)", 2)} AS max_abs_diff,
+           {sql_round("sum(d) / sum(CASE WHEN d IS NOT NULL THEN 1 ELSE 0 END)", 2)}
+               AS avg_abs_diff
+    FROM j
+    """,
+)
+def d147_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: recompute each order's total from
+    its line items (extendedprice x (1-discount) x (1+tax)) and
+    compare against the header's o_totalprice at a 1-cent tolerance —
+    the daily finance-vs-facts audit. On this synthetic data the headers
+    are UNRELATED to the lines (every order mismatches, 257-per-sf0.01
+    orders have no lines at all), so the audit exercises both failure
+    modes for real.
+
+    Plan shape: the line-side rollup partial-aggregates onto
+    l_orderkey, then ONE left join against the header table on the same
+    key — at scale both sides bucket by orderkey (the D84 layout) and
+    the join is shuffle-free; the verdict is a single conditional-sum
+    row. Header-only orders surface as NULL recomputed totals, counted
+    separately rather than silently dropped."""
+    o = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("recomputed")
+        )
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "o_totalprice",
+        "recomputed",
+        F.abs(F.col("recomputed") - F.col("o_totalprice")).alias("d"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("recomputed").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_no_lineitems"),
+        F.sum(F.when(F.col("d") <= _RECON_TOL, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("d") > _RECON_TOL, 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        pround(F.max("d"), 2).alias("max_abs_diff"),
+        pround(
+            F.sum("d") / F.sum(F.when(F.col("d").isNotNull(), 1).otherwise(0)), 2
+        ).alias("avg_abs_diff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D148: seasonal-baseline anomaly alerting (same-hour-of-day baseline)
+# ---------------------------------------------------------------------------
+
+_BASE_DAYS = 21  # days 1-21 form the baseline
+_EVAL_DAYS = 9  # days 22-30 are evaluated
+_RATIO_HI = 1.5
+_RATIO_LO = 2.0 / 3.0
+
+
+@query(
+    "d148_seasonal_baseline",
+    tags=("D148", "D120", "D53"),
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, hour(ts) AS h,
+               sum(CASE WHEN day(ts) <= {_BASE_DAYS} THEN 1 ELSE 0 END) AS n_base,
+               sum(CASE WHEN day(ts) > {_BASE_DAYS} THEN 1 ELSE 0 END) AS n_eval
+        FROM events GROUP BY event_type, h
+    ),
+    r AS (
+        SELECT event_type,
+               CASE WHEN n_base = 0 THEN NULL
+                    ELSE (n_eval * {_BASE_DAYS}.0) / (n_base * {_EVAL_DAYS}.0)
+               END AS ratio
+        FROM hourly
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(CASE WHEN ratio > {_RATIO_HI} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high,
+           CAST(sum(CASE WHEN ratio < {_RATIO_LO} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low,
+           {sql_round("max(ratio)", 6)} AS max_ratio,
+           {sql_round("min(ratio)", 6)} AS min_ratio
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d148_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline rate alerting: for each (event type,
+    hour-of-day) cell, the per-day event rate in the evaluation window
+    (days 22-30) is compared against the same-hour baseline rate from
+    days 1-21, and hours breaching 1.5x / 0.67x thresholds are counted
+    per type — the 'is today's 3 AM traffic normal for a 3 AM' check
+    every on-call dashboard runs, seasonality-adjusted by construction.
+
+    Determinism note: both windows aggregate INTEGER counts in one
+    conditional-sum pass; the only division happens once per 120-cell
+    row, so the threshold comparisons see bit-identical doubles in both
+    engines (no float accumulation order in play — the D120 contrast).
+    Plan shape: one scan, one partial-agg shuffle onto (type, hour),
+    then O(types) everything. Empty baseline cells alert as NULL
+    (excluded from extremes) rather than dividing by zero."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.hour("ts").alias("h")
+    ).agg(
+        F.sum(
+            F.when(F.dayofmonth("ts") <= _BASE_DAYS, 1).otherwise(0)
+        ).alias("n_base"),
+        F.sum(F.when(F.dayofmonth("ts") > _BASE_DAYS, 1).otherwise(0)).alias(
+            "n_eval"
+        ),
+    )
+    ratio = F.when(
+        F.col("n_base") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        (F.col("n_eval") * float(_BASE_DAYS)) / (F.col("n_base") * float(_EVAL_DAYS))
+    )
+    r = hourly.select("event_type", ratio.alias("ratio"))
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.when(F.col("ratio") > _RATIO_HI, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+            F.sum(F.when(F.col("ratio") < _RATIO_LO, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            pround(F.max("ratio"), 6).alias("max_ratio"),
+            pround(F.min("ratio"), 6).alias("min_ratio"),
+        )
+        .orderBy("event_type")
+    )

@@ -58,6 +58,8 @@ _QUERY_MODULES = (
     "charlotte_spark.queries.multimodal",
     "charlotte_spark.queries.traindata",
     "charlotte_spark.queries.reshape",
+    "charlotte_spark.queries.dataops",
+    "charlotte_spark.queries.statsops",
     "charlotte_spark.queries.sketches",
     "charlotte_spark.queries.graph",
     "charlotte_spark.queries.eventanalytics",
@@ -176,6 +178,19 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d133_equidepth_stats",
     "a134_selfjoin_size",
     "d135_distribution_windows",
+    "d136_merge_upsert",
+    "d137_gapfill_interpolate",
+    "d138_triangle_count",
+    "d139_ks_drift",
+    "d140_k_anonymity",
+    "d141_constraint_audit",
+    "d142_zorder_layout",
+    "d143_woe_iv_binning",
+    "d144_ab_proportion_test",
+    "d145_benford_audit",
+    "d146_association_rules",
+    "d147_total_reconciliation",
+    "d148_seasonal_baseline",
     "d58_cid_sequencer_stream",
     "r_charlotte_rollover_hook",
     "r_charlotte_event_records",

@@ -390,3 +390,120 @@ def test_incremental_dedup_probes_stored_index(spark, sf_dir):
     # index + the checkpointed new-batch signatures): zero text scans
     assert not doc_scans, f"{len(doc_scans)} documents scans in the probe plan"
     assert idx_scans, "no scan of the persisted signature index"
+
+
+def test_gapfill_is_join_free(audits):
+    """d137: the gap-fill must be the lag-window + explode(sequence)
+    formulation — NO join of any kind (the dense-spine left join is the
+    regression), and the hourly rollup must partial-aggregate."""
+    a = audits("d137_gapfill_interpolate")
+    assert not (
+        a["sort_merge_join"]
+        or a["broadcast_hash_join"]
+        or a["shuffled_hash_join"]
+        or a["nested_loop_join"]
+    )
+    assert a["partial_aggregate"]
+
+
+def test_triangle_count_broadcasts_and_never_cartesian(audits):
+    """d138: the O(V) degree table and the closure edge list are
+    broadcast; the wedge self-join is an equi-join on the oriented
+    source key — the ONLY nested-loop node allowed is the final
+    1-row x 1-row stats crossJoin (one node = count 2 in formatted
+    explain), and never an unbounded CartesianProduct."""
+    a = audits("d138_triangle_count")
+    assert a["broadcast_hash_join"]
+    assert "CartesianProduct" not in a["plan"]
+    assert a["plan"].count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_ks_drift_single_scan(audits):
+    """d139: the KS test is one lineage — exactly one events scan (the
+    totals ride the same window pass, never a second aggregate branch)."""
+    a = audits("d139_ks_drift")
+    assert len([s for s in a["scans"] if "events" in s["path"]]) == 1
+    assert a["partial_aggregate"]
+
+
+def test_k_anonymity_single_scan(audits):
+    """d140: fine classes + generalization ladder cost ONE orders scan
+    (the coarse k is a window over the class table, not a re-scan)."""
+    a = audits("d140_k_anonymity")
+    assert len([s for s in a["scans"] if "orders" in s["path"]]) == 1
+
+
+def test_constraint_audit_scan_budget(audits):
+    """d141: nine expectations ride one lineitem scan + one full orders
+    scan + one key-pruned orders scan (the broadcast FK build side)."""
+    a = audits("d141_constraint_audit")
+    li = [s for s in a["scans"] if "lineitem" in s["path"]]
+    od = [s for s in a["scans"] if "orders" in s["path"]]
+    assert len(li) == 1 and len(od) == 2
+    assert a["broadcast_hash_join"]
+    assert min(len(s["read_columns"]) for s in od) == 1, (
+        "FK build side must prune to the key column"
+    )
+
+
+def test_zorder_audit_is_join_free_one_generate(audits):
+    """d142: the Morton key is a pure projection and the two-layout
+    explode is ONE Generate (count 2 in formatted explain = tree +
+    detail of a single node); no join anywhere."""
+    a = audits("d142_zorder_layout")
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )
+    assert a["plan"].count("Generate") <= 2
+
+
+def test_woe_and_seasonal_single_scan_no_join(audits):
+    """d143/d148: one events scan, partial agg, no join of any kind —
+    the class/window totals must ride window frames, never a second
+    aggregate branch."""
+    for name in ("d143_woe_iv_binning", "d148_seasonal_baseline"):
+        a = audits(name)
+        assert len([s for s in a["scans"] if "events" in s["path"]]) == 1, name
+        assert a["partial_aggregate"], name
+        assert not (
+            a["sort_merge_join"]
+            or a["broadcast_hash_join"]
+            or a["shuffled_hash_join"]
+            or a["nested_loop_join"]
+        ), name
+
+
+def test_ab_test_single_scan(audits):
+    """d144: variant assignment is a projection of the group key — one
+    events scan, two aggregates, no join."""
+    a = audits("d144_ab_proportion_test")
+    assert len([s for s in a["scans"] if "events" in s["path"]]) == 1
+    assert not (a["sort_merge_join"] or a["broadcast_hash_join"])
+
+
+def test_benford_broadcasts_expected_table(audits):
+    """d145: the 9-row expected-share table must broadcast onto the
+    digit counts; exactly one orders scan, pruned to o_totalprice."""
+    a = audits("d145_benford_audit")
+    od = [s for s in a["scans"] if "orders" in s["path"]]
+    assert len(od) == 1 and od[0]["read_columns"] == ["o_totalprice"]
+    assert a["broadcast_hash_join"]
+
+
+def test_association_rules_probe_checkpoint(audits):
+    """d146: after the (user,type) distinct is checkpointed, no events
+    scan may appear in the final plan (all three consumers read the
+    checkpoint), and the rule metrics join only broadcast dims."""
+    a = audits("d146_association_rules")
+    assert not [s for s in a["scans"] if "events" in s["path"]]
+    assert a["broadcast_hash_join"]
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_reconciliation_scan_budget(audits):
+    """d147: one lineitem scan (rollup side) + one orders scan, joined
+    once on the order key."""
+    a = audits("d147_total_reconciliation")
+    assert len([s for s in a["scans"] if "lineitem" in s["path"]]) == 1
+    assert len([s for s in a["scans"] if "orders" in s["path"]]) == 1
+    assert a["sort_merge_join"] or a["broadcast_hash_join"] or a["shuffled_hash_join"]
