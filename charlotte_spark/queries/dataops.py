@@ -708,3 +708,88 @@ def d142_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rows_rect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D150: functional-dependency profiling
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = (
+    # (name, lhs expr sql, rhs col) — all over orders, one scan
+    ("orderkey->custkey", "o_orderkey", "o_custkey"),
+    ("custkey->priority", "o_custkey", "o_orderpriority"),
+    ("status->priority", "o_orderstatus", "o_orderpriority"),
+    ("month->status", "month(o_orderdate)", "o_orderstatus"),
+)
+
+
+@query(
+    "d150_fd_profiling",
+    tags=("D150", "D93", "D141"),
+    oracle=f"""
+    WITH a AS (
+        SELECT
+            {", ".join(
+                f"count(DISTINCT ({lhs})) AS l{i}, "
+                f"count(DISTINCT (({lhs}), ({rhs}))) AS p{i}"
+                for i, (_, lhs, rhs) in enumerate(_FD_CANDIDATES)
+            )}
+        FROM orders
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{name}' AS fd, CAST(l{i} AS BIGINT) AS n_lhs_groups, "
+        f"CAST(p{i} AS BIGINT) AS n_pairs, "
+        f"CAST(p{i} - l{i} AS BIGINT) AS n_extra_values, "
+        f"CAST(CASE WHEN p{i} = l{i} THEN 1 ELSE 0 END AS INT) AS holds FROM a"
+        for i, (name, _, _) in enumerate(_FD_CANDIDATES)
+    )}
+    ORDER BY fd
+    """,
+)
+def d150_fd_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (the Metanome/data-profiling
+    primitive): for each candidate FD 'lhs -> rhs', compare
+    |distinct lhs| against |distinct (lhs, rhs)| — equality proves the
+    dependency holds on this data; the surplus counts how many extra
+    rhs values violate it. Candidates mix a true key-derived FD
+    (orderkey->custkey holds) with genuinely violated ones, so the
+    profile is non-vacuous in both directions. FD discovery feeds
+    normalization, key inference, and dedup-key selection.
+
+    Plan shape: ALL eight distinct-counts ride ONE orders scan —
+    Catalyst plans multi-count-distinct as a single Expand (x8 row
+    multiplication) + two-phase aggregate. That is the right trade at
+    profiling cardinalities; at 100 TB with many candidates the swap is
+    per-FD passes or HLL sketches (A83's path) at a bounded error. The
+    four report rows are exploded map-side from the one aggregate row."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for i, (_, lhs, rhs) in enumerate(_FD_CANDIDATES):
+        aggs.append(F.count_distinct(F.expr(lhs)).alias(f"l{i}"))
+        aggs.append(F.count_distinct(F.expr(lhs), F.expr(rhs)).alias(f"p{i}"))
+    a = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("fd"),
+                F.col(f"l{i}").alias("n_lhs_groups"),
+                F.col(f"p{i}").alias("n_pairs"),
+            )
+            for i, (name, _, _) in enumerate(_FD_CANDIDATES)
+        ]
+    )
+    return (
+        a.select(F.explode(rows).alias("x"))
+        .select(
+            F.col("x.fd").alias("fd"),
+            F.col("x.n_lhs_groups").cast("long").alias("n_lhs_groups"),
+            F.col("x.n_pairs").cast("long").alias("n_pairs"),
+            (F.col("x.n_pairs") - F.col("x.n_lhs_groups"))
+            .cast("long")
+            .alias("n_extra_values"),
+            (F.col("x.n_pairs") == F.col("x.n_lhs_groups"))
+            .cast("int")
+            .alias("holds"),
+        )
+        .orderBy("fd")
+    )

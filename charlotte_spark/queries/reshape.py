@@ -670,3 +670,76 @@ def d136_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.md5(F.concat_ws(",", pairs)).alias("table_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D153: point-in-time (time-travel) query over SCD2 history
+# ---------------------------------------------------------------------------
+
+_PIT_TS = "1998-01-01 00:00:00"
+
+
+@query(
+    "d153_time_travel",
+    tags=("D153", "D98", "D21"),
+    oracle=f"""
+    WITH obs AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ),
+    chg AS (
+        SELECT * FROM obs WHERE prev IS NULL OR prev <> o_orderstatus
+    ),
+    pit AS (
+        SELECT o_custkey, o_orderstatus,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM chg WHERE o_orderdate <= TIMESTAMP '{_PIT_TS}'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           md5(string_agg(CAST(o_custkey AS VARCHAR) || '=' || o_orderstatus,
+                          ',' ORDER BY o_custkey)) AS state_md5
+    FROM pit WHERE rn = 1
+    """,
+)
+def d153_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) query: reconstruct the per-customer
+    status table AS OF 1998-01-01 from the D98 SCD2 history by interval
+    containment (valid_from <= T < valid_to) and digest it — the 'what
+    did the dimension say when the model trained' query that makes ML
+    features reproducible. Correctness is round-trip-proven (the D136
+    pattern): the oracle never sees the intervals — it recomputes the
+    same state DIRECTLY as each customer's latest change row at or
+    before T, so interval construction and interval lookup verify each
+    other.
+
+    Plan shape: the history build is D98's single o_custkey window
+    pass; the as-of filter is a pure projection over it (no join — the
+    snapshot IS a filter when you store intervals), and the digest is
+    one ordered fold. At 100 TB this is why SCD2 beats snapshot
+    copies: any T is a filter on one table, not a restore."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    obs = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    chg = obs.withColumn("prev", F.lag("o_orderstatus").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("o_orderstatus"))
+    )
+    hist = chg.withColumn("valid_to_ts", F.lead("o_orderdate").over(w))
+    t = F.lit(_PIT_TS).cast("timestamp")
+    state = hist.filter(
+        (F.col("o_orderdate") <= t)
+        & (F.col("valid_to_ts").isNull() | (F.col("valid_to_ts") > t))
+    )
+    pairs = F.transform(
+        F.array_sort(F.collect_list(F.struct("o_custkey", "o_orderstatus"))),
+        lambda s: F.concat(
+            s["o_custkey"].cast("string"), F.lit("="), s["o_orderstatus"]
+        ),
+    )
+    return state.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.md5(F.concat_ws(",", pairs)).alias("state_md5"),
+    )

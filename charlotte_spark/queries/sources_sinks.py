@@ -466,3 +466,86 @@ def d129_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# D149: corrupt-record quarantine on CSV ingest (PERMISSIVE round-trip)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d149_corrupt_quarantine",
+    tags=("D149", "D2", "R7"),
+    oracle="""
+    WITH cls AS (
+        SELECT lang, doc_id, n_chars, (doc_id % 37 = 0) AS bad FROM documents
+    )
+    SELECT lang,
+           CAST(sum(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+           CAST(sum(CASE WHEN NOT bad THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_good,
+           md5(string_agg(CASE WHEN NOT bad THEN CAST(doc_id AS VARCHAR) END,
+                          ',' ORDER BY doc_id)) AS good_ids_md5
+    FROM cls GROUP BY lang ORDER BY lang
+    """,
+)
+def d149_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine on CSV ingest: a synthetic feed where
+    every 37th document's numeric field is mangled is read back under
+    PERMISSIVE mode with an explicit ``columnNameOfCorruptRecord``, and
+    rows split into the good path and the quarantine path with per-lang
+    accounting — the reference's whole failure model is 'skip the
+    broken record and log' (/root/reference/charlotte/__init__.py:250
+    catches struct.error per unified2 record); this is that policy as a
+    first-class, AUDITED dataflow instead of a log line.
+
+    Why PERMISSIVE and not DROPMALFORMED: dropped rows are silent data
+    loss — the quarantine column keeps the raw line for replay, and the
+    good/bad counts make loss measurable. Scale: the corrupt column is
+    populated scan-stage (no extra pass); both output legs come off one
+    groupBy of the single read. The oracle never sees the CSV — it
+    recomputes the expected split from the source table (the D136
+    round-trip-proof pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{TMP}/documents_dirty_csv_{sig}"
+    lines = docs.select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 37 == 0,
+                F.concat(F.lit("X"), F.col("n_chars").cast("string")),
+            ).otherwise(F.col("n_chars").cast("string")),
+            F.col("lang"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema("doc_id long, n_chars long, lang string, _quarantine string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_quarantine")
+        .csv(out)
+    )
+    good = F.col("_quarantine").isNull()
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.sum(good.cast("long")).alias("n_good"),
+            F.sum((~good).cast("long")).alias("n_quarantined"),
+            F.sum(F.when(good, F.col("n_chars")).otherwise(0)).alias("chars_good"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.when(good, F.col("doc_id")))
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("good_ids_md5"),
+        )
+        .orderBy("lang")
+    )

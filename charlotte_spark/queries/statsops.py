@@ -551,3 +551,196 @@ def d148_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# D151: marketing attribution (first-touch / last-touch, 7-day lookback)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 86_400_000_000  # 7-day lookback in microseconds
+
+
+@query(
+    "d151_touch_attribution",
+    tags=("D151", "D36", "D115"),
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_type, value, epoch_us(ts) AS e,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                         || '|' || event_type
+               END AS touch
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, event_type, value,
+               max(touch) OVER lookback AS last_touch,
+               min(touch) OVER lookback AS first_touch
+        FROM base
+        WINDOW lookback AS (PARTITION BY user_id ORDER BY e
+                            RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING
+                                      AND CURRENT ROW)
+    ),
+    p AS (SELECT * FROM w WHERE event_type = 'purchase'),
+    m AS (
+        SELECT 'last' AS model,
+               coalesce(substring(last_touch, 22), 'none') AS touch_type,
+               value
+        FROM p
+        UNION ALL
+        SELECT 'first', coalesce(substring(first_touch, 22), 'none'), value
+        FROM p
+    )
+    SELECT model, touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           {sql_round("sum(value)", 2)} AS revenue
+    FROM m GROUP BY model, touch_type ORDER BY model, touch_type
+    """,
+)
+def d151_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: every purchase is credited to the user's
+    first and last qualifying touch (click or view) inside a 7-day
+    lookback, and revenue is rolled up per (model, touch type) — the
+    first-touch/last-touch comparison every attribution dashboard
+    shows. Purchases with no preceding touch land in an explicit 'none'
+    bucket instead of disappearing.
+
+    Plan shape: both models ride ONE range-frame window over
+    (user, event time) — the touch candidate is encoded as a
+    zero-padded 'epoch|type' string (the D115 min_by/max_by trick), so
+    max() IS the latest touch and min() the earliest, with no join
+    against a touch table and no second window pass. The per-purchase
+    two-model fan-out is a map-side explode; the rollup groups ~10
+    keys. One scan, one window shuffle on user_id, one small agg."""
+    e = load_table(spark, sf_dir, "events")
+    eus = F.expr("unix_micros(cast(ts as timestamp))")
+    touch = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.concat(
+            F.lpad(eus.cast("string"), 20, "0"), F.lit("|"), F.col("event_type")
+        ),
+    )
+    base = e.select(
+        "user_id", "event_type", "value", eus.alias("e"), touch.alias("touch")
+    )
+    lookback = (
+        W.partitionBy("user_id")
+        .orderBy("e")
+        .rangeBetween(-_ATTR_WINDOW_US, W.currentRow)
+    )
+    w = base.select(
+        "event_type",
+        "value",
+        F.max("touch").over(lookback).alias("last_touch"),
+        F.min("touch").over(lookback).alias("first_touch"),
+    )
+    p = w.filter(F.col("event_type") == "purchase")
+    m = p.select(
+        "value",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("last").alias("model"),
+                    F.coalesce(
+                        F.substring("last_touch", 22, 64), F.lit("none")
+                    ).alias("touch_type"),
+                ),
+                F.struct(
+                    F.lit("first").alias("model"),
+                    F.coalesce(
+                        F.substring("first_touch", 22, 64), F.lit("none")
+                    ).alias("touch_type"),
+                ),
+            )
+        ).alias("x"),
+    )
+    return (
+        m.groupBy(
+            F.col("x.model").alias("model"),
+            F.col("x.touch_type").alias("touch_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            pround(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("model", "touch_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D152: winsorized robust scaling (p01/p99 clip + standardize)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d152_winsorize_scale",
+    tags=("D152", "D133", "D93"),
+    oracle=f"""
+    WITH w AS (
+        SELECT event_type, value,
+               quantile_cont(value, 0.01) OVER (PARTITION BY event_type) AS p01,
+               quantile_cont(value, 0.99) OVER (PARTITION BY event_type) AS p99
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, value, p01, p99,
+               least(greatest(value, p01), p99) AS clipped
+        FROM w
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_round("any_value(p01)", 6)} AS p01,
+           {sql_round("any_value(p99)", 6)} AS p99,
+           CAST(sum(CASE WHEN value <> clipped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped,
+           {sql_round("avg(clipped)", 6)} AS mean_wins,
+           {sql_round("stddev_samp(clipped)", 6)} AS std_wins
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d152_winsorize_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust scaling per stratum: exact p01/p99 of the
+    value column per event type, values clipped to that range, and the
+    post-clip moments that a robust standardizer ((x - mean)/std over
+    the winsorized series) would use — the outlier-tolerant feature
+    scaling step heavy-tailed telemetry needs before model training
+    (plain z-scoring lets one 10^6 outlier set the scale for everyone).
+
+    Plan shape — SINGLE lineage: the exact quantiles are computed as
+    aggregate-over-window on the event_type partition (no separate
+    percentile pass + join-back: the window and the final groupBy share
+    one hash partitioning, so the fact rows move ONCE), clipping is a
+    projection, and the moments partial-aggregate. At 100 TB the exact
+    per-partition sort inside the window swaps for approx_percentile
+    with identical plumbing (A32's path)."""
+    e = load_table(spark, sf_dir, "events")
+    wp = W.partitionBy("event_type")
+    w = e.select(
+        "event_type",
+        "value",
+        F.percentile("value", F.lit(0.01)).over(wp).alias("p01"),
+        F.percentile("value", F.lit(0.99)).over(wp).alias("p99"),
+    )
+    c = w.select(
+        "event_type",
+        "value",
+        "p01",
+        "p99",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias(
+            "clipped"
+        ),
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.any_value("p01"), 6).alias("p01"),
+            pround(F.any_value("p99"), 6).alias("p99"),
+            F.sum((F.col("value") != F.col("clipped")).cast("long")).alias(
+                "n_clipped"
+            ),
+            pround(F.avg("clipped"), 6).alias("mean_wins"),
+            pround(F.stddev_samp("clipped"), 6).alias("std_wins"),
+        )
+        .orderBy("event_type")
+    )

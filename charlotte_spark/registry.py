@@ -191,6 +191,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d146_association_rules",
     "d147_total_reconciliation",
     "d148_seasonal_baseline",
+    "d149_corrupt_quarantine",
+    "d150_fd_profiling",
+    "d151_touch_attribution",
+    "d152_winsorize_scale",
+    "d153_time_travel",
     "d58_cid_sequencer_stream",
     "r_charlotte_rollover_hook",
     "r_charlotte_event_records",

@@ -507,3 +507,43 @@ def test_reconciliation_scan_budget(audits):
     assert len([s for s in a["scans"] if "lineitem" in s["path"]]) == 1
     assert len([s for s in a["scans"] if "orders" in s["path"]]) == 1
     assert a["sort_merge_join"] or a["broadcast_hash_join"] or a["shuffled_hash_join"]
+
+
+def test_fd_profiling_single_scan_with_expand(audits):
+    """d150: all eight distinct-counts ride one orders scan through a
+    single Expand — a second scan means the multi-count-distinct fused
+    plan regressed to per-FD passes."""
+    a = audits("d150_fd_profiling")
+    assert len([s for s in a["scans"] if "orders" in s["path"]]) == 1
+    assert "Expand" in a["plan"]
+
+
+def test_attribution_one_window_no_join(audits):
+    """d151: first AND last touch come off one range-frame window — no
+    join against a touch table, one events scan."""
+    a = audits("d151_touch_attribution")
+    assert len([s for s in a["scans"] if "events" in s["path"]]) == 1
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )
+
+
+def test_winsorize_single_partitioning(audits):
+    """d152: the quantile window and the final groupBy share the
+    event_type hash partitioning — exactly one event_type exchange
+    (printed twice in formatted explain), and no join."""
+    a = audits("d152_winsorize_scale")
+    assert len([s for s in a["scans"] if "events" in s["path"]]) == 1
+    ex = len(re.findall(r"Exchange hashpartitioning\(event_type", a["plan"]))
+    assert ex <= 2, f"{ex} event_type exchange prints — partitioning not reused"
+    assert not (a["sort_merge_join"] or a["broadcast_hash_join"])
+
+
+def test_time_travel_is_filter_not_join(audits):
+    """d153: the as-of snapshot must be a filter over the history
+    window — no join anywhere, one orders scan."""
+    a = audits("d153_time_travel")
+    assert len([s for s in a["scans"] if "orders" in s["path"]]) == 1
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )
