@@ -404,3 +404,178 @@ def d120_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# D154: session bounce rate + dwell time by entry type
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 300_000_000  # same 5-minute inactivity gap as D111
+
+
+@query(
+    "d154_bounce_dwell",
+    tags=("D154", "D111", "D35"),
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, event_type, epoch_us(ts) AS e,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER uw
+                         > {_SESSION_GAP_US}
+                         OR lag(epoch_us(ts)) OVER uw IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS sid
+        FROM marked
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               count(*) AS n_events,
+               (max(e) - min(e)) / 1000000.0 AS dwell_sec,
+               min_by(event_type, e) AS entry_type
+        FROM numbered GROUP BY user_id, sid
+    )
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           {sql_round("sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)", 6)}
+               AS bounce_rate,
+           {sql_round("avg(dwell_sec)", 2)} AS avg_dwell_sec
+    FROM sess GROUP BY entry_type ORDER BY entry_type
+    """,
+)
+def d154_bounce_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session bounce rate and dwell time by entry event type: sessions
+    are 5-minute-inactivity-gap windows (D111's definition), a bounce
+    is a single-event session, and dwell is last-minus-first event time
+    — the engagement readout next to D111's path analysis and D104's
+    retention.
+
+    Plan shape: gap-marking and session numbering are two stacked
+    windows on ONE user_id partitioning (lag, then running sum — no
+    second exchange); per-session rollup groups on (user_id, sid),
+    which is a REFINEMENT of the window partitioning, so the rows don't
+    move again; the entry type is min_by over the session (no
+    sort-within-group). The final per-type rollup is O(sessions). One
+    scan, one event-scale shuffle, end to end.
+
+    Determinism note: min_by's tie axis is event time alone — two
+    events in one session share a microsecond with probability ~0 here,
+    but the oracle uses the identical tiebreak, so even a tie agrees."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_type",
+        us.alias("e"),
+        (
+            ((us - F.lag(us).over(uw)) > _SESSION_GAP_US)
+            | F.lag("ts").over(uw).isNull()
+        )
+        .cast("int")
+        .alias("is_new"),
+    )
+    numbered = marked.select(
+        "*",
+        F.sum("is_new")
+        .over(
+            W.partitionBy("user_id")
+            .orderBy("e")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("sid"),
+    )
+    sess = numbered.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("e") - F.min("e")) / 1_000_000.0).alias("dwell_sec"),
+        F.min_by("event_type", "e").alias("entry_type"),
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        sess.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounces.cast("long").alias("n_bounces"),
+            pround(bounces * 1.0 / F.count(F.lit(1)), 6).alias("bounce_rate"),
+            pround(F.avg("dwell_sec"), 2).alias("avg_dwell_sec"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D155: growth accounting — DAU, new users, cumulative reach
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d155_growth_accounting",
+    tags=("D155", "D104", "D35"),
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ),
+    r AS (
+        SELECT day, user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM ud
+    ),
+    daily AS (
+        SELECT day,
+               count(*) AS dau,
+               sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS new_users
+        FROM r GROUP BY day
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(dau AS BIGINT) AS dau,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_reach
+    FROM daily ORDER BY day
+    """,
+)
+def d155_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: daily active users, new users (first-ever
+    appearance), and cumulative reach (distinct users seen to date) per
+    day — the DAU/new/reach triplet on every growth dashboard, and the
+    companion to D104's cohort retention matrix.
+
+    Plan shape — the FIRST-SEEN trick: cumulative distinct users is NOT
+    a distinct over an expanding window (quadratic re-scans); a user's
+    first day is row_number()=1 over their per-user day sequence, so
+    cumulative reach is just the running SUM of first-seen counts.
+    Single lineage: one (user, day) distinct, one user_id window, one
+    day rollup, one O(days) running sum. The final ordered window runs
+    over |days| rows — trivially single-partition at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+    ).distinct()
+    r = ud.select(
+        "day",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("day"))
+        .alias("rn"),
+    )
+    daily = r.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("new_users"),
+    )
+    return daily.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users")
+        .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("cum_reach"),
+    ).orderBy("day")

@@ -196,6 +196,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d151_touch_attribution",
     "d152_winsorize_scale",
     "d153_time_travel",
+    "d154_bounce_dwell",
+    "d155_growth_accounting",
     "d58_cid_sequencer_stream",
     "r_charlotte_rollover_hook",
     "r_charlotte_event_records",

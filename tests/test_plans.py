@@ -547,3 +547,23 @@ def test_time_travel_is_filter_not_join(audits):
     assert not (
         a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
     )
+
+
+def test_bounce_dwell_one_event_shuffle(audits):
+    """d154: gap-mark window, session numbering, and the (user, sid)
+    rollup all share one user_id hash partitioning — at most one
+    user_id exchange (printed twice), no join."""
+    a = audits("d154_bounce_dwell")
+    ex = len(re.findall(r"Exchange hashpartitioning\(user_id", a["plan"]))
+    assert ex <= 2, f"{ex} user_id exchange prints — stacked windows fork"
+    assert not (a["sort_merge_join"] or a["broadcast_hash_join"])
+
+
+def test_growth_accounting_no_expanding_distinct(audits):
+    """d155: cumulative reach must be the first-seen running sum — one
+    events scan, no join, and no second aggregate branch."""
+    a = audits("d155_growth_accounting")
+    assert len([s for s in a["scans"] if "events" in s["path"]]) == 1
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )
