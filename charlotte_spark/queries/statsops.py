@@ -744,3 +744,86 @@ def d152_winsorize_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# D156: revenue concentration (Pareto shares + Gini coefficient)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d156_revenue_concentration",
+    tags=("D156", "D37", "D135"),
+    oracle=f"""
+    WITH c AS (
+        SELECT o_custkey, sum(o_totalprice) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev, o_custkey) AS rn,
+               count(*) OVER () AS n,
+               sum(rev) OVER () AS total
+        FROM c
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+           {sql_round("sum(CASE WHEN rn > n - 10 THEN rev ELSE 0 END) / any_value(total)", 6)}
+               AS top10_share,
+           {sql_round("sum(CASE WHEN rn > n - CAST(ceil(n / 100.0) AS BIGINT) THEN rev ELSE 0 END) / any_value(total)", 6)}
+               AS top1pct_share,
+           {sql_round("2.0 * sum(rn * rev) / (any_value(n) * any_value(total)) - (any_value(n) + 1.0) / any_value(n)", 6)}
+               AS gini
+    FROM r
+    """,
+)
+def d156_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration profile over customers: top-10 and top-1%
+    revenue shares plus the Gini coefficient (discrete form
+    G = 2*Σ(i·y_i)/(n·Σy) - (n+1)/n over ascending-sorted revenues) —
+    the whale-dependence readout every revenue and abuse dashboard
+    carries, and the inequality statistic data-mixture tuning uses on
+    token counts per source.
+
+    Plan shape: one partial-agg rollup to per-customer revenue, then a
+    SINGLE ascending rank window (tie-broken on the key) whose
+    whole-partition frames carry n and total — the shares, the 1%
+    cutoff, and the Gini weighted sum all fold in one aggregate over
+    that one pass. The ordered window is |customers| rows on one
+    partition; at 100 TB it swaps for the two-phase distributed prefix
+    rank (D35's pattern) with identical arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    wr = W.orderBy("rev", "o_custkey")
+    wt = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = c.select(
+        "rev",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("rev").over(wt).alias("total"),
+    )
+    n, total = F.any_value("n"), F.any_value("total")
+    # cutoffs compare against the ROW's window-carried n (a plain column)
+    # — comparing against any_value(n) would nest aggregates illegally
+    cut1pct = F.ceil(F.col("n") / 100.0).cast("long")
+    return r.agg(
+        n.cast("long").alias("n_customers"),
+        pround(
+            F.sum(
+                F.when(F.col("rn") > F.col("n") - 10, F.col("rev")).otherwise(0.0)
+            )
+            / total,
+            6,
+        ).alias("top10_share"),
+        pround(
+            F.sum(
+                F.when(F.col("rn") > F.col("n") - cut1pct, F.col("rev")).otherwise(0.0)
+            )
+            / total,
+            6,
+        ).alias("top1pct_share"),
+        pround(
+            2.0 * F.sum(F.col("rn") * F.col("rev")) / (n * total)
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -198,6 +198,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d153_time_travel",
     "d154_bounce_dwell",
     "d155_growth_accounting",
+    "d156_revenue_concentration",
     "d58_cid_sequencer_stream",
     "r_charlotte_rollover_hook",
     "r_charlotte_event_records",

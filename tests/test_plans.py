@@ -567,3 +567,14 @@ def test_growth_accounting_no_expanding_distinct(audits):
     assert not (
         a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
     )
+
+
+def test_revenue_concentration_single_rank_pass(audits):
+    """d156: shares and Gini fold over ONE rank window — one orders
+    scan, no join, and the per-customer rollup partial-aggregates."""
+    a = audits("d156_revenue_concentration")
+    assert len([s for s in a["scans"] if "orders" in s["path"]]) == 1
+    assert a["partial_aggregate"]
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )
