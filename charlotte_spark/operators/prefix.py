@@ -1,0 +1,111 @@
+"""Distributed prefix aggregation: global ordered running sums and row
+numbers WITHOUT a single-partition window.
+
+``W.orderBy(...)`` with no partitionBy collapses the whole input onto
+one task — fine for bounded inputs (per-partition totals, ntile over 64
+buckets), a scale-killer over an unbounded row stream. This module is
+the two-phase swap the D35/D139/D142/D156 docstrings promise:
+
+1. ``repartitionByRange(n_parts, *order_cols)`` gives a total order
+   ACROSS partitions (partition i's keys all sort before partition
+   i+1's) while keeping the sort itself fully parallel;
+2. per-partition totals (``n_parts`` rows, bounded by configuration,
+   never by data) get cumulative offsets on a tiny single-partition
+   window;
+3. the offsets broadcast-join back and within-partition running
+   aggregates shift by them — identical arithmetic to the naive global
+   window, so query hashes are unchanged.
+
+Cost: one range exchange + one hash exchange on the bucket id (both
+distributed and balanced — range buckets are equi-depth by sampling),
+versus the naive plan's single-partition sort of the full input.
+
+The order columns must form a TOTAL order (include a unique tie-break
+key): range partitioning keeps equal keys together, but a caller that
+wants deterministic row numbers needs uniqueness anyway.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["ordered_prefix"]
+
+
+def ordered_prefix(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    *,
+    running: Mapping[str, str] | None = None,
+    row_number: str | None = None,
+    totals: Mapping[str, str] | None = None,
+    count_total: str | None = None,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Append globally-ordered prefix columns to ``df``.
+
+    running:     {out_name: col} — running sum of ``col`` over the
+                 total order (frame: unbounded preceding .. current row)
+    row_number:  out_name — global 1-based row number over the order
+    totals:      {out_name: col} — grand total of ``col`` (whole input)
+    count_total: out_name — grand row count
+    """
+    running = dict(running or {})
+    totals = dict(totals or {})
+    sum_cols = sorted({*running.values(), *totals.values()})
+    need_count = row_number is not None or count_total is not None
+
+    part = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+    # Phase 2 input: one row per non-empty range bucket — n_parts rows.
+    aggs = [F.sum(c).alias(f"_t_{c}") for c in sum_cols]
+    if need_count:
+        aggs.append(F.count(F.lit(1)).alias("_t_rows"))
+    ptot = part.groupBy("_pid").agg(*aggs)
+
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy("_pid").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    sel = [F.col("_pid")]
+    for c in sum_cols:
+        sel.append(
+            F.coalesce(F.sum(f"_t_{c}").over(w_off), F.lit(0)).alias(f"_o_{c}")
+        )
+        sel.append(F.sum(f"_t_{c}").over(w_all).alias(f"_g_{c}"))
+    if need_count:
+        sel.append(
+            F.coalesce(F.sum("_t_rows").over(w_off), F.lit(0)).alias("_o_rows")
+        )
+        sel.append(F.sum("_t_rows").over(w_all).alias("_g_rows"))
+    off = ptot.select(*sel)
+
+    w_run = (
+        W.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = part.join(F.broadcast(off), "_pid")
+    for name, c in running.items():
+        out = out.withColumn(name, F.sum(c).over(w_run) + F.col(f"_o_{c}"))
+    if row_number is not None:
+        out = out.withColumn(
+            row_number, F.row_number().over(w_run) + F.col("_o_rows")
+        )
+    for name, c in totals.items():
+        out = out.withColumn(name, F.col(f"_g_{c}"))
+    if count_total is not None:
+        out = out.withColumn(count_total, F.col("_g_rows"))
+
+    drop = ["_pid"]
+    for c in sum_cols:
+        drop += [f"_o_{c}", f"_g_{c}"]
+    if need_count:
+        drop += ["_o_rows", "_g_rows"]
+    return out.drop(*drop)

@@ -20,12 +20,13 @@ one key partitioning end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.portable import pround, sql_round
+from ..operators.prefix import ordered_prefix
 from ..registry import query
 from ..session import reliable_checkpoint
 
@@ -324,15 +325,13 @@ def d139_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted enough to retrain.
 
     Plan shape — SINGLE lineage: one partial-agg groupBy collapses the
-    stream to per-distinct-value counts for both samples, one ordered
-    window turns counts into running CDFs (the whole-partition frames
-    supply n1/n2 on the same pass, so the totals never fork a second
-    scan), one global agg takes the max gap. The ordered window is a
-    single-partition sort over |distinct values| rows — at 100 TB that
-    becomes the two-phase distributed prefix sum (per-partition partial
-    counts, broadcast cumulative offsets; the D35 pattern) or an
-    equi-width pre-quantization of v, trading resolution for an
-    embarrassingly parallel CDF."""
+    stream to per-distinct-value counts for both samples, then the
+    two-phase distributed prefix sum (``operators.prefix``: range
+    repartition on v, per-bucket running sums, broadcast cumulative
+    offsets — the D35 pattern) turns counts into running CDFs with the
+    grand totals carried on the same pass, and one global agg takes the
+    max gap. No single-partition sort anywhere: the only bounded-input
+    window is over the n_parts per-bucket totals."""
     e = load_table(spark, sf_dir, "events")
     s = e.select(
         F.col("value").alias("v"),
@@ -341,13 +340,11 @@ def d139_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = s.groupBy("v").agg(
         F.sum("s1").alias("c1"), F.sum(1 - F.col("s1")).alias("c2")
     )
-    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wt = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    c = g.select(
-        F.sum("c1").over(wc).alias("r1"),
-        F.sum("c2").over(wc).alias("r2"),
-        F.sum("c1").over(wt).alias("n1"),
-        F.sum("c2").over(wt).alias("n2"),
+    c = ordered_prefix(
+        g,
+        ["v"],
+        running={"r1": "c1", "r2": "c2"},
+        totals={"n1": "c1", "n2": "c2"},
     )
     gap = F.abs(F.col("r1") / F.col("n1") - F.col("r2") / F.col("n2"))
     crit = F.lit(_KS_ALPHA_COEF) * F.sqrt(
@@ -646,15 +643,33 @@ def d142_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     locality means fewer files overlap any 2-D rectangle.
 
     Plan shape: the Morton key is a pure projection (16 shift/mask
-    terms, whole-stage codegen'd); the file split is ntile over the
-    z order — a single-partition sort HERE for cross-engine
-    determinism, whereas the production writer is
-    ``repartitionByRange(64, z)`` + ``sortWithinPartitions`` (the D84
-    layout path, fully parallel). Each row is exploded into its two
-    layout assignments map-side, so per-file extents for BOTH layouts
-    come off one groupBy; the final row folds the extents against the
-    query rectangle. File-level min/max pruning is exactly what the
-    parquet writer's footer stats give the scan for free afterwards."""
+    terms, whole-stage codegen'd); each file split is the two-phase
+    distributed prefix rank (``operators.prefix``: range repartition on
+    the layout order, broadcast row-count offsets) with the SQL-standard
+    ntile arithmetic applied to the global row number — value-identical
+    to a naive ntile window but with no single-partition sort; the two
+    layouts' assignments rejoin on the order key. This mirrors the
+    production writer exactly: ``repartitionByRange(64, z)`` +
+    ``sortWithinPartitions`` IS phase 1 of the same plan (the D84
+    layout path). Each row is exploded into its two layout assignments
+    map-side, so per-file extents for BOTH layouts come off one
+    groupBy; the final row folds the extents against the query
+    rectangle. File-level min/max pruning is exactly what the parquet
+    writer's footer stats give the scan for free afterwards."""
+
+    def ntile_of(rn: Column, n: Column, b: int) -> Column:
+        # SQL-standard ntile: q = n div b, r = n mod b; the first r
+        # buckets hold q+1 rows — identical to Spark's and DuckDB's
+        # built-in, computed from the DISTRIBUTED global row number.
+        q = F.floor(n / b).cast("long")
+        r = (n % b).cast("long")
+        boundary = r * (q + 1)
+        return (
+            F.when(rn <= boundary, F.floor((rn - 1) / (q + 1)) + 1)
+            .otherwise(r + F.floor((rn - boundary - 1) / q) + 1)
+            .cast("int")
+        )
+
     o = load_table(spark, sf_dir, "orders")
     base = o.select(
         "o_orderkey",
@@ -662,16 +677,21 @@ def d142_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {_DAY_US}") % 256
         ).alias("y"),
-    )
-    z = F.expr(_interleave_sql("x", "y", "spark"))
-    t = base.select(
+    ).withColumn("z", F.expr(_interleave_sql("x", "y", "spark")))
+    rz = ordered_prefix(
+        base, ["z", "o_orderkey"], row_number="rn", count_total="n"
+    ).select(
+        "o_orderkey",
         "x",
         "y",
-        F.ntile(_Z_FILES).over(W.orderBy(z, F.col("o_orderkey"))).alias("zf"),
-        F.ntile(_Z_FILES)
-        .over(W.orderBy(F.col("x"), F.col("y"), F.col("o_orderkey")))
-        .alias("lf"),
+        ntile_of(F.col("rn"), F.col("n"), _Z_FILES).alias("zf"),
     )
+    rl = ordered_prefix(
+        base, ["x", "y", "o_orderkey"], row_number="rn", count_total="n"
+    ).select(
+        "o_orderkey", ntile_of(F.col("rn"), F.col("n"), _Z_FILES).alias("lf")
+    )
+    t = rz.join(rl, "o_orderkey").select("x", "y", "zf", "lf")
     layouts = t.select(
         "x",
         "y",

@@ -418,7 +418,7 @@ _SESSION_GAP_US = 300_000_000  # same 5-minute inactivity gap as D111
     tags=("D154", "D111", "D35"),
     oracle=f"""
     WITH marked AS (
-        SELECT user_id, event_type, epoch_us(ts) AS e,
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS e,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER uw
                          > {_SESSION_GAP_US}
                          OR lag(epoch_us(ts)) OVER uw IS NULL
@@ -427,7 +427,8 @@ _SESSION_GAP_US = 300_000_000  # same 5-minute inactivity gap as D111
         WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
-        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY e
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY e, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                              AND CURRENT ROW) AS sid
         FROM marked
@@ -436,7 +437,7 @@ _SESSION_GAP_US = 300_000_000  # same 5-minute inactivity gap as D111
         SELECT user_id, sid,
                count(*) AS n_events,
                (max(e) - min(e)) / 1000000.0 AS dwell_sec,
-               min_by(event_type, e) AS entry_type
+               max(CASE WHEN is_new = 1 THEN event_type END) AS entry_type
         FROM numbered GROUP BY user_id, sid
     )
     SELECT entry_type,
@@ -464,15 +465,18 @@ def d154_bounce_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-within-group). The final per-type rollup is O(sessions). One
     scan, one event-scale shuffle, end to end.
 
-    Determinism note: min_by's tie axis is event time alone — two
-    events in one session share a microsecond with probability ~0 here,
-    but the oracle uses the identical tiebreak, so even a tie agrees."""
+    Determinism note: every ordered window carries the (e, event_id)
+    total order — same-microsecond events of one user are tie-broken by
+    event_id on BOTH engines — and the entry type is the event whose
+    is_new flag is 1 (exactly one per session by construction), so no
+    min_by tie axis exists at all."""
     e = load_table(spark, sf_dir, "events")
     us = F.expr("unix_micros(cast(ts as timestamp))")
     uw = W.partitionBy("user_id").orderBy("ts", "event_id")
     marked = e.select(
         "user_id",
         "event_type",
+        "event_id",
         us.alias("e"),
         (
             ((us - F.lag(us).over(uw)) > _SESSION_GAP_US)
@@ -486,7 +490,7 @@ def d154_bounce_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_new")
         .over(
             W.partitionBy("user_id")
-            .orderBy("e")
+            .orderBy("e", "event_id")
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         .alias("sid"),
@@ -494,7 +498,9 @@ def d154_bounce_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = numbered.groupBy("user_id", "sid").agg(
         F.count(F.lit(1)).alias("n_events"),
         ((F.max("e") - F.min("e")) / 1_000_000.0).alias("dwell_sec"),
-        F.min_by("event_type", "e").alias("entry_type"),
+        F.max(F.when(F.col("is_new") == 1, F.col("event_type"))).alias(
+            "entry_type"
+        ),
     )
     bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
     return (

@@ -608,20 +608,25 @@ def d133_equidepth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d136_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MERGE (upsert + delete) with round-trip-proven semantics:
-    apply D121's change feed (inserts, updates, deletes classified
-    between snapshots A and B) to snapshot A — the result must equal
+    derive D121's SPARSE change feed (only the inserts, updates and
+    deletes classified between snapshots A and B — unchanged rows are
+    NOT in the feed), apply it to snapshot A, and the result must equal
     snapshot B row-for-row, which the oracle checks by computing B's
-    count and keyed digest DIRECTLY, never seeing the merge. This is
-    the WHEN MATCHED UPDATE / NOT MATCHED INSERT / source-missing
-    DELETE statement lakehouse tables run constantly, expressed as the
+    count and keyed digest DIRECTLY, never seeing the merge. Because
+    the feed is sparse, the overwhelming majority of output rows can
+    only come from the TARGET surviving an unmatched-by-source branch —
+    an implementation that ignores the target fails the digest. This is
+    the WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED
+    INSERT statement lakehouse tables run constantly, expressed as the
     join Spark lowers it to.
 
-    Plan shape: ONE full-outer join of target and source on the key
-    (digests computed scan-stage, as D121), row-wise CASE picks the
-    surviving version, and the verification digest is a single ordered
-    fold. At 100 TB both sides are bucketed by key (D84's layout) and
-    the merge join is shuffle-free; the row-level semantics here are
-    byte-identical to Delta/Iceberg MERGE on the same classes."""
+    Plan shape: one full-outer join derives the feed (digests computed
+    scan-stage, as D121), one full-outer join applies it, row-wise CASE
+    picks the surviving version, and the verification digest is a
+    single ordered fold. At 100 TB both sides are bucketed by key
+    (D84's layout) and the merge join is shuffle-free; the row-level
+    semantics are byte-identical to Delta/Iceberg MERGE on the same
+    classes."""
     digest_cols = [
         F.col("o_custkey").cast("string"),
         F.col("o_orderstatus"),
@@ -643,20 +648,41 @@ def d136_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws("|", *digest_cols, priority)).alias("digest"),
         )
 
+    a = snapshot(mutate=False).select(
+        F.col("k").alias("ak"), F.col("digest").alias("ad")
+    )
+    b = snapshot(mutate=True).select(
+        F.col("k").alias("bk"), F.col("digest").alias("bd")
+    )
+    # D121's sparse change feed: inserts (B-only), deletes (A-only),
+    # updates (in both, digest changed). Unchanged rows never enter it.
+    feed = (
+        a.join(b, F.col("ak") == F.col("bk"), "full_outer")
+        .filter(
+            F.col("ak").isNull()
+            | F.col("bk").isNull()
+            | (F.col("ad") != F.col("bd"))
+        )
+        .select(
+            F.coalesce("bk", "ak").alias("ck"),
+            F.when(F.col("bk").isNull(), F.lit("D"))
+            .when(F.col("ak").isNull(), F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("bd").alias("cd"),
+        )
+    )
+    # MERGE: matched U -> update, matched D -> delete, unmatched feed
+    # row (I) -> insert, target row with no feed row -> survives as-is.
     target = snapshot(mutate=False).select(
         F.col("k").alias("tk"), F.col("digest").alias("td")
     )
-    source = snapshot(mutate=True).select(
-        F.col("k").alias("sk"), F.col("digest").alias("sd")
-    )
-    # MERGE semantics: source row wins when present (insert or update);
-    # target-only rows are deleted (full-refresh CDC feed)
     merged = (
-        target.join(source, F.col("tk") == F.col("sk"), "full_outer")
-        .filter(F.col("sk").isNotNull())
+        target.join(feed, F.col("tk") == F.col("ck"), "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
         .select(
-            F.coalesce("sk", "tk").alias("k"),
-            F.coalesce("sd", "td").alias("digest"),
+            F.coalesce("tk", "ck").alias("k"),
+            F.coalesce("cd", "td").alias("digest"),
         )
     )
     # sort structs (numeric key order, matching the oracle's ORDER BY k),
