@@ -20,9 +20,26 @@ Cost: one range exchange + one hash exchange on the bucket id (both
 distributed and balanced — range buckets are equi-depth by sampling),
 versus the naive plan's single-partition sort of the full input.
 
+The range-partitioned frame is MATERIALIZED (``reliable_checkpoint``)
+before anything consumes it. This is correctness-critical, not an
+optimization: the ``_pid`` assignment feeds BOTH the per-bucket totals
+and the final join, and an unmaterialized ``repartitionByRange``
+lineage evaluates once per consumer — each evaluation re-samples the
+RangePartitioner boundaries and ``spark_partition_id()`` carries no
+determinism guarantee, so a row's ``_pid`` can differ between the two
+branches, corrupting the offsets (observed: global row numbers > n,
+a phantom 65th ntile bucket in D142 at sf0.01, and a double scan of
+the input in D139). The checkpoint pins one set of ``_pid``
+assignments and bounds the input scan to exactly one pass; on a
+cluster it lands on the DFS (recomputable-safe), locally on RAM-backed
+scratch.
+
 The order columns must form a TOTAL order (include a unique tie-break
 key): range partitioning keeps equal keys together, but a caller that
-wants deterministic row numbers needs uniqueness anyway.
+wants deterministic row numbers needs uniqueness anyway. Columns named
+in ``running`` must be non-null: the within-bucket running sum is
+null-coalesced to 0 before the offset shift, which matches the naive
+global window everywhere except the (unused) all-null-prefix case.
 """
 
 from __future__ import annotations
@@ -32,6 +49,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+from ..session import reliable_checkpoint
 
 __all__ = ["ordered_prefix"]
 
@@ -59,8 +78,13 @@ def ordered_prefix(
     sum_cols = sorted({*running.values(), *totals.values()})
     need_count = row_number is not None or count_total is not None
 
-    part = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # Materialize ONCE so both consumers below see identical _pid
+    # assignments (see module docstring — forked repartitionByRange
+    # lineage is a wrong-answer bug, not just a double scan).
+    part = reliable_checkpoint(
+        df.repartitionByRange(n_parts, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
 
     # Phase 2 input: one row per non-empty range bucket — n_parts rows.
@@ -69,8 +93,8 @@ def ordered_prefix(
         aggs.append(F.count(F.lit(1)).alias("_t_rows"))
     ptot = part.groupBy("_pid").agg(*aggs)
 
-    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-    w_all = W.orderBy("_pid").rowsBetween(
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)  # bounded: n_parts rows
+    w_all = W.orderBy("_pid").rowsBetween(  # bounded: n_parts rows
         W.unboundedPreceding, W.unboundedFollowing
     )
     sel = [F.col("_pid")]
@@ -93,7 +117,10 @@ def ordered_prefix(
     )
     out = part.join(F.broadcast(off), "_pid")
     for name, c in running.items():
-        out = out.withColumn(name, F.sum(c).over(w_run) + F.col(f"_o_{c}"))
+        out = out.withColumn(
+            name,
+            F.coalesce(F.sum(c).over(w_run), F.lit(0)) + F.col(f"_o_{c}"),
+        )
     if row_number is not None:
         out = out.withColumn(
             row_number, F.row_number().over(w_run) + F.col("_o_rows")

@@ -347,5 +347,5 @@ def d117_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
-    w = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    w = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())  # bounded: 20 rows
     return top.withColumn("rk", F.row_number().over(w)).orderBy("rk")

@@ -202,8 +202,12 @@ def d138_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reliable_checkpoint — recomputable DFS copy, not a pinned block)
     because three consumers (degree stats, orientation, closure probe)
     would otherwise each re-run the bucket self-join; the O(V) degree
-    table is BROADCAST onto the edges, so the only big shuffle after
-    the build is the wedge self-join on the oriented source key. At
+    table is BROADCAST onto the edges (same budget class as D97's rank
+    vector), while the O(E) closure probe is an UNHINTED (w1, w2)
+    equi-join — AQE broadcasts it only when the runtime size allows,
+    sort-merges otherwise — so the big shuffles after the build are the
+    wedge self-join on the oriented source key and (at scale) the
+    closure join on the wedge endpoints. At
     100 TB the same orientation bounds the skew: a celebrity node with
     degree 10^6 contributes wedges only at the vertices that out-rank
     it, never deg^2 at itself."""
@@ -264,9 +268,14 @@ def d138_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).select(F.col("e1.dst").alias("w1"), F.col("e2.dst").alias("w2"))
+    # Closure probe: equi-join wedges onto the oriented edge list keyed
+    # by (w1, w2) — NO broadcast hint. The edge list is O(E) (fact-
+    # sized), so forcing it onto every executor is a scale-killer; left
+    # unhinted, AQE picks broadcast only when the build side measures
+    # small at runtime and sort-merge otherwise.
     closed = wedges.join(
-        F.broadcast(oriented.select("src", "dst")),
-        (F.col("w1") == F.col("src")) & (F.col("w2") == F.col("dst")),
+        oriented.select(F.col("src").alias("w1"), F.col("dst").alias("w2")),
+        ["w1", "w2"],
         "inner",
     )
     tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -481,12 +490,13 @@ def d141_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-sum aggregate over ONE scan — five orders checks ride
     one pass (the PK-uniqueness count(distinct) plans as Catalyst's
     expand + two-phase agg, still one scan), and referential integrity
-    is a LEFT join of lineitem onto the orders key (broadcast-able at
-    dim scale) so the four lineitem checks INCLUDING the FK orphan
-    count also ride one pass. The per-check rows are exploded from the
-    single aggregate row map-side. At 100 TB this is one full scan per
-    fact table plus a key-pruned dim scan for the FK build side — a
-    naive suite runs 9 full scans."""
+    is an UNHINTED LEFT join of lineitem onto the key-pruned orders
+    projection — the planner broadcasts it at small SF and sort-merges
+    at scale, never a forced O(fact) broadcast — so the four lineitem
+    checks INCLUDING the FK orphan count also ride one pass. The
+    per-check rows are exploded from the single aggregate row map-side.
+    At 100 TB this is one full scan per fact table plus a key-pruned
+    orders scan for the FK side — a naive suite runs 9 full scans."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
@@ -505,9 +515,14 @@ def d141_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stale"
         ),
     )
+    # FK build side: key-pruned orders, NO broadcast hint — the build
+    # is O(orders) (fact-sized at 100 TB), so the strategy must stay
+    # size-gated: the static planner/AQE broadcasts at small SF and
+    # sort-merges at scale. Hinting it would pin O(fact) bytes onto
+    # every executor.
     l_checks = (
         li.join(
-            F.broadcast(o.select(F.col("o_orderkey").alias("hit"))),
+            o.select(F.col("o_orderkey").alias("hit")),
             li.l_orderkey == F.col("hit"),
             "left",
         )
@@ -645,17 +660,21 @@ def d142_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the Morton key is a pure projection (16 shift/mask
     terms, whole-stage codegen'd); each file split is the two-phase
     distributed prefix rank (``operators.prefix``: range repartition on
-    the layout order, broadcast row-count offsets) with the SQL-standard
-    ntile arithmetic applied to the global row number — value-identical
-    to a naive ntile window but with no single-partition sort; the two
-    layouts' assignments rejoin on the order key. This mirrors the
-    production writer exactly: ``repartitionByRange(64, z)`` +
-    ``sortWithinPartitions`` IS phase 1 of the same plan (the D84
-    layout path). Each row is exploded into its two layout assignments
-    map-side, so per-file extents for BOTH layouts come off one
-    groupBy; the final row folds the extents against the query
-    rectangle. File-level min/max pruning is exactly what the parquet
-    writer's footer stats give the scan for free afterwards."""
+    the layout order — materialized once, see the operator's docstring
+    — broadcast row-count offsets) with the SQL-standard ntile
+    arithmetic applied to the global row number — value-identical to a
+    naive ntile window but with no single-partition sort. The two
+    rankings CHAIN (the linear rank runs over the z-rank's output)
+    instead of rejoining on the order key, so orders is scanned exactly
+    once and the only joins in the plan are the two tiny broadcast
+    offset joins. This mirrors the production writer exactly:
+    ``repartitionByRange(64, z)`` + ``sortWithinPartitions`` IS phase 1
+    of the same plan (the D84 layout path). Each row is exploded into
+    its two layout assignments map-side, so per-file extents for BOTH
+    layouts come off one groupBy; the final row folds the extents
+    against the query rectangle. File-level min/max pruning is exactly
+    what the parquet writer's footer stats give the scan for free
+    afterwards."""
 
     def ntile_of(rn: Column, n: Column, b: int) -> Column:
         # SQL-standard ntile: q = n div b, r = n mod b; the first r
@@ -686,12 +705,11 @@ def d142_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         ntile_of(F.col("rn"), F.col("n"), _Z_FILES).alias("zf"),
     )
-    rl = ordered_prefix(
-        base, ["x", "y", "o_orderkey"], row_number="rn", count_total="n"
+    t = ordered_prefix(
+        rz, ["x", "y", "o_orderkey"], row_number="rn", count_total="n"
     ).select(
-        "o_orderkey", ntile_of(F.col("rn"), F.col("n"), _Z_FILES).alias("lf")
+        "x", "y", "zf", ntile_of(F.col("rn"), F.col("n"), _Z_FILES).alias("lf")
     )
-    t = rz.join(rl, "o_orderkey").select("x", "y", "zf", "lf")
     layouts = t.select(
         "x",
         "y",

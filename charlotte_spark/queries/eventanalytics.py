@@ -581,6 +581,7 @@ def d155_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dau").cast("long").alias("dau"),
         F.col("new_users").cast("long").alias("new_users"),
         F.sum("new_users")
+        # bounded: |days| rows (already day-rolled-up)
         .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow))
         .cast("long")
         .alias("cum_reach"),

@@ -32,6 +32,7 @@ from ..functions.portable import (
     sql_hash_long,
     sql_round,
 )
+from ..operators.prefix import ordered_prefix
 from ..registry import query
 from ..session import reliable_checkpoint
 
@@ -784,23 +785,23 @@ def d156_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries, and the inequality statistic data-mixture tuning uses on
     token counts per source.
 
-    Plan shape: one partial-agg rollup to per-customer revenue, then a
-    SINGLE ascending rank window (tie-broken on the key) whose
-    whole-partition frames carry n and total — the shares, the 1%
-    cutoff, and the Gini weighted sum all fold in one aggregate over
-    that one pass. The ordered window is |customers| rows on one
-    partition; at 100 TB it swaps for the two-phase distributed prefix
-    rank (D35's pattern) with identical arithmetic."""
+    Plan shape: one partial-agg rollup to per-customer revenue, then
+    the two-phase distributed prefix rank (``operators.prefix``: range
+    repartition on (rev, key), materialized once, broadcast row-count
+    offsets) assigns the global ascending rank with n and total carried
+    on the same pass — value-identical to the naive single-partition
+    rank window, but every stage is parallel, so |customers| at 100 TB
+    never lands on one task. The shares, the 1% cutoff, and the Gini
+    weighted sum all fold in one aggregate over that one pass."""
     o = load_table(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
-    wr = W.orderBy("rev", "o_custkey")
-    wt = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    r = c.select(
-        "rev",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wt).alias("n"),
-        F.sum("rev").over(wt).alias("total"),
-    )
+    r = ordered_prefix(
+        c,
+        ["rev", "o_custkey"],
+        row_number="rn",
+        totals={"total": "rev"},
+        count_total="n",
+    ).select("rev", "rn", "n", "total")
     n, total = F.any_value("n"), F.any_value("total")
     # cutoffs compare against the ROW's window-carried n (a plain column)
     # — comparing against any_value(n) would nest aggregates illegally

@@ -93,6 +93,19 @@ def test_no_localcheckpoint_or_single_partition_funnel_in_source():
                 if p.name == "snorby.py":  # KB-bounded dim/marker writes
                     continue
                 offenders.append(f"{p.name}:{i} coalesce(1)")
+            # Global ordered windows (W.orderBy with no partitionBy)
+            # funnel the whole input through ONE task — the class of
+            # bug d139/d142/d156 were migrated off (operators.prefix is
+            # the distributed replacement). Allowed only on provably
+            # bounded inputs, which must say so in a `# bounded:`
+            # comment on the same line or the line above.
+            if re.search(r"\bW\.orderBy\(", code) and "partitionBy" not in code:
+                lines = src.splitlines()
+                ctx = (line + " " + (lines[i - 2] if i >= 2 else "")).lower()
+                if "bounded" not in ctx:
+                    offenders.append(
+                        f"{p.name}:{i} global W.orderBy window (unbounded?)"
+                    )
     assert not offenders, offenders
 
 
@@ -282,9 +295,31 @@ def test_bm25_term_filter_precedes_shuffle(audits):
     a = audits("d117_bm25_retrieval")
     plan = a["plan"]
     assert a["broadcast_hash_join"], "df/corpus-stats joins must broadcast"
-    first_exchange = plan.find("Exchange")
-    term_filter = plan.find("spark")  # the literal query-term list
-    assert term_filter != -1, "query-term IN filter missing from the plan"
+    # Formatted explain numbers nodes leaves-first, so ordering must be
+    # checked on NODE NUMBERS, not string positions (the tree prints
+    # root-first). The claim: no Exchange may sit between the token
+    # explode (Generate) and the query-term Filter — otherwise the
+    # full unfiltered posting stream entered a shuffle.
+    parts = re.split(r"\n\((\d+)\) ", plan)
+    details = {int(parts[i]): parts[i + 1] for i in range(1, len(parts) - 1, 2)}
+    term_filters = [
+        n
+        for n, b in details.items()
+        if b.startswith("Filter") and "spark" in b  # the literal term list
+    ]
+    assert term_filters, "query-term IN filter missing from the plan"
+    generates = [n for n, b in details.items() if b.startswith("Generate")]
+    exchanges = [n for n, b in details.items() if b.startswith("Exchange")]
+    for f in term_filters:
+        below = [g for g in generates if g < f]
+        if not below:  # filter pushed upstream of the explode — even better
+            continue
+        g = max(below)
+        between = [e for e in exchanges if g < e < f]
+        assert not between, (
+            f"shuffle node(s) {between} sit between the explode ({g}) and "
+            f"the term filter ({f}) — unfiltered postings entered an exchange"
+        )
     assert a["partial_aggregate"]
 
 
@@ -407,8 +442,11 @@ def test_gapfill_is_join_free(audits):
 
 
 def test_triangle_count_broadcasts_and_never_cartesian(audits):
-    """d138: the O(V) degree table and the closure edge list are
-    broadcast; the wedge self-join is an equi-join on the oriented
+    """d138: the O(V) degree table broadcasts (hinted — same budget
+    class as d97's rank vector); the O(E) closure probe is an UNHINTED
+    (w1, w2) equi-join, so the planner size-gates it (broadcast at this
+    SF, sort-merge at scale) — the source sweep below pins the absence
+    of the hint. The wedge self-join is an equi-join on the oriented
     source key — the ONLY nested-loop node allowed is the final
     1-row x 1-row stats crossJoin (one node = count 2 in formatted
     explain), and never an unbounded CartesianProduct."""
@@ -416,13 +454,38 @@ def test_triangle_count_broadcasts_and_never_cartesian(audits):
     assert a["broadcast_hash_join"]
     assert "CartesianProduct" not in a["plan"]
     assert a["plan"].count("BroadcastNestedLoopJoin") <= 2
+    # No forced fact-side broadcast: the only F.broadcast hints in
+    # d138/d141's source wrap the O(V) degree table, never the O(E)
+    # edge list or the orders key projection.
+    import pathlib
+
+    src = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "charlotte_spark"
+        / "queries"
+        / "dataops.py"
+    ).read_text()
+    hints = [
+        line.strip()
+        for line in src.splitlines()
+        if "F.broadcast(" in line.split("#")[0]
+    ]
+    assert all("du" in h or "dv" in h for h in hints), (
+        f"fact-side broadcast hint crept back into dataops.py: {hints}"
+    )
 
 
 def test_ks_drift_single_scan(audits):
-    """d139: the KS test is one lineage — exactly one events scan (the
-    totals ride the same window pass, never a second aggregate branch)."""
+    """d139: the KS test is one lineage — events is read exactly once,
+    at ordered_prefix's checkpoint materialization. The final plan
+    therefore reads the materialized frame (ExistingRDD), and NO
+    events parquet scan may remain (a leftover one would mean the
+    range-partitioned lineage forked — the r6 wrong-answer bug)."""
     a = audits("d139_ks_drift")
-    assert len([s for s in a["scans"] if "events" in s["path"]]) == 1
+    assert not [s for s in a["scans"] if "events" in s["path"]], (
+        "events parquet scan leaked past the prefix materialization"
+    )
+    assert "ExistingRDD" in a["plan"], "prefix input must be checkpointed"
     assert a["partial_aggregate"]
 
 
@@ -435,25 +498,32 @@ def test_k_anonymity_single_scan(audits):
 
 def test_constraint_audit_scan_budget(audits):
     """d141: nine expectations ride one lineitem scan + one full orders
-    scan + one key-pruned orders scan (the broadcast FK build side)."""
+    scan + one key-pruned orders scan (the FK side — UNHINTED, so the
+    planner broadcasts here at small SF and sort-merges at 100 TB;
+    the hint-absence is pinned in the d138 source sweep above)."""
     a = audits("d141_constraint_audit")
     li = [s for s in a["scans"] if "lineitem" in s["path"]]
     od = [s for s in a["scans"] if "orders" in s["path"]]
     assert len(li) == 1 and len(od) == 2
-    assert a["broadcast_hash_join"]
+    assert a["broadcast_hash_join"] or a["sort_merge_join"]
     assert min(len(s["read_columns"]) for s in od) == 1, (
         "FK build side must prune to the key column"
     )
 
 
-def test_zorder_audit_is_join_free_one_generate(audits):
-    """d142: the Morton key is a pure projection and the two-layout
-    explode is ONE Generate (count 2 in formatted explain = tree +
-    detail of a single node); no join anywhere."""
+def test_zorder_audit_chained_ranks_one_generate(audits):
+    """d142: the two layout rankings CHAIN over one materialized
+    lineage — orders is read only at the prefix checkpoint (no parquet
+    scan in the final plan), the only join is the tiny broadcast
+    offset join from ordered_prefix (never a sort-merge or nested-loop
+    rejoin of the two rankings), and the two-layout explode is ONE
+    Generate (count 2 in formatted explain = tree + detail)."""
     a = audits("d142_zorder_layout")
-    assert not (
-        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    assert not [s for s in a["scans"] if "orders" in s["path"]], (
+        "orders parquet scan leaked past the prefix materialization"
     )
+    assert not (a["sort_merge_join"] or a["nested_loop_join"])
+    assert "ExistingRDD" in a["plan"], "prefix input must be checkpointed"
     assert a["plan"].count("Generate") <= 2
 
 
@@ -570,11 +640,15 @@ def test_growth_accounting_no_expanding_distinct(audits):
 
 
 def test_revenue_concentration_single_rank_pass(audits):
-    """d156: shares and Gini fold over ONE rank window — one orders
-    scan, no join, and the per-customer rollup partial-aggregates."""
+    """d156: shares and Gini fold over ONE distributed rank pass —
+    orders is read exactly once, at ordered_prefix's checkpoint
+    materialization (no parquet scan in the final plan); the only join
+    is the operator's tiny broadcast offset join; the per-customer
+    rollup partial-aggregates."""
     a = audits("d156_revenue_concentration")
-    assert len([s for s in a["scans"] if "orders" in s["path"]]) == 1
-    assert a["partial_aggregate"]
-    assert not (
-        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    assert not [s for s in a["scans"] if "orders" in s["path"]], (
+        "orders parquet scan leaked past the prefix materialization"
     )
+    assert "ExistingRDD" in a["plan"], "prefix input must be checkpointed"
+    assert a["partial_aggregate"]
+    assert not (a["sort_merge_join"] or a["nested_loop_join"])
