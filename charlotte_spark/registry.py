@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import importlib
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,7 +35,9 @@ class Query:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL over views region..embeddings; None => rows-only
     tags: tuple[str, ...] = ()  # SURVEY §2 row ids, e.g. ("D24", "R20")
-    approximate: bool = False  # A-rows: error-bounded, not hash-equal
+    # A-rows (approximate sketches) are hash-checked like everything
+    # else: each carries its error bound inside the query output, so
+    # no separate "approximate" grading knob exists (VERDICT r06 #6).
 
 
 REGISTRY: dict[str, Query] = {}
@@ -73,14 +75,13 @@ def query(
     name: str,
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
-    approximate: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register ``fn`` as a declared query."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name, fn, oracle, tuple(tags), approximate)
+        REGISTRY[name] = Query(name, fn, oracle, tuple(tags))
         return fn
 
     return deco
@@ -88,22 +89,72 @@ def query(
 
 # Explicit enumeration order for the driver contract. The driver's
 # correctness gate checks the FIRST 50 entries of ``queries()`` each
-# round (CORRECTNESS_r01-r03 keys == list(queries())[:50]), so insertion
-# order decides which SURVEY rows get driver evidence. Round-4 rotation
-# (VERDICT r03, Next-round #1): slots 1-2 confirm the two r03-red rows
-# (d46 floor/ceil BIGINT oracle cast, d75 array_join output); slots 3-50
-# are 48 of the 49 hash-checkable queries that have never appeared in
-# any driver window — the whole D88-D115 cluster plus the dedicated
-# window/scalar/dedup variants. The one deferred candidate is
-# d68_topk_bruteforce (secondary variant; its SURVEY row D68 is already
-# driver-green via d68_ivf_topk) — it leads the post-window tail for
-# r05. Everything not listed follows in module registration order
-# (all driver-green in r01-r03 already).
+# round (CORRECTNESS_r01-r06 keys == list(queries())[:50]), so insertion
+# order decides which SURVEY rows get driver evidence. Round-7 rotation
+# (VERDICT r06, Next-round #2, three rounds overdue): slots 1-8 are the
+# queries whose plans changed in r6/r7 and most need independent
+# confirmation (d136/d139/d142/d154 = the r6 fixes incl. the
+# ordered_prefix regression, then d156/d138/d141/d117 = the r7
+# scale-fix retrofits); slots 9-46 are the never-driver-checked block
+# (D116-D156 additions, d68_topk_bruteforce, the stateful/rows-only
+# charlotte rows); slots 47-50 are the four r03 rows-only queries,
+# re-submitted now that they carry hash-checkable digests where
+# expressible. The previously-confirmed r04-r06 window and the
+# r01-r03 green queries follow after the boundary.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- fix confirmations (red in r03) --
+    "d136_merge_upsert",
+    "d139_ks_drift",
+    "d142_zorder_layout",
+    "d154_bounce_dwell",
+    "d156_revenue_concentration",
+    "d138_triangle_count",
+    "d141_constraint_audit",
+    "d117_bm25_retrieval",
+    "d68_topk_bruteforce",
+    "d116_dup_ngram_spans",
+    "d118_semantic_dedup",
+    "d119_ewma_smoothing",
+    "d120_robust_anomalies",
+    "d121_snapshot_diff",
+    "d122_weighted_sample",
+    "d123_bigram_lm_score",
+    "d124_span_removal",
+    "d125_quantile_calibration",
+    "d126_transform_with_state",
+    "d127_text_binary_roundtrip",
+    "d128_jsonl_roundtrip",
+    "d129_schema_evolution",
+    "d130_cidr_enrichment",
+    "d131_incremental_dedup",
+    "d132_skew_profile",
+    "d133_equidepth_stats",
+    "a134_selfjoin_size",
+    "d135_distribution_windows",
+    "d137_gapfill_interpolate",
+    "d140_k_anonymity",
+    "d143_woe_iv_binning",
+    "d144_ab_proportion_test",
+    "d145_benford_audit",
+    "d146_association_rules",
+    "d147_total_reconciliation",
+    "d148_seasonal_baseline",
+    "d149_corrupt_quarantine",
+    "d150_fd_profiling",
+    "d151_touch_attribution",
+    "d152_winsorize_scale",
+    "d153_time_travel",
+    "d155_growth_accounting",
+    "d58_cid_sequencer_stream",
+    "r_charlotte_rollover_hook",
+    "r_charlotte_event_records",
+    "d72_decode_pipeline",
+    "d60_foreachbatch_upsert",
+    "r_charlotte_ingest_decode",
+    "r_charlotte_batch_pipeline",
+    "r_charlotte_text_mode",
+    # ---- 50-slot window boundary ----
     "d46_math_functions",
     "d75_embedding_quantize",
-    # -- never-driver-verified hash-checkable queries --
     "r_charlotte_graceful_drain",
     "d88_pii_redaction",
     "d89_intradoc_line_dedup",
@@ -152,57 +203,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d69_token_count",
     "d69_fingerprint",
     "d71_language_stats",
-    # ---- 50-slot window boundary ----
-    # r05 candidates: the one deferred hash-checkable variant, then the
-    # never-checked rows-only queries (weaker driver evidence), then the
-    # r03 window (all driver-green r03) for re-confirmation.
-    "d68_topk_bruteforce",
-    # round-4 additions (D116-D121): local-green, first driver shot in r05
-    "d116_dup_ngram_spans",
-    "d117_bm25_retrieval",
-    "d118_semantic_dedup",
-    "d119_ewma_smoothing",
-    "d120_robust_anomalies",
-    "d121_snapshot_diff",
-    "d122_weighted_sample",
-    "d123_bigram_lm_score",
-    "d124_span_removal",
-    "d125_quantile_calibration",
-    "d126_transform_with_state",
-    "d127_text_binary_roundtrip",
-    "d128_jsonl_roundtrip",
-    "d129_schema_evolution",
-    "d130_cidr_enrichment",
-    "d131_incremental_dedup",
-    "d132_skew_profile",
-    "d133_equidepth_stats",
-    "a134_selfjoin_size",
-    "d135_distribution_windows",
-    "d136_merge_upsert",
-    "d137_gapfill_interpolate",
-    "d138_triangle_count",
-    "d139_ks_drift",
-    "d140_k_anonymity",
-    "d141_constraint_audit",
-    "d142_zorder_layout",
-    "d143_woe_iv_binning",
-    "d144_ab_proportion_test",
-    "d145_benford_audit",
-    "d146_association_rules",
-    "d147_total_reconciliation",
-    "d148_seasonal_baseline",
-    "d149_corrupt_quarantine",
-    "d150_fd_profiling",
-    "d151_touch_attribution",
-    "d152_winsorize_scale",
-    "d153_time_travel",
-    "d154_bounce_dwell",
-    "d155_growth_accounting",
-    "d156_revenue_concentration",
-    "d58_cid_sequencer_stream",
-    "r_charlotte_rollover_hook",
-    "r_charlotte_event_records",
-    "d72_decode_pipeline",
     "q12_late_shipment_priority",
     "d27_grouping_sets",
     "d34_lag_lead",
@@ -247,10 +247,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d57_streaming_dedup",
     "d59_stream_static_join",
     "d82_custom_stateful_sessions",
-    "d60_foreachbatch_upsert",
-    "r_charlotte_ingest_decode",
-    "r_charlotte_batch_pipeline",
-    "r_charlotte_text_mode",
 )
 
 # How many leading entries of queries() the driver's correctness gate

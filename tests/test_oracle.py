@@ -11,28 +11,19 @@ import pytest
 
 from charlotte_spark.registry import load_all_queries
 
-from .conftest import assert_driver_sortable_schema, assert_oracle_match
+from .conftest import assert_oracle_match
 
 REGISTRY = load_all_queries()
-HASH_CHECKED = [q for q in REGISTRY.values() if q.oracle and not q.approximate]
-APPROX = [q for q in REGISTRY.values() if q.oracle and q.approximate]
+HASH_CHECKED = [q for q in REGISTRY.values() if q.oracle]
 ROWS_ONLY = [q for q in REGISTRY.values() if q.oracle is None]
 
 
 @pytest.mark.parametrize("q", HASH_CHECKED, ids=lambda q: q.name)
 def test_hash_checked(q, spark, duck, sf_dir):
+    # A-row (approximate) queries are hash-checked too: each carries its
+    # error bound INSIDE the query output (a within_bound flag or a
+    # rounded bounded-error column), so hash equality is the contract.
     assert_oracle_match(q.fn(spark, sf_dir), duck, q.oracle, q.name)
-
-
-@pytest.mark.parametrize("q", APPROX, ids=lambda q: q.name)
-def test_approx_rowcount(q, spark, duck, sf_dir):
-    # A-rows: driver checks bounded relative error; locally we gate on the
-    # row-count contract plus each operator's own dedicated error test.
-    df = q.fn(spark, sf_dir)
-    assert_driver_sortable_schema(df, q.name)
-    n_spark = df.count()
-    n_duck = duck.execute(f"SELECT count(*) FROM ({q.oracle})").fetchone()[0]
-    assert n_spark == n_duck, f"{q.name}: rowcount {n_spark} vs {n_duck}"
 
 
 @pytest.mark.parametrize("q", ROWS_ONLY, ids=lambda q: q.name)

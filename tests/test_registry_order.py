@@ -26,31 +26,44 @@ def test_enumeration_puts_driver_order_first():
 
 
 def test_window_covers_fixes_and_never_verified_rows():
+    """Round-7 rotation (VERDICT r06 #2): the window is the
+    never-driver-checked tail, led by the queries whose plans changed
+    in r6/r7 and so most need independent confirmation."""
     window = list(load_all_queries())[:DRIVER_WINDOW]
-    # The two r03-red rows must be retried first.
-    assert window[0] == "d46_math_functions"
-    assert window[1] == "d75_embedding_quantize"
-    # The window must reach the D88-D115 cluster and the dedicated
-    # variants that have never had a driver row (VERDICT r03, #1).
+    # Just-changed queries lead the window.
+    assert window[:8] == [
+        "d136_merge_upsert",
+        "d139_ks_drift",
+        "d142_zorder_layout",
+        "d154_bounce_dwell",
+        "d156_revenue_concentration",
+        "d138_triangle_count",
+        "d141_constraint_audit",
+        "d117_bm25_retrieval",
+    ]
+    # The never-driver-checked D116-D156 block must all be inside.
     for must in (
-        "r_charlotte_graceful_drain",
-        "d88_pii_redaction",
-        "d92_stream_stream_join",
-        "d97_pagerank",
-        "d105_fuzzy_reconcile",
-        "d109_recursive_cte",
-        "a94_bloom_contamination",
-        "a96_countmin_sketch",
-        "d115_ohlc_downsample",
-        "d66_simhash",
-        "a68_lsh_ann_topk",
+        "d68_topk_bruteforce",
+        "d116_dup_ngram_spans",
+        "d126_transform_with_state",
+        "d131_incremental_dedup",
+        "a134_selfjoin_size",
+        "d150_fd_profiling",
+        "d153_time_travel",
+        "d155_growth_accounting",
+        "d58_cid_sequencer_stream",
+        "d72_decode_pipeline",
     ):
         assert must in window, f"{must} fell out of the driver window"
-    # Every window slot must be hash-checkable (oracle present): the
-    # rotation spends no slot on a rows-only check this round.
+    # Rows-only queries are allowed this round — they are the ONLY way
+    # those SURVEY rows get any driver evidence — but must not crowd
+    # out hash-checkable ones.
     reg = load_all_queries()
     rows_only = [n for n in window if reg[n].oracle is None]
-    assert not rows_only, f"rows-only queries in the window: {rows_only}"
+    assert len(rows_only) <= 8, f"too many rows-only slots: {rows_only}"
+    # Nothing already driver-green in r04-r06 may occupy a slot.
+    for stale in ("d46_math_functions", "d88_pii_redaction", "d97_pagerank"):
+        assert stale not in window, f"{stale} wastes a window slot"
 
 
 def test_spark_entry_exposes_ordered_queries():
