@@ -7,12 +7,19 @@ run the same pipeline Spark-first over deterministic synthetic spools
 (the driver's testdata has no unified2 binaries, so fixtures are
 generated on first use and cached under /tmp).
 
-DuckDB's oracle views only expose the driver's ten test tables, so
-these register as rows-only checks; the *semantic* gate is the golden
+DuckDB cannot parse unified2, so the *semantic* gate is the golden
 test in tests/test_charlotte.py — a straight-line Python
 reimplementation of the reference's `_push_to_db` semantics
 (charlotte/__init__.py:463-538) compared table-by-table against this
-pipeline's output.
+pipeline's output. For DRIVER-grade hash evidence these queries use
+the round-trip-digest pattern (``rt_digest``): the row-level output
+is materialized to parquet, Spark folds it to per-group md5 digests,
+and the registered oracle independently folds the SAME parquet with
+DuckDB's md5/string_agg pipeline — two engines aggregating the same
+materialized rows, so a nondeterministic pipeline, a parquet
+type-mapping bug, or a digest-fold bug all hash-mismatch. Only the
+listener-based rollover hook stays rows-only (its output is driver
+state, not data).
 
 Scale notes: parse+decode is one Arrow pass per spool file (perfectly
 parallel — at 100 TB this is N_files map tasks, no shuffle); enrichment
@@ -31,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from .roundtrip import rt_digest, rt_oracle, rt_path
 from ..session import local_df
 from ..sources.u2_spark import read_spools
 from ..sources.unified2 import write_spool
@@ -186,11 +194,14 @@ def _star_summary(spark: SparkSession, db: SnorbyDB) -> DataFrame:
 @query(
     "r_charlotte_ingest_decode",
     tags=("R1", "R4", "R6", "R7", "R8", "R9", "R10", "D64"),
+    oracle=rt_oracle("ingest_decode", "sensor_proto"),
 )
 def r_charlotte_ingest_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse+decode only: spool bytes → one row per (alert, packet) with
-    flat protocol header columns; per-sensor/protocol rollup keeps the
-    output small and deterministic."""
+    flat protocol header columns, folded to per-(sensor, protocol)
+    round-trip digests (``rt_digest``) so the driver hash pins every
+    decoded field — event id, packet position, extra-record count,
+    timestamps, decoded src/dst addresses and the L4 discriminator."""
     fx = u2_fixture()
     alerts = read_spools(spark, fx["spools"], streaming=False)
     proto = (
@@ -199,74 +210,110 @@ def r_charlotte_ingest_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("icmp_type").isNotNull(), "icmp")
         .otherwise("none")
     )
-    return (
-        alerts.withColumn("proto", proto)
-        .groupBy("sensor_name", "proto")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("event_id").alias("n_events"),
-            F.sum(F.col("n_extra")).alias("sum_extra"),
-            F.min("event_second").alias("min_sec"),
-            F.max("event_second").alias("max_sec"),
-        )
-        .orderBy("sensor_name", "proto")
+
+    def s(c: F.Column) -> F.Column:
+        return F.coalesce(c.cast("string"), F.lit("-"))
+
+    rows = alerts.withColumn("proto", proto).select(
+        F.concat_ws("/", "sensor_name", "proto").alias("sensor_proto"),
+        F.concat_ws(
+            "|",
+            s(F.col("event_id")),
+            s(F.col("packet_pos")),
+            s(F.col("n_extra")),
+            s(F.col("event_second")),
+            s(F.col("event_ip_src")),
+            s(F.col("event_ip_dst")),
+            s(F.coalesce("tcp_sport", "udp_sport", "icmp_type")),
+        ).alias("payload"),
     )
+    return rt_digest(rows, "ingest_decode", "sensor_proto")
 
 
 @query(
     "r_charlotte_batch_pipeline",
     tags=("R9", "R11", "R12", "R13", "R14", "R16", "R17", "R18", "R19", "R21"),
+    oracle=rt_oracle("batch_pipeline", "hostname"),
 )
 def r_charlotte_batch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full batch pipeline into a fresh snorby star; returns the joined
-    star summary (golden-checked in tests/test_charlotte.py)."""
+    """Full batch pipeline into a fresh snorby star; the joined star
+    summary (golden-checked in tests/test_charlotte.py) is folded to
+    per-sensor round-trip digests, pinning cid sequence, signature
+    enrichment, priority and normalized timestamps under driver hash."""
     db = _fresh_db(spark, "batch")
     run_batch_pipeline(spark, db)
-    return _star_summary(spark, db)
+    rows = _star_summary(spark, db).select(
+        "hostname",
+        F.concat_ws(
+            "|",
+            F.col("cid").cast("string"),
+            "sig_name",
+            F.col("sig_priority").cast("string"),
+            "ts",
+        ).alias("payload"),
+    )
+    return rt_digest(rows, "batch_pipeline", "hostname")
 
 
 @query(
     "r_charlotte_text_mode",
     tags=("R22",),
+    oracle=rt_oracle("text_mode", "sensor_name"),
 )
 def r_charlotte_text_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-mode sink (R22): the reference's `charlotte <conf> test`
     prints each alert as a formatted line instead of writing MySQL
     (charlotte/__init__.py:284-337). Here the same enriched stream is
     formatted JVM-side (`format_string`) into u2fast-shaped lines —
-    in production this DataFrame goes to `.writeStream.format("console")`."""
+    in production this DataFrame goes to `.writeStream.format("console")`.
+    The lines fold to per-sensor round-trip digests, so the driver hash
+    pins the exact rendered text."""
     from ..cli import u2fast_line
 
     fx = u2_fixture()
     alerts = read_spools(spark, fx["spools"], streaming=False)
     sig_map, class_map = load_maps(spark, fx["sig_map"], fx["gen_map"], fx["class_map"])
     e = enrich(alerts, sig_map, class_map)
-    line = u2fast_line()
-    return (
-        e.select(
-            "sensor_name",
-            "event_id",
-            F.coalesce("packet_pos", F.lit(-1)).alias("packet_pos"),
-            line.alias("line"),
-        )
-        .orderBy("sensor_name", "event_id", "packet_pos")
+    rows = e.select(
+        "sensor_name",
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.coalesce("packet_pos", F.lit(-1)).cast("string"),
+            u2fast_line(),
+        ).alias("payload"),
     )
+    return rt_digest(rows, "text_mode", "sensor_name")
 
 
 @query(
     "d58_cid_sequencer_stream",
     tags=("D58", "D60", "R19", "R2", "R5"),
+    oracle=f"""
+    SELECT sid, CAST(count(*) AS BIGINT) AS n,
+           CAST(CASE WHEN count(*) = count(DISTINCT cid)
+                      AND min(cid) = 1 AND max(cid) = count(*)
+                THEN 1 ELSE 0 END AS INT) AS dense
+    FROM read_parquet('{rt_path("cid_sequencer")}/*.parquet')
+    GROUP BY sid ORDER BY sid
+    """,
 )
 def d58_cid_sequencer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming pipeline (multi-micro-batch) then a density
     audit of the per-sensor cid sequence: for every sensor, cids must be
     exactly 1..max with no gaps or duplicates across micro-batches —
     charlotte's serialized-writer guarantee (:554-570) reproduced by
-    row_number + persisted last_cid offsets."""
+    row_number + persisted last_cid offsets. The (sid, cid) pairs are
+    materialized to parquet and the density audit computed by BOTH
+    engines over them (round-trip pattern), so the driver hash checks
+    the sequencer, not just a row count."""
     db = _streamed_star(spark)
     event = db.read("event", "sid int, cid bigint, signature int, timestamp timestamp")
+    out = rt_path("cid_sequencer")
+    event.select("sid", "cid").write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
     return (
-        event.groupBy("sid")
+        back.groupBy("sid")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("cid").alias("n_distinct"),
@@ -287,32 +334,32 @@ def d58_cid_sequencer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "r_charlotte_event_records",
     tags=("R6",),
+    oracle=rt_oracle("event_records", "sensor_family"),
 )
 def r_charlotte_event_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record-type surface audit (idstools parity): the synthetic spools
     mix all four public event record types — legacy v1 (7), VLAN v2
     (104), IPv6 (72), IPv6-VLAN (105) — exactly the surface the
     reference inherits from idstools (charlotte/__init__.py:28-31).
-    One row per (sensor, address family, vlan-tagged) with event counts
-    and the vlan range, so a silently-dropped record type shows up as a
-    missing group or a short count."""
+    One digest row per (sensor, address family, vlan-tagged) over the
+    (event id, vlan id) payloads, so a silently-dropped record type
+    shows up as a missing group, a short count, or a digest mismatch."""
     fx = u2_fixture()
     alerts = read_spools(spark, fx["spools"], streaming=False)
     fam = F.when(F.col("event_ip_src").contains(":"), "ipv6").otherwise("ipv4")
-    return (
-        alerts.filter(F.col("packet_pos").isNull() | (F.col("packet_pos") == 0))
-        .groupBy(
-            "sensor_name",
-            fam.alias("family"),
-            F.col("vlan_id").isNotNull().alias("vlan_tagged"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("vlan_id").alias("min_vlan"),
-            F.max("vlan_id").alias("max_vlan"),
-        )
-        .orderBy("sensor_name", "family", "vlan_tagged")
+    rows = alerts.filter(
+        F.col("packet_pos").isNull() | (F.col("packet_pos") == 0)
+    ).select(
+        F.concat_ws(
+            "/", "sensor_name", fam, F.col("vlan_id").isNotNull().cast("string")
+        ).alias("sensor_family"),
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.coalesce(F.col("vlan_id").cast("string"), F.lit("-")),
+        ).alias("payload"),
     )
+    return rt_digest(rows, "event_records", "sensor_family")
 
 
 @query(
@@ -389,29 +436,39 @@ def r_charlotte_graceful_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d60_foreachbatch_upsert",
     tags=("D60", "R16", "R17", "R18", "R21"),
+    oracle=rt_oracle("foreachbatch_upsert", "table_name"),
 )
 def d60_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch upsert sink as a first-class component: replay the
     spool stream through apply_batch (per-batch dim upserts + idempotent
     fact appends — the D60 contract), then audit the resulting star: one
-    row per table with its row count, so a dropped batch, a double-applied
-    batch, or a missing dim upsert all surface as a wrong count."""
+    round-trip digest row per table over per-record md5s (every column
+    JSON-rendered in sorted order), so a dropped batch, a double-applied
+    batch, a missing dim upsert, or a corrupted column all surface as a
+    count or digest mismatch. Empty tables keep a sentinel row so a
+    silently-unwritten table stays visible."""
     db = _streamed_star(spark)
     parts = []
     for t in FACT_TABLES + DIM_TABLES:
         d = f"{db.path}/{t}"
         if os.path.exists(d):
+            tdf = spark.read.parquet(d)
             parts.append(
-                spark.read.parquet(d)
-                .agg(F.count(F.lit(1)).alias("n_rows"))
-                .select(F.lit(t).alias("table_name"), "n_rows")
+                tdf.select(
+                    F.lit(t).alias("table_name"),
+                    F.md5(
+                        F.to_json(F.struct(*[F.col(c) for c in sorted(tdf.columns)]))
+                    ).alias("payload"),
+                )
             )
         else:
-            parts.append(local_df(spark, [(t, 0)], "table_name string, n_rows bigint"))
+            parts.append(
+                local_df(spark, [(t, "EMPTY")], "table_name string, payload string")
+            )
     # one lazy union job (all table scans run in parallel), not an eager
     # per-table .count() loop on the driver — 14 scheduler round-trips
     # collapsed to 1 (measured 2.4 s -> ~0.3 s at sf0.1)
-    out = parts[0]
+    rows = parts[0]
     for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("table_name")
+        rows = rows.unionAll(p)
+    return rt_digest(rows, "foreachbatch_upsert", "table_name")

@@ -2,12 +2,15 @@
 
 ``documents.text`` bytes stand in for media blobs (the real corpus
 stores image/audio bytes the same way: opaque binary + typed metadata).
-The fingerprint query is hash-checked against DuckDB; the decode
-pipeline (stubbed codec, real plumbing) is rows-only checked plus
-dedicated schema tests in tests/test_multimodal.py.
+The fingerprint query is hash-checked against DuckDB directly; the
+decode pipeline (stubbed codec, real plumbing) is hash-checked via the
+round-trip digest pattern (queries/roundtrip.py) plus dedicated schema
+tests in tests/test_multimodal.py.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -15,6 +18,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.multimodal import attach_media_meta, decode_image_batch
 from ..registry import query
+from .roundtrip import rt_digest, rt_oracle
 
 
 @query(
@@ -46,16 +50,45 @@ def d72_binary_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("d72_decode_pipeline", tags=("D72", "D61"))
+@query(
+    "d72_decode_pipeline",
+    tags=("D72", "D61"),
+    oracle=rt_oracle("decode_pipeline", "format"),
+)
 def d72_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode pipeline over binary blobs (stubbed codec,
-    real mapInPandas plumbing). Rows-only check: the fake decode is
-    Python-side md5 math that SQL shouldn't replicate."""
+    real mapInPandas plumbing), folded to per-format round-trip digests
+    (``roundtrip.rt_digest``): SQL can't replicate the Python-side
+    decode, so the driver hash pins the materialized decode output via
+    two independent digest folds instead. The registry row FORCES the
+    deterministic stub (CHARLOTTE_FAKE_DECODE) so the hash is stable
+    whether or not a codec is installed; the real-codec path is covered
+    by tests/test_multimodal.py when Pillow is present."""
     d = load_table(spark, sf_dir, "documents").withColumn(
         "blob", F.col("text").cast("binary")
     )
-    decoded = decode_image_batch(d, "doc_id", "blob")
-    return decoded.orderBy("doc_id")
+    prev = os.environ.get("CHARLOTTE_FAKE_DECODE")
+    os.environ["CHARLOTTE_FAKE_DECODE"] = "1"
+    try:
+        # the stub/real choice is captured driver-side at plan build
+        decoded = decode_image_batch(d, "doc_id", "blob")
+    finally:
+        if prev is None:
+            os.environ.pop("CHARLOTTE_FAKE_DECODE", None)
+        else:
+            os.environ["CHARLOTTE_FAKE_DECODE"] = prev
+    rows = decoded.select(
+        "format",
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("width").cast("string"),
+            F.col("height").cast("string"),
+            F.col("channels").cast("string"),
+            F.col("mean_luma").cast("string"),
+        ).alias("payload"),
+    )
+    return rt_digest(rows, "decode_pipeline", "format")
 
 
 @query(

@@ -11,9 +11,12 @@ No external database server exists in this container, but Spark ships
 embedded Apache Derby (for the Hive metastore), which has a real JDBC
 driver — so D3/D5 and the full JDBC star pipeline ARE exercised here
 against `jdbc:derby:memory:` endpoints (`d3_jdbc_scan`, `d5_jdbc_sink`,
-tests/test_jdbc.py). MySQL specifics (dialect, driver jar) remain
-env-dependent, but the engine-side JDBC path — partitioned reads,
-batched appends, retry, dialect type mapping — runs for real. The retry
+tests/test_jdbc.py). MySQL specifics live in mysql_dialect.py
+(type/quote mapping, snorby DDL with natural-key replay backstops,
+ON DUPLICATE KEY UPDATE, INET_ATON equivalence vectors), golden-tested
+in tests/test_mysql_dialect.py since no MySQL server exists here; the
+engine-side JDBC path — partitioned reads, batched appends, retry,
+dialect type mapping — runs for real against Derby. The retry
 semantics are additionally unit-tested with fakes in
 tests/test_streaming.py; `JdbcSnorbyDB` mirrors `SnorbyDB`'s interface
 so `apply_batch` works unchanged against a real endpoint.
@@ -153,3 +156,14 @@ class JdbcSnorbyDB:
         from ..session import local_df
 
         self.append("_batches", local_df(self.spark, [(batch_id,)], "batch_id long"))
+
+    def create_schema(self, run_sql, dialect: str = "mysql") -> None:
+        """Provision the star on the endpoint: executes the dialect's
+        DDL (mysql_dialect.ddl_statements — golden-tested strings)
+        through the caller-supplied ``run_sql(statement)``, because raw
+        DDL needs a statement channel Spark's DataFrame API doesn't
+        expose (MySQLdb cursor, JayDeBeApi, an ops migration tool)."""
+        from .mysql_dialect import ddl_statements
+
+        for stmt in ddl_statements(dialect):
+            run_sql(stmt)
