@@ -657,6 +657,7 @@ def d102_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEMDEDUP_TAU = 0.9999
+_GRAM_TILE = 2048  # 2048^2 float64 = 32 MB peak per Gram tile
 
 
 @query(
@@ -692,9 +693,15 @@ def d118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is D67's near-dup PAIR detection hardened into the keep-one
     DECISION operator a curation pipeline actually applies: keep-list =
     corpus minus dropped_ids. Same 100 TB shape as D67: blocks shuffle
-    to executors by cluster id, each block runs one chunked BLAS Gram
-    matrix inside applyInPandas (never an all-pairs join across cells),
-    and only per-row (dropped, kept) decisions leave the executor."""
+    to executors by cluster id, each block runs a TILED BLAS Gram
+    inside applyInPandas (never an all-pairs join across cells), and
+    only per-row (dropped, kept) decisions leave the executor. The
+    tiling is real, not aspirational: the Gram is computed in
+    _GRAM_TILE x _GRAM_TILE blocks (peak temp = one 32 MB tile however
+    large the cluster), column-tiles ascending so the FIRST hit per row
+    IS the minimum-id neighbor and decided rows drop out of later
+    tiles — an unboundedly large cluster degrades to more tile passes,
+    never an O(n^2) allocation."""
     import numpy as np
     import pandas as pd
 
@@ -716,16 +723,31 @@ def d118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lbl = np.int32(pdf["label"].iloc[0])
         v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         vn = v / np.linalg.norm(v, axis=1, keepdims=True)
-        gram = vn @ vn.T
-        dup = np.tril(gram >= _SEMDEDUP_TAU, k=-1)  # [j, i] with i < j
-        has_nbr = dup.any(axis=1)
-        # argmax over booleans = first (lowest-id) duplicate neighbor
-        kept = ids[np.argmax(dup, axis=1)]
+        n = len(ids)
+        # first[j] = index of the minimum-id neighbor with cos >= tau,
+        # or -1. Tiled Gram: row-tiles x ascending column-tiles, so the
+        # first tile that hits a row yields its minimal neighbor and
+        # the row drops out of every later tile.
+        first = np.full(n, -1, dtype=np.int64)
+        for j0 in range(1, n, _GRAM_TILE):
+            j1 = min(j0 + _GRAM_TILE, n)
+            rows = np.arange(j0, j1)
+            for i0 in range(0, j1, _GRAM_TILE):
+                sel = rows[first[rows] < 0]
+                if sel.size == 0:
+                    break
+                i1 = min(i0 + _GRAM_TILE, j1)
+                g = vn[sel] @ vn[i0:i1].T
+                cols = np.arange(i0, i1)
+                valid = (g >= _SEMDEDUP_TAU) & (cols[None, :] < sel[:, None])
+                hit = valid.any(axis=1)
+                first[sel[hit]] = i0 + np.argmax(valid, axis=1)[hit]
+        has_nbr = first >= 0
         return pd.DataFrame(
             {
                 "dropped_id": ids[has_nbr],
                 "label": np.full(int(has_nbr.sum()), lbl, dtype=np.int32),
-                "kept_id": kept[has_nbr],
+                "kept_id": ids[first[has_nbr]],
             }
         )
 

@@ -101,7 +101,12 @@ _TYPE_MAP = {
 
 
 def quote(ident: str, dialect: str = "mysql") -> str:
-    return f"`{ident}`" if dialect == "mysql" else f'"{ident}"'
+    """MySQL: backticks (matching Spark's MySQLDialect). Derby: UNQUOTED
+    — quoted lowercase identifiers would create a table Spark's JDBC
+    writer (which emits unquoted names that Derby case-folds) can never
+    hit; the star's names contain no Derby reserved words, proven by
+    the executable-DDL test."""
+    return f"`{ident}`" if dialect == "mysql" else ident
 
 
 def _columns(schema: str) -> list[tuple[str, str]]:

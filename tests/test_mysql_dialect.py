@@ -47,10 +47,10 @@ def test_sensor_create_golden_and_derby_variant():
         "PRIMARY KEY (`sid`))"
     )
     assert render_create("sensor", "derby") == (
-        'CREATE TABLE "sensor" ("sid" INTEGER NOT NULL, '
-        '"hostname" VARCHAR(32672), "interface" VARCHAR(32672), '
-        '"detail" INTEGER, "encoding" INTEGER, "last_cid" BIGINT, '
-        'PRIMARY KEY ("sid"))'
+        "CREATE TABLE sensor (sid INTEGER NOT NULL, "
+        "hostname VARCHAR(32672), interface VARCHAR(32672), "
+        "detail INTEGER, encoding INTEGER, last_cid BIGINT, "
+        "PRIMARY KEY (sid))"
     )
 
 
@@ -134,3 +134,47 @@ def test_insert_placeholder_arity(table):
     stmt = render_insert(table)
     schema, _ = STAR_TABLES[table]
     assert stmt.count("?") == len(schema.split(","))
+
+
+def test_derby_ddl_executes_and_round_trips(spark):
+    """The rendered DDL is EXECUTED against embedded Derby (the one
+    real JDBC endpoint in this container): create the full star via
+    JdbcSnorbyDB.create_schema, append through the rendered INSERT's
+    column set with the normal Spark JDBC writer, and read back — so
+    the dialect layer is proven executable end-to-end, not just
+    string-matched. (MySQL strings stay golden-only: no server here.)"""
+    import os
+
+    from charlotte_spark.sinks.jdbc import JdbcSnorbyDB
+
+    url = f"jdbc:derby:memory:dialect_{os.getpid()};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    db = JdbcSnorbyDB(spark, url, props)
+
+    jvm = spark.sparkContext._jvm
+    jvm.java.lang.Class.forName(props["driver"])
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmts = []
+        db.create_schema(stmts.append, dialect="derby")
+        st = conn.createStatement()
+        for s in stmts:
+            st.execute(s)
+        st.close()
+    finally:
+        conn.close()
+
+    rows = spark.createDataFrame(
+        [(1, 1, 7, None), (1, 2, 8, None)],
+        "sid int, cid bigint, signature int, timestamp timestamp",
+    )
+    rows.write.jdbc(url, "event", mode="append", properties=props)
+    back = spark.read.jdbc(url, "event", properties=props)
+    got = sorted((r["SID"] if "SID" in r else r["sid"], r["CID"] if "CID" in r else r["cid"]) for r in back.collect())
+    assert got == [(1, 1), (1, 2)]
+    # PRIMARY KEY backstop: replaying the same (sid, cid) must be
+    # rejected by the endpoint (the reference's unique-key contract)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)duplicate|constraint"):
+        rows.write.jdbc(url, "event", mode="append", properties=props)

@@ -499,3 +499,67 @@ def test_selfjoin_estimate_is_one_sided(spark, sf_dir):
         load_table(spark, sf_dir, "events").groupBy("user_id").count().collect()
     )
     assert row["exact_f2"] == sum(r["count"] ** 2 for r in counts)
+
+
+def test_semantic_dedup_tile_size_invariant(spark, duck, sf_dir, monkeypatch):
+    """D118: the tiled Gram must be value-identical at ANY tile size —
+    force tiny tiles (16) so every cluster spans many row/column tiles
+    (the path a 100 TB cluster hits), and require the exact oracle
+    match the default-tile run passes."""
+    import charlotte_spark.queries.similarity as sim
+    from charlotte_spark.registry import load_all_queries
+
+    from .conftest import assert_oracle_match
+
+    monkeypatch.setattr(sim, "_GRAM_TILE", 16)
+    q = load_all_queries()["d118_semantic_dedup"]
+    assert_oracle_match(q.fn(spark, sf_dir), duck, q.oracle, "d118_tile16")
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_ordered_prefix_equals_naive_global_window(spark, n_parts):
+    """The distributed prefix operator must be value-identical to the
+    naive single-partition window at every bucket count — including
+    n_parts far smaller/larger than the data spread, repeated keys
+    (tie-broken by the unique k), and a fork-sensitive double read of
+    the SAME returned frame (the r6 regression shape: two consumers of
+    one ordered_prefix output must see one consistent materialization)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.operators.prefix import ordered_prefix
+
+    rows = [(i, (i * 37) % 11, float((i * 13) % 29)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, grp long, x double")
+
+    got = ordered_prefix(
+        df,
+        ["grp", "k"],
+        running={"run_x": "x"},
+        row_number="rn",
+        totals={"tot_x": "x"},
+        count_total="n",
+        n_parts=n_parts,
+    )
+    # fork the OUTPUT: join it to itself on k — identical rn required
+    forked = got.alias("a").join(got.alias("b"), "k").filter(
+        F.col("a.rn") != F.col("b.rn")
+    )
+    assert forked.count() == 0
+
+    w = W.orderBy("grp", "k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    want = df.select(
+        "k",
+        F.sum("x").over(w).alias("run_x"),
+        F.row_number().over(w).alias("rn"),
+        F.sum("x").over(wt).alias("tot_x"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    g = {r["k"]: r for r in got.select("k", "run_x", "rn", "tot_x", "n").collect()}
+    for r in want.collect():
+        a = g[r["k"]]
+        assert a["rn"] == r["rn"], (r["k"], a["rn"], r["rn"])
+        assert abs(a["run_x"] - r["run_x"]) < 1e-9
+        assert abs(a["tot_x"] - r["tot_x"]) < 1e-9
+        assert a["n"] == r["n"]
