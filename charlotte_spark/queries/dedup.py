@@ -73,7 +73,7 @@ _SQL_CORPUS_NEAR = """
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id,
-           array_to_string((string_split(text, ' '))[1:len(string_split(text, ' ')) - 1], ' ') AS text
+           coalesce(array_to_string((string_split(text, ' '))[1:len(string_split(text, ' ')) - 1], ' '), '') AS text
     FROM documents WHERE doc_id % 20 = 0
 """
 
@@ -419,12 +419,12 @@ _SQL_CORPUS_NEAR_CHAIN = """
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id,
-           array_to_string(list_slice(toks, 1, len(toks) - 1), ' ') AS text
+           coalesce(array_to_string(list_slice(toks, 1, len(toks) - 1), ' '), '') AS text
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     WHERE doc_id % 20 = 0
     UNION ALL
     SELECT doc_id + 2000000 AS doc_id,
-           array_to_string(list_slice(toks, 2, len(toks)), ' ') AS text
+           coalesce(array_to_string(list_slice(toks, 2, len(toks)), ' '), '') AS text
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     WHERE doc_id % 20 = 0
 """
@@ -874,7 +874,7 @@ def _bands_of(sig: DataFrame) -> DataFrame:
 
 _SQL_NEW_BATCH = """
     SELECT doc_id + 1000000 AS doc_id,
-           array_to_string((string_split(text, ' '))[1:len(string_split(text, ' ')) - 1], ' ') AS text
+           coalesce(array_to_string((string_split(text, ' '))[1:len(string_split(text, ' ')) - 1], ' '), '') AS text
     FROM documents WHERE doc_id % 20 = 0
 """
 

@@ -204,7 +204,7 @@ def d47_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(list_sort(toks[1:5]), ',') AS first5_sorted,
            array_to_string(list_sort(list_distinct(toks)), ',') AS vocab,
            array_to_string(list_transform(toks[1:3], x -> upper(x)), ',') AS up2,
-           array_to_string(list_filter(toks[1:10], x -> length(x) > 4), ',') AS long_toks,
+           coalesce(array_to_string(list_filter(toks[1:10], x -> length(x) > 4), ','), '') AS long_toks,
            list_reduce(list_transform(toks, x -> length(x)), (a, b) -> a + b) AS total_chars,
            array_to_string([x for x in generate_series(1, 3)], ',') AS seq3
     FROM documents JOIN t USING (doc_id)
@@ -214,7 +214,11 @@ def d47_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d48_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array + higher-order functions over tokenized documents.
     Slices use 1-based inclusive semantics in both engines (Spark slice
-    / DuckDB list[a:b])."""
+    / DuckDB list[a:b]). Empty-list rendering diverges: Spark
+    ``array_join([])`` = '' but DuckDB ``array_to_string([])`` = NULL,
+    so every oracle folding a possibly-empty list coalesces to '' —
+    found by the sf0.1 sweep (no sf0.01 doc had a filter-to-empty
+    token prefix)."""
     d = load_table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
     return d.select(
         "doc_id",

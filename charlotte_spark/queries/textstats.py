@@ -41,7 +41,7 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
     )
     SELECT doc_id,
            len(list_filter(string_split(ntext, ' '), t -> length(t) > 0)) AS n_tokens,
-           array_to_string(list_filter(string_split(ntext, ' '), t -> length(t) > 0)[1:5], ' ') AS head5
+           coalesce(array_to_string(list_filter(string_split(ntext, ' '), t -> length(t) > 0)[1:5], ' '), '') AS head5
     FROM norm
     ORDER BY doc_id
     """,
