@@ -1,0 +1,199 @@
+"""Web-curation operators (SURVEY §2.2 D157-D158).
+
+The two corpus-hygiene steps every web-scale pretraining pipeline runs
+before the dedup/quality stack (D65-D131): URL canonicalization +
+per-domain accounting (domain filters, crawl-dup collapse — cf. C4 /
+RefinedWeb curation), and CROSS-document boilerplate line detection
+(nav bars / footers repeated across pages — the complement of D89's
+intra-document line dedup).
+
+The synthetic `documents` table has no URLs or newlines, so structure
+is synthesized DETERMINISTICALLY in both engines (the D89/D149
+construction): a per-doc URL built from (source, doc_id, lang) with
+query-string and trailing-slash variants, prepended to the text so the
+extraction regex does real work; lines are the 8-token chunks D89
+uses. Every expression is JVM-side (regexp/split/explode) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round
+from ..registry import query
+
+# Line construction shared with D89: 8-token chunks.
+_LINE_TOKS = 8
+# A line is cross-doc boilerplate when it appears in >= K distinct docs.
+_BOILER_K = 3
+
+
+@query(
+    "d157_url_curation",
+    tags=("D157", "D12", "D24"),
+    oracle="""
+    WITH pages AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/p/'
+                   || CAST(doc_id % 523 AS VARCHAR)
+                   || CASE WHEN doc_id % 3 = 0 THEN '?utm=' || lang
+                           WHEN doc_id % 7 = 0 THEN '/'
+                           ELSE '' END
+                   || ' ' || text AS page
+        FROM documents
+    ),
+    extracted AS (
+        SELECT doc_id,
+               regexp_extract(page, 'https?://[^ ]+', 0) AS url
+        FROM pages
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(url, '\\?.*$', ''), '/+$', '')
+                   AS curl,
+               regexp_extract(url, '^https?://([^/]+)', 1) AS domain
+        FROM extracted
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
+           CAST(count(*) - count(DISTINCT curl) AS BIGINT) AS n_crawl_dups,
+           md5(string_agg(DISTINCT curl, ',' ORDER BY curl)) AS canon_md5
+    FROM canon GROUP BY domain ORDER BY domain
+    """,
+)
+def d157_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + canonicalization + per-domain crawl accounting:
+    pull the URL out of each page, canonicalize (strip query string and
+    trailing slashes — so the `?utm=` and `/` crawl variants of one
+    page collapse), and roll up per domain: docs, canonical pages, and
+    crawl-duplicate count. This is the domain-level filter/dedup input
+    every web corpus builds first; doc_id % 523 forces real canonical
+    collisions at every SF (multiple docs share a page path).
+
+    Plan shape: pure scan-stage regexp projection (whole-stage
+    codegen'd, no UDF) + one partial-agg groupBy on domain; the
+    distinct-canonical count rides Catalyst's expand. At 100 TB:
+    one scan, one keyed shuffle on domain — domains are the natural
+    low-skew key (a hot domain is exactly the thing this report is
+    for, and AQE skew-split covers it)."""
+    d = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        (F.col("doc_id") % 523).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("?utm="), F.col("lang")))
+        .when(F.col("doc_id") % 7 == 0, F.lit("/"))
+        .otherwise(F.lit("")),
+        F.lit(" "),
+        F.col("text"),
+    )
+    url = F.regexp_extract(page, r"https?://[^ ]+", 0)
+    curl = F.regexp_replace(F.regexp_replace(url, r"\?.*$", ""), r"/+$", "")
+    domain = F.regexp_extract(url, r"^https?://([^/]+)", 1)
+    c = d.select(domain.alias("domain"), curl.alias("curl"))
+    return (
+        c.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("curl").alias("n_canonical"),
+            (F.count(F.lit(1)) - F.count_distinct("curl")).alias("n_crawl_dups"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_set("curl")))
+            ).alias("canon_md5"),
+        )
+        .orderBy("domain")
+    )
+
+
+@query(
+    "d158_boilerplate_lines",
+    tags=("D158", "D89", "D70"),
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ),
+    lined AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   generate_series(0, CAST(ceil(len(toks) / {_LINE_TOKS}.0) AS BIGINT) - 1),
+                   i -> array_to_string(
+                       toks[i * {_LINE_TOKS} + 1 : i * {_LINE_TOKS} + {_LINE_TOKS}], ' ')
+               )) AS line
+        FROM t
+    ),
+    freq AS (
+        SELECT line, count(DISTINCT doc_id) AS df
+        FROM lined GROUP BY line
+    ),
+    flagged AS (
+        SELECT l.doc_id, l.source,
+               CASE WHEN f.df >= {_BOILER_K} THEN 1 ELSE 0 END AS boiler
+        FROM lined l JOIN freq f USING (line)
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(boiler) AS BIGINT) AS n_boiler_lines,
+           {sql_round("sum(boiler) / count(*)", 6)} AS boiler_ratio
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def d158_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: a line (8-token chunk, the
+    D89 construction) occurring in >= {K} distinct documents is
+    boilerplate — the nav-bar/footer removal rule web curation applies
+    corpus-wide, complementing D89's within-doc dedup. Output: per
+    source, how much of the line volume is boilerplate. The 30-word
+    synthetic vocabulary guarantees natural cross-doc chunk collisions
+    at every SF — no synthesized duplicates needed.
+
+    Plan shape: explode to (doc, line), one partial-agg groupBy(line)
+    with a distinct-doc count (Catalyst expand), rejoin the per-line
+    document frequency onto the line stream keyed by line (UNHINTED —
+    the frequency table is corpus-sized in the worst case, so the
+    planner must stay free to sort-merge), then a per-source rollup.
+    At 100 TB: two keyed shuffles (line, then source) — the same cost
+    class as TF-IDF (D70), which shares the explode+df shape. The
+    line-frequency table can also be Bloom-pruned (A94's screen) when
+    only the boilerplate SET is needed."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    lines = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("toks") / F.lit(float(_LINE_TOKS))).cast("long") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * _LINE_TOKS + 1, _LINE_TOKS), " "
+                ),
+            )
+        ).alias("line"),
+    )
+    freq = lines.groupBy("line").agg(F.count_distinct("doc_id").alias("df"))
+    flagged = lines.join(freq, "line").select(
+        "source",
+        "doc_id",
+        (F.col("df") >= _BOILER_K).cast("int").alias("boiler"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("boiler").alias("n_boiler_lines"),
+            pround(F.sum("boiler") / F.count(F.lit(1)), 6).alias("boiler_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+d158_boilerplate_lines.__doc__ = d158_boilerplate_lines.__doc__.format(K=_BOILER_K)

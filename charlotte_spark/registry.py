@@ -66,6 +66,7 @@ _QUERY_MODULES = (
     "charlotte_spark.queries.graph",
     "charlotte_spark.queries.eventanalytics",
     "charlotte_spark.queries.corpus_search",
+    "charlotte_spark.queries.webcuration",
     "charlotte_spark.queries.streaming_queries",
     "charlotte_spark.queries.charlotte_pipeline",
 )

@@ -652,3 +652,36 @@ def test_revenue_concentration_single_rank_pass(audits):
     assert "ExistingRDD" in a["plan"], "prefix input must be checkpointed"
     assert a["partial_aggregate"]
     assert not (a["sort_merge_join"] or a["nested_loop_join"])
+
+
+def test_url_curation_scan_stage_regexp_no_udf(audits):
+    """d157: extraction/canonicalization are codegen'd regexp
+    projections off ONE documents scan — no Python evaluation node,
+    no join; the domain rollup partial-aggregates."""
+    a = audits("d157_url_curation")
+    assert len([s for s in a["scans"] if "documents" in s["path"]]) == 1
+    assert "BatchEvalPython" not in a["plan"] and "ArrowEvalPython" not in a["plan"]
+    assert a["partial_aggregate"]
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )
+
+
+def test_boilerplate_join_is_unhinted_and_partial_aggs(audits):
+    """d158: the line-frequency rejoin must carry no broadcast HINT in
+    source (corpus-sized build side at scale — planner picks the
+    strategy), both aggs partial-aggregate, and the line stream is
+    built by explode (Generate), not a Python UDF."""
+    import pathlib
+
+    a = audits("d158_boilerplate_lines")
+    assert a["partial_aggregate"]
+    assert "Generate" in a["plan"]
+    assert "BatchEvalPython" not in a["plan"] and "ArrowEvalPython" not in a["plan"]
+    src = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "charlotte_spark"
+        / "queries"
+        / "webcuration.py"
+    ).read_text()
+    assert "F.broadcast(" not in src, "webcuration must stay hint-free"
