@@ -197,3 +197,76 @@ def d158_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 d158_boilerplate_lines.__doc__ = d158_boilerplate_lines.__doc__.format(K=_BOILER_K)
+
+
+@query(
+    "d159_curation_scorecard",
+    tags=("D159", "D65", "D76", "D24"),
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, lang, n_chars,
+               md5(text) AS tmd5,
+               len(list_filter(string_split(text, ' '), t -> length(t) > 0))
+                   AS n_toks,
+               len(list_distinct(list_filter(string_split(text, ' '),
+                                             t -> length(t) > 0))) AS n_types
+        FROM documents
+    ),
+    dup AS (
+        SELECT d.*, count(*) OVER (PARTITION BY tmd5) AS copies FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           {sql_round("sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) / count(*)", 6)}
+               AS dup_rate,
+           CAST(sum(CASE WHEN n_toks < 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short_docs,
+           {sql_round("avg(n_toks)", 6)} AS mean_tokens,
+           {sql_round("avg(n_types * 1.0 / n_toks)", 6)} AS mean_ttr,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM dup GROUP BY source ORDER BY source
+    """,
+)
+def d159_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scorecard — the report a data-curation
+    pipeline emits before deciding mixture weights: volume, exact-dup
+    rate (corpus-wide, so cross-source copies count), short-doc count,
+    mean token count, mean type-token ratio (lexical diversity), and
+    language spread. Composes the D65 (dedup), D76 (quality) and D24
+    (rollup) families into one artifact.
+
+    Plan shape: token stats are scan-stage array expressions; the
+    corpus-wide copy count is a window PARTITIONED BY the text md5 (a
+    keyed shuffle, never a global window — hash keys are uniform so no
+    skew), then one partial-agg rollup on source. At 100 TB: two keyed
+    shuffles (md5, then source) and nothing else; the same shape as
+    exact dedup plus a rollup."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    base = d.select(
+        "source",
+        "lang",
+        F.md5("text").alias("tmd5"),
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    )
+    dup = base.withColumn("copies", F.count(F.lit(1)).over(W.partitionBy("tmd5")))
+    return (
+        dup.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("copies") > 1).cast("long")).alias("n_dup_docs"),
+            pround(
+                F.sum((F.col("copies") > 1).cast("long")) / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+            F.sum((F.col("n_toks") < 20).cast("long")).alias("n_short_docs"),
+            pround(F.avg("n_toks"), 6).alias("mean_tokens"),
+            pround(F.avg(F.col("n_types") / F.col("n_toks")), 6).alias("mean_ttr"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )

@@ -685,3 +685,19 @@ def test_boilerplate_join_is_unhinted_and_partial_aggs(audits):
         / "webcuration.py"
     ).read_text()
     assert "F.broadcast(" not in src, "webcuration must stay hint-free"
+
+
+def test_curation_scorecard_two_keyed_shuffles(audits):
+    """d159: copy counting must be a window PARTITIONED BY the text md5
+    (keyed), never a global window or a self-join; one documents scan;
+    no Python eval nodes."""
+    a = audits("d159_curation_scorecard")
+    assert len([s for s in a["scans"] if "documents" in s["path"]]) == 1
+    assert "BatchEvalPython" not in a["plan"] and "ArrowEvalPython" not in a["plan"]
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )
+    assert a["partial_aggregate"]
+    assert re.search(r"hashpartitioning\(tmd5", a["plan"]), (
+        "copy count must shuffle on the md5 key"
+    )
