@@ -398,3 +398,83 @@ def a134_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "a160_hll_intersection",
+    tags=("A160", "A83", "A31"),
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events)
+    SELECT a.t AS type_a, b.t AS type_b,
+           CAST(count(DISTINCT a.u) AS BIGINT) AS exact_common,
+           1 AS within_bound
+    FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+    GROUP BY a.t, b.t
+    ORDER BY type_a, type_b
+    """,
+)
+def a160_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate audience-overlap matrix via sketch
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A ∪ B), with
+    per-event-type HLL sketches (Apache DataSketches, as A83) unioned
+    PAIRWISE — the cross-source user-overlap / segment-overlap question
+    every audience and contamination analysis asks, answered from KB
+    sketches instead of a 100 TB user-set self-join. Intersection error
+    compounds from three estimates, so the in-query bound is relative
+    to the UNION size (the standard caveat for HLL intersections):
+    |est∩ − exact∩| / |A∪B| < 0.05 must hold (within_bound=1), while
+    the exact intersection hash-matches the oracle (A83's convention:
+    the error is part of the checked output).
+
+    Plan shape: one partial-agg pass builds the 5 per-type sketches +
+    exact distinct sets (Catalyst expand); the pair matrix is a
+    crossJoin of the 5-row sketch table with itself (bounded: |types|²
+    rows, pure driver-side-small — the ONLY all-pairs join allowed is
+    over sketches, never over users); the exact intersection for the
+    audit is the (type,user) self-join keyed on user. At 100 TB only
+    the sketch path runs (drop the audit columns); sketches persist
+    and merge across days."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy(F.col("event_type").alias("t")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    a, b = per_type.alias("a"), per_type.alias("b")
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a.t") < F.col("b.t"))
+        .select(
+            F.col("a.t").alias("type_a"),
+            F.col("b.t").alias("type_b"),
+            (
+                F.hll_sketch_estimate(F.col("a.sk"))
+                + F.hll_sketch_estimate(F.col("b.sk"))
+                - F.hll_sketch_estimate(F.hll_union(F.col("a.sk"), F.col("b.sk")))
+            ).alias("est_common"),
+            F.hll_sketch_estimate(F.hll_union(F.col("a.sk"), F.col("b.sk"))).alias(
+                "est_union"
+            ),
+        )
+    )
+    tu = e.select(F.col("event_type").alias("t"), F.col("user_id").alias("u")).distinct()
+    ta, tb = tu.alias("ta"), tu.alias("tb")
+    exact = (
+        ta.join(tb, (F.col("ta.u") == F.col("tb.u")) & (F.col("ta.t") < F.col("tb.t")))
+        .groupBy(F.col("ta.t").alias("type_a"), F.col("tb.t").alias("type_b"))
+        .agg(F.count_distinct("ta.u").alias("exact_common"))
+    )
+    return (
+        pairs.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_common",
+            (
+                (F.abs(F.col("est_common") - F.col("exact_common")) / F.col("est_union"))
+                < 0.05
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+        .orderBy("type_a", "type_b")
+    )

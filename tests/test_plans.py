@@ -701,3 +701,14 @@ def test_curation_scorecard_two_keyed_shuffles(audits):
     assert re.search(r"hashpartitioning\(tmd5", a["plan"]), (
         "copy count must shuffle on the md5 key"
     )
+
+
+def test_hll_intersection_all_pairs_only_over_sketches(audits):
+    """a160: the only cross/nested-loop join allowed is the bounded
+    |types|-row sketch pair matrix; the per-type sketch build must
+    partial-aggregate; never an unbounded CartesianProduct over users."""
+    a = audits("a160_hll_intersection")
+    assert a["partial_aggregate"]
+    assert "CartesianProduct" not in a["plan"]
+    # pair matrix = one BNLJ node (tree + detail = 2 mentions)
+    assert a["plan"].count("BroadcastNestedLoopJoin") <= 2
