@@ -769,3 +769,95 @@ def d153_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.md5(F.concat_ws(",", pairs)).alias("state_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D161: incremental rollup maintenance (append-only materialized view)
+# ---------------------------------------------------------------------------
+
+_IVM_CUT = "1997-06-01"
+
+
+@query(
+    "d161_incremental_rollup",
+    tags=("D161", "D136", "D24"),
+    oracle=f"""
+    WITH full_roll AS (
+        SELECT o_orderstatus AS s, o_custkey % 100 AS b, count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY s, b
+    )
+    SELECT s,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           {sql_round("sum(cents) / 100.0", 2)} AS total,
+           md5(string_agg(CAST(b AS VARCHAR) || '=' || CAST(n AS VARCHAR)
+                          || ':' || CAST(cents AS VARCHAR),
+                          ',' ORDER BY b)) AS partials_md5
+    FROM full_roll GROUP BY s ORDER BY s
+    """,
+)
+def d161_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, append-only case: the
+    base rollup (orders before {cut}) is a persisted aggregate; the
+    delta (orders at/after {cut}) arrives later and is folded in by
+    MERGING PARTIAL AGGREGATES on the group key — count and sum are
+    associative, so base + delta partials combine without ever
+    re-scanning base facts. The oracle computes the rollup over the
+    FULL table directly and never sees the merge (the D136 round-trip
+    proof), so a wrong merge, a dropped bucket, or double-counting all
+    hash-mismatch. This is the refresh path every lakehouse
+    materialized view / streaming rollup takes (Spark's own streaming
+    aggregation state IS this merge).
+
+    Plan shape: two partial-agg groupBys (base, delta — in production
+    the base one is a table read, not a scan) and one keyed merge
+    groupBy over |keys| rows. The per-bucket partials fold into a
+    per-status digest so the driver hash pins every bucket. At 100 TB
+    the delta scan is the only fact-sized input per refresh — the
+    whole point of IVM."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit(_IVM_CUT).cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        # per-row cents conversion makes partials EXACT integers —
+        # order-independent sums, digest-stable across engines (double
+        # sums differ by ulps between aggregation orders)
+        return df.groupBy(
+            F.col("o_orderstatus").alias("s"),
+            (F.col("o_custkey") % 100).alias("b"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+
+    base = rollup(o.filter(F.col("o_orderdate") < cut))
+    delta = rollup(o.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("s", "b")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    pairs = F.transform(
+        F.array_sort(F.collect_list(F.struct("b", "n", "cents"))),
+        lambda r: F.concat(
+            r["b"].cast("string"),
+            F.lit("="),
+            r["n"].cast("string"),
+            F.lit(":"),
+            r["cents"].cast("string"),
+        ),
+    )
+    return (
+        merged.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n").alias("n_rows"),
+            pround(F.sum("cents") / 100.0, 2).alias("total"),
+            F.md5(F.concat_ws(",", pairs)).alias("partials_md5"),
+        )
+        .orderBy("s")
+    )
+
+
+d161_incremental_rollup.__doc__ = d161_incremental_rollup.__doc__.format(cut=_IVM_CUT)

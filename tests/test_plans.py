@@ -712,3 +712,18 @@ def test_hll_intersection_all_pairs_only_over_sketches(audits):
     assert "CartesianProduct" not in a["plan"]
     # pair matrix = one BNLJ node (tree + detail = 2 mentions)
     assert a["plan"].count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_incremental_rollup_merge_is_partial_agg_no_join(audits):
+    """d161: the maintenance path is aggregate-merge only — partial
+    aggs on both inputs, one keyed merge groupBy, no join of any
+    kind (a join would mean the merge re-associates facts)."""
+    a = audits("d161_incremental_rollup")
+    assert a["partial_aggregate"]
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )
+    # both date partitions must push their filter into the orders scan
+    od = [s for s in a["scans"] if "orders" in s["path"]]
+    assert len(od) == 2
+    assert all(any("o_orderdate" in f for f in s["pushed_filters"]) for s in od)
