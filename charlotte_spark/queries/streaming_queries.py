@@ -701,3 +701,103 @@ def d126_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = run_to_memory(sessions, "append")
     return out.filter(F.col("user_id") >= 0).orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# D162: streaming distribution-drift monitor (windowed PSI vs baseline)
+# ---------------------------------------------------------------------------
+
+_PSI_EPS = 1e-6
+_PSI_ALERT = 0.2
+
+
+@query(
+    "d162_streaming_psi_drift",
+    tags=("D162", "D53", "D139"),
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT date_trunc('day', ts) AS win,
+               day(ts) <= 15 AS is_base,
+               CAST(floor(value) AS BIGINT) % 10 AS b
+        FROM events
+    ),
+    base AS (
+        SELECT b, count(*) * 1.0 / (SELECT count(*) FROM bucketed WHERE is_base) AS q
+        FROM bucketed WHERE is_base GROUP BY b
+    ),
+    cur AS (
+        SELECT win, b, count(*) AS n
+        FROM bucketed WHERE NOT is_base GROUP BY win, b
+    ),
+    tot AS (SELECT win, sum(n) AS t FROM cur GROUP BY win),
+    cells AS (
+        SELECT t.win,
+               coalesce(c.n, 0) * 1.0 / t.t + {_PSI_EPS} AS p,
+               base.q + {_PSI_EPS} AS q
+        FROM tot t CROSS JOIN base
+        LEFT JOIN cur c ON c.win = t.win AND c.b = base.b
+    )
+    SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start,
+           {sql_round("sum((p - q) * ln(p / q))", 6)} AS psi,
+           CAST(CASE WHEN sum((p - q) * ln(p / q)) > {_PSI_ALERT}
+                THEN 1 ELSE 0 END AS INT) AS drift
+    FROM cells GROUP BY win ORDER BY win_start
+    """,
+)
+def d162_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: Population Stability Index
+    per 1-day tumbling window against a frozen baseline (the first
+    half-month's value-bucket proportions) — the live counterpart of
+    D139's batch KS test, and the alert every feature-serving /
+    training-data pipeline hangs on its dashboards. PSI =
+    Σ (p−q)·ln(p/q) over 10 value buckets with ε-smoothing so empty
+    buckets stay finite; windows with PSI > 0.2 flag drift.
+
+    Plan shape: the stateful part is ONE streaming tumbling-window
+    bucket count (state = windows × 10 buckets, bounded); the baseline
+    is a static-side aggregate that joins the windowed counts as a
+    10-row broadcast; the PSI fold is a per-window rollup of 10 cells.
+    At 100 TB/day the streaming agg partial-aggregates map-side and
+    the post-window tables are O(windows × buckets) — microscopic."""
+    s = _replay(spark, sf_dir).filter(
+        (F.col("event_id") >= 0) & (F.dayofmonth("ts") > 15)
+    )
+    bucket = (F.floor("value").cast("long") % 10).alias("b")
+    agg = s.groupBy(F.window("ts", "1 day").alias("w"), bucket).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cur = run_to_memory(agg, "complete").select(
+        F.col("w.start").alias("win"), "b", "n"
+    )
+    # baseline: static batch over the same source table (days 1-15)
+    from ..catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").filter(F.dayofmonth("ts") <= 15)
+    n_base = e.count()  # bounded: one scalar
+    base = e.groupBy((F.floor("value").cast("long") % 10).alias("b")).agg(
+        (F.count(F.lit(1)) / F.lit(float(n_base))).alias("q")
+    )
+    tot = cur.groupBy("win").agg(F.sum("n").alias("t"))
+    cells = (
+        tot.crossJoin(F.broadcast(base))
+        .join(cur, ["win", "b"], "left")
+        .select(
+            "win",
+            (F.coalesce(F.col("n"), F.lit(0)) / F.col("t") + F.lit(_PSI_EPS)).alias("p"),
+            (F.col("q") + F.lit(_PSI_EPS)).alias("qq"),
+        )
+    )
+    psi = F.sum((F.col("p") - F.col("qq")) * F.log(F.col("p") / F.col("qq")))
+    return (
+        cells.groupBy("win")
+        .agg(
+            pround(psi, 6).alias("psi"),
+            (psi > _PSI_ALERT).cast("int").alias("drift"),
+        )
+        .select(
+            F.date_format("win", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "psi",
+            "drift",
+        )
+        .orderBy("win_start")
+    )
