@@ -17,9 +17,10 @@ is materialized to parquet, Spark folds it to per-group md5 digests,
 and the registered oracle independently folds the SAME parquet with
 DuckDB's md5/string_agg pipeline — two engines aggregating the same
 materialized rows, so a nondeterministic pipeline, a parquet
-type-mapping bug, or a digest-fold bug all hash-mismatch. Only the
-listener-based rollover hook stays rows-only (its output is driver
-state, not data).
+type-mapping bug, or a digest-fold bug all hash-mismatch. The
+listener-based rollover hook carries a literal-invariant oracle (the
+fixture's file count and complete=1), so every pipeline row is
+hash-grade.
 
 Scale notes: parse+decode is one Arrow pass per spool file (perfectly
 parallel — at 100 TB this is N_files map tasks, no shuffle); enrichment
@@ -365,6 +366,9 @@ def r_charlotte_event_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "r_charlotte_rollover_hook",
     tags=("R3",),
+    oracle="""
+    SELECT 3 AS expected_rollovers, 1 AS complete
+    """,
 )
 def r_charlotte_rollover_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3 rollover hook as a registry row: the reference fires a callback
@@ -374,7 +378,13 @@ def r_charlotte_rollover_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
     StreamingQueryListener observes one progress event per rollover.
     Output: expected rollovers (deepest spool dir's file count) and
     whether the listener observed at least that many — a dropped hook
-    shows up as complete=0."""
+    shows up as complete=0.
+
+    The oracle is a LITERAL INVARIANT, not a recomputation: the
+    fixture is 3 files by construction (u2_fixture n_files=3), so the
+    driver hash pins (3, complete=1) — i.e. the listener must actually
+    observe every rollover, which no SQL can verify independently. A
+    listener that drops progress events fails the hash."""
     import time
 
     from ..sources.u2_spark import RolloverListener

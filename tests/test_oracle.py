@@ -26,11 +26,14 @@ def test_hash_checked(q, spark, duck, sf_dir):
     assert_oracle_match(q.fn(spark, sf_dir), duck, q.oracle, q.name)
 
 
-@pytest.mark.parametrize("q", ROWS_ONLY, ids=lambda q: q.name)
-def test_rows_only(q, spark, sf_dir):
-    df = q.fn(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_has_an_oracle():
+    """Since round 7 EVERY registered query carries an oracle: pure
+    SQL where expressible, round-trip digests (queries/roundtrip.py)
+    where the input is non-SQL-recomputable, a literal invariant for
+    the listener-outcome query. A new rows-only query would silently
+    weaken the driver gate — make it a conscious decision by updating
+    this test alongside it."""
+    assert not ROWS_ONLY, [q.name for q in ROWS_ONLY]
 
 
 def test_decimal_output_fails_locally(spark, duck):
