@@ -563,3 +563,19 @@ def test_ordered_prefix_equals_naive_global_window(spark, n_parts):
         assert abs(a["run_x"] - r["run_x"]) < 1e-9
         assert abs(a["tot_x"] - r["tot_x"]) < 1e-9
         assert a["n"] == r["n"]
+
+
+@pytest.mark.parametrize("cut", ["1990-01-01", "2010-01-01"])
+def test_incremental_rollup_cut_invariant(spark, duck, sf_dir, monkeypatch, cut):
+    """D161: the merged rollup must equal the full rollup for ANY
+    base/delta split — including the degenerate cuts where base or
+    delta is EMPTY (first refresh ever / no-op refresh), which the
+    default mid-range cut never exercises."""
+    import charlotte_spark.queries.reshape as rs
+    from charlotte_spark.registry import load_all_queries
+
+    from .conftest import assert_oracle_match
+
+    monkeypatch.setattr(rs, "_IVM_CUT", cut)
+    q = load_all_queries()["d161_incremental_rollup"]
+    assert_oracle_match(q.fn(spark, sf_dir), duck, q.oracle, f"d161_cut_{cut}")
