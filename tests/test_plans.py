@@ -727,3 +727,22 @@ def test_incremental_rollup_merge_is_partial_agg_no_join(audits):
     od = [s for s in a["scans"] if "orders" in s["path"]]
     assert len(od) == 2
     assert all(any("o_orderdate" in f for f in s["pushed_filters"]) for s in od)
+
+
+def test_bloom_semijoin_probe_is_map_only(audits):
+    """d163: the bloom probe is a projection against an array LITERAL
+    (no join, no shuffle, no Python) — the only join in the plan is
+    the broadcast of the predicate-bounded build keys for the exact
+    accounting, and both orders scans carry the pushed date filter."""
+    a = audits("d163_bloom_semijoin_reduction")
+    assert a["broadcast_hash_join"]
+    assert not (a["sort_merge_join"] or a["nested_loop_join"])
+    assert "BatchEvalPython" not in a["plan"] and "ArrowEvalPython" not in a["plan"]
+    od = [s for s in a["scans"] if "orders" in s["path"]]
+    assert od and all(
+        any("o_orderdate" in f for f in s["pushed_filters"]) for s in od
+    )
+    li = [s for s in a["scans"] if "lineitem" in s["path"]]
+    assert len(li) == 1 and li[0]["read_columns"] == ["l_orderkey"], (
+        "probe scan must prune to the join key"
+    )
