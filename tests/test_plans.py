@@ -376,6 +376,7 @@ def test_every_collect_site_is_bounded():
         "jdbc.py": 2,         # dim-table reads + batch-id marker set
         "similarity.py": 3,   # k seeds, k×dim centroids, dim-length PCA vec
         "sketches.py": 1,     # ≤m bloom bit positions
+        "joins.py": 1,        # d163: ≤m bloom bit positions (same class)
     }
     found: dict[str, int] = {}
     for p in root.rglob("*.py"):
