@@ -656,13 +656,16 @@ def d163_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     flagged = (
         g.withColumn("bf", hit.cast("int"))
-        # exact membership ONLY for bloom survivors — the reduced join
         .join(
             F.broadcast(sel.withColumn("ex", F.lit(1))),
             g.l_orderkey == F.col("k"),
             "left",
         )
-        .select("bf", F.coalesce("ex", F.lit(0)).alias("ex"))
+        # exact membership counted ONLY for bloom survivors (bf * ex):
+        # this is what makes the no-false-negative claim hash-VERIFIED —
+        # a bitmap bug that drops a true key zeroes its ex here and
+        # n_joined falls below the oracle's direct membership count
+        .select("bf", (F.col("bf") * F.coalesce("ex", F.lit(0))).alias("ex"))
     )
     return flagged.agg(
         F.count(F.lit(1)).alias("n_probe_total"),

@@ -769,14 +769,21 @@ def d162_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = run_to_memory(agg, "complete").select(
         F.col("w.start").alias("win"), "b", "n"
     )
-    # baseline: static batch over the same source table (days 1-15)
+    # baseline: static batch over the same source table (days 1-15) —
+    # ONE scan; the denominator comes from the 10-row aggregate itself
+    # (whole-partition window over bucket rows, bounded by construction)
+    from pyspark.sql import Window as W
+
     from ..catalog import load_table
 
     e = load_table(spark, sf_dir, "events").filter(F.dayofmonth("ts") <= 15)
-    n_base = e.count()  # bounded: one scalar
-    base = e.groupBy((F.floor("value").cast("long") % 10).alias("b")).agg(
-        (F.count(F.lit(1)) / F.lit(float(n_base))).alias("q")
+    counts = e.groupBy((F.floor("value").cast("long") % 10).alias("b")).agg(
+        F.count(F.lit(1)).alias("nb")
     )
+    wt = W.partitionBy().rowsBetween(  # bounded: 10 bucket rows
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    base = counts.select("b", (F.col("nb") / F.sum("nb").over(wt)).alias("q"))
     tot = cur.groupBy("win").agg(F.sum("n").alias("t"))
     cells = (
         tot.crossJoin(F.broadcast(base))
