@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import fan_out, load_table
 from ..functions.portable import pround, sql_round
 from ..functions.shingles import with_shingles
+from ..operators.prefix import ordered_prefix
 from ..registry import query
 
 # tiny function-word dictionaries for the langid heuristic
@@ -504,3 +505,78 @@ def d123_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("band", F.lit("disfluent"))
     )
     return best.unionByName(worst).orderBy(F.col("avg_logprob").desc(), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# D164: vocabulary coverage curve (tokenizer sizing)
+# ---------------------------------------------------------------------------
+
+_VOCAB_KS = (5, 10, 20)
+
+
+@query(
+    "d164_vocab_coverage_curve",
+    tags=("D164", "D95", "D35"),
+    oracle=f"""
+    WITH tf AS (
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    r AS (
+        SELECT row_number() OVER (ORDER BY c DESC, tok) AS rk,
+               sum(c) OVER (ORDER BY c DESC, tok
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER () AS tot,
+               count(*) OVER () AS n_types
+        FROM tf
+    )
+    SELECT CAST(rk AS BIGINT) AS k,
+           CAST(any_value(n_types) AS BIGINT) AS n_types,
+           CAST(any_value(tot) AS BIGINT) AS total_tokens,
+           {sql_round("any_value(cum) * 1.0 / any_value(tot)", 6)} AS coverage
+    FROM r WHERE rk IN {_VOCAB_KS}
+    GROUP BY rk ORDER BY k
+    """,
+)
+def d164_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing readout: for
+    each candidate vocab size k, what fraction of all token
+    OCCURRENCES the top-k types cover (the OOV-rate complement). This
+    is D95's top-k list turned into the decision curve a BPE/vocab
+    build actually reads; the synthetic 31-type vocabulary makes the
+    checked ks small, but the shape is the production one.
+
+    Plan shape: one explode + partial-agg type-frequency groupBy, then
+    the distributed prefix pass (``operators.prefix``, the
+    D35/D139/D142/D156 operator) assigns the GLOBAL frequency-descending
+    rank and running occurrence sum with totals on the same pass —
+    at a real vocabulary scale (millions of types) no single task ever
+    holds the type table, which is exactly where a naive
+    rank-over-everything window dies. The curve projection filters to
+    the probe ks map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("oc", -F.col("c"))
+    )
+    r = ordered_prefix(
+        tf,
+        ["oc", "tok"],
+        running={"cum": "c"},
+        row_number="rk",
+        totals={"tot": "c"},
+        count_total="n_types",
+    )
+    return (
+        r.filter(F.col("rk").isin(*_VOCAB_KS))
+        .select(
+            F.col("rk").cast("long").alias("k"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("tot").cast("long").alias("total_tokens"),
+            pround(F.col("cum") / F.col("tot"), 6).alias("coverage"),
+        )
+        .orderBy("k")
+    )

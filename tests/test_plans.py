@@ -747,3 +747,14 @@ def test_bloom_semijoin_probe_is_map_only(audits):
     assert len(li) == 1 and li[0]["read_columns"] == ["l_orderkey"], (
         "probe scan must prune to the join key"
     )
+
+
+def test_vocab_coverage_uses_checkpointed_prefix(audits):
+    """d164: the global frequency rank runs on the distributed prefix
+    operator — checkpointed input (no documents parquet scan in the
+    final plan), no sort-merge/nested-loop join, partial-agg type
+    frequency."""
+    a = audits("d164_vocab_coverage_curve")
+    assert not [s for s in a["scans"] if "documents" in s["path"]]
+    assert "ExistingRDD" in a["plan"]
+    assert not (a["sort_merge_join"] or a["nested_loop_join"])
