@@ -101,3 +101,31 @@ def test_cli_db_mode_writes_star(spark, tmp_path):
     star = conf["plugin_snorby_parquet"]["path"]
     n = spark.read.parquet(os.path.join(star, "event")).count()
     assert n == 270
+
+
+def test_reference_conf_example_loads_unchanged():
+    """Drop-in parity: the reference repo's OWN charlotte.conf.example
+    must load and validate byte-for-byte unchanged — a reference user
+    points this engine at their existing config file. Covers the
+    'filename' spool key (our reader takes 'prefix'), multi-directory
+    spools, the three global maps, and the snortdb plugin block."""
+    import os
+
+    import pytest
+
+    from charlotte_spark.cli import load_config, validate_snortdb
+
+    path = "/root/reference/charlotte.conf.example"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not present")
+    cfg = load_config(path)
+    assert set(cfg["spools"]) == {"example1", "example2"}
+    assert cfg["spools"]["example2"]["directories"] == [
+        "/unified/example2/1",
+        "/unified/example2/2",
+    ]
+    # reference 'filename' key mapped onto our reader's 'prefix'
+    assert cfg["spools"]["example1"]["prefix"] == "snort.log"
+    assert cfg["global"]["signature_map"].endswith("sid-msg.map")
+    db = validate_snortdb(cfg)
+    assert db["db"] == "charlotte" and db["server"] == "localhost"
