@@ -292,9 +292,7 @@ def r_charlotte_text_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("D58", "D60", "R19", "R2", "R5"),
     oracle=f"""
     SELECT sid, CAST(count(*) AS BIGINT) AS n,
-           CAST(CASE WHEN count(*) = count(DISTINCT cid)
-                      AND min(cid) = 1 AND max(cid) = count(*)
-                THEN 1 ELSE 0 END AS INT) AS dense
+           CAST(1 AS INT) AS dense
     FROM read_parquet('{rt_path("cid_sequencer")}/*.parquet')
     GROUP BY sid ORDER BY sid
     """,
@@ -305,9 +303,12 @@ def d58_cid_sequencer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly 1..max with no gaps or duplicates across micro-batches —
     charlotte's serialized-writer guarantee (:554-570) reproduced by
     row_number + persisted last_cid offsets. The (sid, cid) pairs are
-    materialized to parquet and the density audit computed by BOTH
-    engines over them (round-trip pattern), so the driver hash checks
-    the sequencer, not just a row count."""
+    materialized to parquet; Spark recomputes the density flag from
+    them while the oracle pins it as the LITERAL 1 (the
+    r_charlotte_rollover_hook pattern, ADVICE r07): a sequencer that
+    ever produces gaps or duplicate cids makes Spark emit dense=0
+    against the oracle's constant and the driver hash fails — the
+    invariant itself is checked, not just fold agreement."""
     db = _streamed_star(spark)
     event = db.read("event", "sid int, cid bigint, signature int, timestamp timestamp")
     out = rt_path("cid_sequencer")

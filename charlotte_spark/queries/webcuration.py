@@ -21,19 +21,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import pround, sql_round
+from ..functions.portable import portable_hash_long, pround, sql_hash_long, sql_round
 from ..registry import query
 
 # Line construction shared with D89: 8-token chunks.
 _LINE_TOKS = 8
 # A line is cross-doc boilerplate when it appears in >= K distinct docs.
 _BOILER_K = 3
+# D157 digest fan-out: each domain's canonical-URL set digest is folded
+# per (domain, md5-bucket) first, so no single aggregation buffer ever
+# holds more than ~1/B of a hot domain's URLs (VERDICT r07 #2).
+_URL_BUCKETS = 32
 
 
 @query(
     "d157_url_curation",
     tags=("D157", "D12", "D24"),
-    oracle="""
+    oracle=f"""
     WITH pages AS (
         SELECT doc_id,
                'https://' || source || '.example.com/p/'
@@ -55,13 +59,21 @@ _BOILER_K = 3
                    AS curl,
                regexp_extract(url, '^https?://([^/]+)', 1) AS domain
         FROM extracted
+    ),
+    lvl1 AS (
+        SELECT domain,
+               {sql_hash_long("curl")} % {_URL_BUCKETS} AS bkt,
+               count(*) AS n_docs_b,
+               count(DISTINCT curl) AS n_canon_b,
+               md5(string_agg(DISTINCT curl, ',' ORDER BY curl)) AS sub
+        FROM canon GROUP BY domain, bkt
     )
     SELECT domain,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
-           CAST(count(*) - count(DISTINCT curl) AS BIGINT) AS n_crawl_dups,
-           md5(string_agg(DISTINCT curl, ',' ORDER BY curl)) AS canon_md5
-    FROM canon GROUP BY domain ORDER BY domain
+           CAST(sum(n_docs_b) AS BIGINT) AS n_docs,
+           CAST(sum(n_canon_b) AS BIGINT) AS n_canonical,
+           CAST(sum(n_docs_b) - sum(n_canon_b) AS BIGINT) AS n_crawl_dups,
+           md5(string_agg(sub, ',' ORDER BY sub)) AS canon_md5
+    FROM lvl1 GROUP BY domain ORDER BY domain
     """,
 )
 def d157_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,11 +86,17 @@ def d157_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions at every SF (multiple docs share a page path).
 
     Plan shape: pure scan-stage regexp projection (whole-stage
-    codegen'd, no UDF) + one partial-agg groupBy on domain; the
-    distinct-canonical count rides Catalyst's expand. At 100 TB:
-    one scan, one keyed shuffle on domain — domains are the natural
-    low-skew key (a hot domain is exactly the thing this report is
-    for, and AQE skew-split covers it)."""
+    codegen'd, no UDF), then a TWO-LEVEL digest fold (the D99/D159
+    pattern): level 1 groups by (domain, md5-bucket of the canonical
+    URL) so each collect_set buffer holds only ~1/B of a domain's
+    distinct URLs — a hot domain with 10^8 canonical pages can no
+    longer pin an unbounded agg state on one reducer (and B scales
+    with the corpus if needed); level 2 folds the B sorted sub-digests
+    (bounded: <= B rows per domain) and sums the partial counts.
+    Distinct-canonical counts ride Catalyst's expand at the bucket
+    grain and sum exactly because a URL's bucket is a pure function of
+    the URL. At 100 TB: one scan, one keyed shuffle on (domain,
+    bucket), one tiny shuffle on domain."""
     d = load_table(spark, sf_dir, "documents")
     page = F.concat(
         F.lit("https://"),
@@ -95,15 +113,24 @@ def d157_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     curl = F.regexp_replace(F.regexp_replace(url, r"\?.*$", ""), r"/+$", "")
     domain = F.regexp_extract(url, r"^https?://([^/]+)", 1)
     c = d.select(domain.alias("domain"), curl.alias("curl"))
-    return (
-        c.groupBy("domain")
+    lvl1 = (
+        c.withColumn("bkt", portable_hash_long("curl") % _URL_BUCKETS)
+        .groupBy("domain", "bkt")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.count_distinct("curl").alias("n_canonical"),
-            (F.count(F.lit(1)) - F.count_distinct("curl")).alias("n_crawl_dups"),
-            F.md5(
-                F.concat_ws(",", F.array_sort(F.collect_set("curl")))
-            ).alias("canon_md5"),
+            F.count(F.lit(1)).alias("n_docs_b"),
+            F.count_distinct("curl").alias("n_canon_b"),
+            F.md5(F.concat_ws(",", F.array_sort(F.collect_set("curl")))).alias("sub"),
+        )
+    )
+    return (
+        lvl1.groupBy("domain")
+        .agg(
+            F.sum("n_docs_b").alias("n_docs"),
+            F.sum("n_canon_b").alias("n_canonical"),
+            (F.sum("n_docs_b") - F.sum("n_canon_b")).alias("n_crawl_dups"),
+            F.md5(F.concat_ws(",", F.array_sort(F.collect_list("sub")))).alias(
+                "canon_md5"
+            ),
         )
         .orderBy("domain")
     )
@@ -114,7 +141,8 @@ def d157_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("D158", "D89", "D70"),
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
     ),
     lined AS (
         SELECT doc_id, source,
@@ -159,9 +187,16 @@ def d158_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: two keyed shuffles (line, then source) — the same cost
     class as TF-IDF (D70), which shares the explode+df shape. The
     line-frequency table can also be Bloom-pruned (A94's screen) when
-    only the boilerplate SET is needed."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split("text", " ").alias("toks")
+    only the boilerplate SET is needed.
+
+    Null texts are filtered before the explode in BOTH engines: with a
+    null array Spark's F.size returns -1 and sequence(0, -1) yields a
+    DESCENDING [0,-1] where DuckDB's generate_series yields [] — a
+    latent divergence the filter removes at the source (ADVICE r07)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", F.split("text", " ").alias("toks"))
     )
     lines = d.select(
         "doc_id",

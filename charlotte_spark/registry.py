@@ -90,19 +90,71 @@ def query(
 
 # Explicit enumeration order for the driver contract. The driver's
 # correctness gate checks the FIRST 50 entries of ``queries()`` each
-# round (CORRECTNESS_r01-r06 keys == list(queries())[:50]), so insertion
-# order decides which SURVEY rows get driver evidence. Round-7 rotation
-# (VERDICT r06, Next-round #2, three rounds overdue): slots 1-8 are the
-# queries whose plans changed in r6/r7 and most need independent
-# confirmation (d136/d139/d142/d154 = the r6 fixes incl. the
-# ordered_prefix regression, then d156/d138/d141/d117 = the r7
-# scale-fix retrofits); slots 9-46 are the never-driver-checked block
-# (D116-D156 additions, d68_topk_bruteforce, the stateful/rows-only
-# charlotte rows); slots 47-50 are the four r03 rows-only queries,
-# re-submitted now that they carry hash-checkable digests where
-# expressible. The previously-confirmed r04-r06 window and the
-# r01-r03 green queries follow after the boundary.
+# round (CORRECTNESS_r01-r07 keys == list(queries())[:50]), so insertion
+# order decides which SURVEY rows get driver evidence. Round-8 rotation
+# (VERDICT r07, Next-round #1): slots 1-8 are the only queries with NO
+# driver evidence yet (the r7 additions d157-d164 incl. a160) — green
+# rows here take driver-confirmed coverage to 187/187 SURVEY rows;
+# slots 9-50 backfill with the 42 queries holding the OLDEST evidence
+# (the r01 aggregate block, the r02 scan/source/join families incl.
+# d3/d5/d6 and the D7-D23 relational block, and the r02 scale joins
+# d84/d87) so no query's latest green ages past five rounds. The
+# r03-r07-confirmed queries follow after the boundary, newest evidence
+# last.
 DRIVER_ORDER: tuple[str, ...] = (
+    "d157_url_curation",
+    "d158_boilerplate_lines",
+    "d159_curation_scorecard",
+    "a160_hll_intersection",
+    "d161_incremental_rollup",
+    "d162_streaming_psi_drift",
+    "d163_bloom_semijoin_reduction",
+    "d164_vocab_coverage_curve",
+    # ---- backfill: oldest driver evidence first (r01 block) ----
+    "d25_global_agg",
+    "d26_count_distinct",
+    "d27_rollup",
+    "d27_cube",
+    "d28_filtered_agg",
+    "d29_collect_list_set",
+    "d30_first_last_ordered",
+    "a31_approx_count_distinct",
+    "a32_approx_quantiles",
+    "d32x_exact_percentile",
+    # ---- r02 block: sources/sinks, scans, relational, joins ----
+    "d3_jdbc_scan",
+    "d5_jdbc_sink",
+    "d6_file_stream_checkpoint",
+    "d1_scan_rowcounts",
+    "d1_scan_checksum_lineitem",
+    "d2_csv_json_scan",
+    "d4_partitioned_parquet_sink",
+    "d7_select_rename",
+    "d8_computed_projection",
+    "d9_predicates",
+    "d10_null_semantics",
+    "d11_in_list",
+    "d12_like_regexp",
+    "d13_distinct",
+    "d14_inner_equijoin",
+    "d15_broadcast_dim_join",
+    "d16_left_outer_join",
+    "d16_full_outer_join",
+    "d17_left_semi_join",
+    "d18_left_anti_join",
+    "d19_cross_join",
+    "d20_range_join",
+    "d21_asof_join",
+    "d22_interval_join",
+    "d23_self_join",
+    "d24_groupby_multi_agg",
+    "q1_pricing_summary",
+    "d84_bucketed_colocated_join",
+    "d87_salted_skew_join",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q21_waiting_supplier",
+    # ---- 50-slot window boundary ----
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",
@@ -153,7 +205,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "r_charlotte_ingest_decode",
     "r_charlotte_batch_pipeline",
     "r_charlotte_text_mode",
-    # ---- 50-slot window boundary ----
     "d46_math_functions",
     "d75_embedding_quantize",
     "r_charlotte_graceful_drain",

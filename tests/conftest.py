@@ -16,8 +16,17 @@ import duckdb
 import numpy as np
 import pytest
 
-from charlotte_spark.catalog import TABLE_NAMES
-from charlotte_spark.session import get_spark
+# Namespace the round-trip digest scratch BEFORE any query module can
+# bake paths into oracle SQL strings: the default RT_DIR is shared, so
+# a pytest run interleaving with the driver (or a sweep) at another SF
+# would overwrite the materialized parquet between one engine's fold
+# and the other's (ADVICE r07). Per-process paths end the race; within
+# this process write and fold always agree because both read the same
+# module-level constant.
+os.environ.setdefault("CHARLOTTE_RT_TMP", f"/tmp/charlotte_rt_pytest_{os.getpid()}")
+
+from charlotte_spark.catalog import TABLE_NAMES  # noqa: E402
+from charlotte_spark.session import get_spark  # noqa: E402
 
 # t1 smoke scale by default for speed; CI can point at sf0.01 (t2 scale).
 SF_DIR = os.environ.get("CHARLOTTE_TEST_SF_DIR", "/root/testdata/sf0.01")

@@ -478,15 +478,16 @@ def test_triangle_count_broadcasts_and_never_cartesian(audits):
 
 def test_ks_drift_single_scan(audits):
     """d139: the KS test is one lineage — events is read exactly once,
-    at ordered_prefix's checkpoint materialization. The final plan
-    therefore reads the materialized frame (ExistingRDD), and NO
-    events parquet scan may remain (a leftover one would mean the
-    range-partitioned lineage forked — the r6 wrong-answer bug)."""
+    inside ordered_prefix's eager-persist materialization (the cached
+    lineage's FileScan prints as one numbered block; a SECOND events
+    scan would mean the range-partitioned lineage forked — the r6
+    wrong-answer bug). The final plan reads the persisted frame
+    (InMemoryTableScan)."""
     a = audits("d139_ks_drift")
-    assert not [s for s in a["scans"] if "events" in s["path"]], (
-        "events parquet scan leaked past the prefix materialization"
+    assert len([s for s in a["scans"] if "events" in s["path"]]) == 1, (
+        "events must be scanned exactly once (inside the prefix persist)"
     )
-    assert "ExistingRDD" in a["plan"], "prefix input must be checkpointed"
+    assert "InMemoryTableScan" in a["plan"], "prefix input must be persisted"
     assert a["partial_aggregate"]
 
 
@@ -520,11 +521,11 @@ def test_zorder_audit_chained_ranks_one_generate(audits):
     rejoin of the two rankings), and the two-layout explode is ONE
     Generate (count 2 in formatted explain = tree + detail)."""
     a = audits("d142_zorder_layout")
-    assert not [s for s in a["scans"] if "orders" in s["path"]], (
-        "orders parquet scan leaked past the prefix materialization"
+    assert len([s for s in a["scans"] if "orders" in s["path"]]) <= 1, (
+        "orders must be scanned at most once (inside the prefix persist)"
     )
     assert not (a["sort_merge_join"] or a["nested_loop_join"])
-    assert "ExistingRDD" in a["plan"], "prefix input must be checkpointed"
+    assert "InMemoryTableScan" in a["plan"], "prefix input must be persisted"
     assert a["plan"].count("Generate") <= 2
 
 
@@ -647,10 +648,10 @@ def test_revenue_concentration_single_rank_pass(audits):
     is the operator's tiny broadcast offset join; the per-customer
     rollup partial-aggregates."""
     a = audits("d156_revenue_concentration")
-    assert not [s for s in a["scans"] if "orders" in s["path"]], (
-        "orders parquet scan leaked past the prefix materialization"
+    assert len([s for s in a["scans"] if "orders" in s["path"]]) <= 1, (
+        "orders must be scanned at most once (inside the prefix persist)"
     )
-    assert "ExistingRDD" in a["plan"], "prefix input must be checkpointed"
+    assert "InMemoryTableScan" in a["plan"], "prefix input must be persisted"
     assert a["partial_aggregate"]
     assert not (a["sort_merge_join"] or a["nested_loop_join"])
 
@@ -658,7 +659,12 @@ def test_revenue_concentration_single_rank_pass(audits):
 def test_url_curation_scan_stage_regexp_no_udf(audits):
     """d157: extraction/canonicalization are codegen'd regexp
     projections off ONE documents scan — no Python evaluation node,
-    no join; the domain rollup partial-aggregates."""
+    no join; both rollups partial-aggregate. The canon_md5 digest MUST
+    fold at TWO aggregation levels (VERDICT r07 #2): level 1 keyed by
+    (domain, md5-bucket) so no single collect_set buffer holds a hot
+    domain's full URL set, level 2 keyed by domain over <= B bounded
+    sub-digest rows — visible as a (domain, bkt) exchange followed by a
+    domain-only exchange."""
     a = audits("d157_url_curation")
     assert len([s for s in a["scans"] if "documents" in s["path"]]) == 1
     assert "BatchEvalPython" not in a["plan"] and "ArrowEvalPython" not in a["plan"]
@@ -666,6 +672,15 @@ def test_url_curation_scan_stage_regexp_no_udf(audits):
     assert not (
         a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
     )
+    assert re.search(r"hashpartitioning\(domain#\d+L?, bkt#\d+", a["plan"]), (
+        "level-1 digest fold must be keyed by (domain, bucket)"
+    )
+    assert re.search(r"hashpartitioning\(domain#\d+L?, \d+\)", a["plan"]), (
+        "level-2 fold must re-key by domain alone"
+    )
+    assert re.search(r"collect_set\(curl[^)]*\)[^\n]*bkt", a["plan"]) or (
+        "collect_set" in a["plan"] and "bkt" in a["plan"]
+    ), "URL set digest must stay at the bucketed grain"
 
 
 def test_boilerplate_join_is_unhinted_and_partial_aggs(audits):
@@ -751,10 +766,10 @@ def test_bloom_semijoin_probe_is_map_only(audits):
 
 def test_vocab_coverage_uses_checkpointed_prefix(audits):
     """d164: the global frequency rank runs on the distributed prefix
-    operator — checkpointed input (no documents parquet scan in the
-    final plan), no sort-merge/nested-loop join, partial-agg type
-    frequency."""
+    operator — eagerly persisted input (at most one documents scan,
+    inside the persist), no sort-merge/nested-loop join, partial-agg
+    type frequency."""
     a = audits("d164_vocab_coverage_curve")
-    assert not [s for s in a["scans"] if "documents" in s["path"]]
-    assert "ExistingRDD" in a["plan"]
+    assert len([s for s in a["scans"] if "documents" in s["path"]]) <= 1
+    assert "InMemoryTableScan" in a["plan"]
     assert not (a["sort_merge_join"] or a["nested_loop_join"])

@@ -26,43 +26,43 @@ def test_enumeration_puts_driver_order_first():
 
 
 def test_window_covers_fixes_and_never_verified_rows():
-    """Round-7 rotation (VERDICT r06 #2): the window is the
-    never-driver-checked tail, led by the queries whose plans changed
-    in r6/r7 and so most need independent confirmation."""
+    """Round-8 rotation (VERDICT r07 #1): slots 1-8 are the only
+    queries with zero driver evidence (the r7 additions d157-d164);
+    slots 9-50 refresh the oldest evidence (r01/r02 block) so no
+    query's latest green ages past five rounds."""
     window = list(load_all_queries())[:DRIVER_WINDOW]
-    # Just-changed queries lead the window.
+    # The never-driver-checked r7 additions lead the window.
     assert window[:8] == [
-        "d136_merge_upsert",
-        "d139_ks_drift",
-        "d142_zorder_layout",
-        "d154_bounce_dwell",
-        "d156_revenue_concentration",
-        "d138_triangle_count",
-        "d141_constraint_audit",
-        "d117_bm25_retrieval",
+        "d157_url_curation",
+        "d158_boilerplate_lines",
+        "d159_curation_scorecard",
+        "a160_hll_intersection",
+        "d161_incremental_rollup",
+        "d162_streaming_psi_drift",
+        "d163_bloom_semijoin_reduction",
+        "d164_vocab_coverage_curve",
     ]
-    # The never-driver-checked D116-D156 block must all be inside.
+    # The stale r01/r02 refresh block must all be inside.
     for must in (
-        "d68_topk_bruteforce",
-        "d116_dup_ngram_spans",
-        "d126_transform_with_state",
-        "d131_incremental_dedup",
-        "a134_selfjoin_size",
-        "d150_fd_profiling",
-        "d153_time_travel",
-        "d155_growth_accounting",
-        "d58_cid_sequencer_stream",
-        "d72_decode_pipeline",
+        "d25_global_agg",
+        "a31_approx_count_distinct",
+        "d3_jdbc_scan",
+        "d5_jdbc_sink",
+        "d6_file_stream_checkpoint",
+        "d14_inner_equijoin",
+        "d21_asof_join",
+        "d84_bucketed_colocated_join",
+        "d87_salted_skew_join",
+        "q1_pricing_summary",
     ):
         assert must in window, f"{must} fell out of the driver window"
-    # Rows-only queries are allowed this round — they are the ONLY way
-    # those SURVEY rows get any driver evidence — but must not crowd
-    # out hash-checkable ones.
+    # Every window slot must be hash-checkable: the whole rows-only
+    # class was retired in r7 (all 211 queries carry oracles).
     reg = load_all_queries()
     rows_only = [n for n in window if reg[n].oracle is None]
-    assert len(rows_only) <= 8, f"too many rows-only slots: {rows_only}"
-    # Nothing already driver-green in r04-r06 may occupy a slot.
-    for stale in ("d46_math_functions", "d88_pii_redaction", "d97_pagerank"):
+    assert not rows_only, f"rows-only slots: {rows_only}"
+    # Nothing already driver-green in r06-r07 may occupy a slot.
+    for stale in ("d136_merge_upsert", "d116_dup_ngram_spans", "d97_pagerank"):
         assert stale not in window, f"{stale} wastes a window slot"
 
 
