@@ -170,6 +170,95 @@ def ddl_statements(dialect: str = "mysql") -> list[str]:
     return [render_create(t, dialect) for t in STAR_TABLES]
 
 
+def _stmt(table: str, names: list[str], exprs: dict[str, str] | None = None) -> str:
+    """INSERT with optional per-column parameter expressions (e.g.
+    ``INET_ATON(?)`` or literal defaults) — the shape MySQLdb's ``%s``
+    templates take with JDBC placeholders."""
+    collist = ", ".join(quote(n) for n in names)
+    params = ", ".join((exprs or {}).get(n, "?") for n in names)
+    return f"INSERT INTO {quote(table)} ({collist}) VALUES ({params})"
+
+
+def render_max_cid(table: str) -> str:
+    """The reference's per-table cid recovery scan
+    (charlotte/__init__.py:561): instantiated for each of the seven
+    snort tables it walks — including ``opt``, which exists in the
+    snorby schema but is never written by either engine."""
+    return f"SELECT MAX({quote('cid')}) AS {quote('last_cid')} FROM {quote(table)} WHERE {quote('sid')} = ?"
+
+
+# Every SQL template the reference sends to MySQL
+# (/root/reference/charlotte/__init__.py:473-608), rendered in this
+# dialect layer with JDBC '?' placeholders (MySQLdb's '%s' paramstyle
+# binds identically) and backtick quoting. Keyed template -> (reference
+# file:line, statement). The engine reaches the same end states
+# set-based (streaming/snorby.py upserts + the Spark-side INET_ATON
+# equivalent), so these templates are the CONFORMANCE surface: what a
+# row-at-a-time MySQL endpoint would be sent, golden-tested in
+# tests/test_mysql_dialect.py one vector per template.
+REFERENCE_TEMPLATES: dict[str, tuple[str, str]] = {
+    # -- alert fact inserts (charlotte._push_to_db) --
+    "event_insert": ("charlotte/__init__.py:473", _stmt(
+        "event", ["sid", "cid", "signature", "timestamp"])),
+    "iphdr_insert": ("charlotte/__init__.py:487-488", _stmt(
+        "iphdr",
+        ["sid", "cid", "ip_src", "ip_dst", "ip_ver", "ip_hlen", "ip_tos",
+         "ip_len", "ip_id", "ip_flags", "ip_off", "ip_ttl", "ip_proto",
+         "ip_csum"],
+        {"ip_src": "INET_ATON(?)", "ip_dst": "INET_ATON(?)"})),
+    "tcphdr_insert": ("charlotte/__init__.py:496-497", _stmt(
+        "tcphdr",
+        ["sid", "cid", "tcp_sport", "tcp_dport", "tcp_seq", "tcp_ack",
+         "tcp_off", "tcp_res", "tcp_flags", "tcp_win", "tcp_csum",
+         "tcp_urp"])),
+    "udphdr_insert": ("charlotte/__init__.py:507-508", _stmt(
+        "udphdr",
+        ["sid", "cid", "udp_sport", "udp_dport", "udp_len", "udp_csum"])),
+    "icmphdr_insert": ("charlotte/__init__.py:523-524", _stmt(
+        "icmphdr",
+        ["sid", "cid", "icmp_type", "icmp_code", "icmp_csum", "icmp_id",
+         "icmp_seq"])),
+    "data_insert": ("charlotte/__init__.py:502,512,527", _stmt(
+        "data", ["sid", "cid", "data_payload"])),
+    # -- sensor dim (get_sensor_id / get_next_alert_id) --
+    "sensor_select_sid": ("charlotte/__init__.py:545", (
+        "SELECT `sid` FROM `sensor` "
+        "WHERE (`hostname` = ?) AND (`interface` = 'charlotte')")),
+    "sensor_insert": ("charlotte/__init__.py:548-549", _stmt(
+        "sensor", ["hostname", "interface", "detail", "encoding"],
+        {"detail": "1", "encoding": "0"})),
+    "sensor_select_last_cid": ("charlotte/__init__.py:559", (
+        "SELECT `last_cid` FROM `sensor` WHERE `sid` = ?")),
+    "max_cid_scan": ("charlotte/__init__.py:561", render_max_cid("event")),
+    "sensor_update_last_cid": ("charlotte/__init__.py:565,570", (
+        "UPDATE `sensor` SET `last_cid` = ? WHERE `sid` = ?")),
+    # -- signature dim (get_signature_id) --
+    "signature_select": ("charlotte/__init__.py:580-582", (
+        "SELECT `sig_id` FROM `signature` "
+        "WHERE (`sig_sid` = ?) AND (`sig_gid` = ?) AND (`sig_rev` = ?) "
+        "AND (`sig_class_id` = ?) AND (`sig_priority` = ?) "
+        "AND (`sig_name` = ?)")),
+    "signature_insert": ("charlotte/__init__.py:585-586", _stmt(
+        "signature",
+        ["sig_sid", "sig_gid", "sig_rev", "sig_class_id", "sig_priority",
+         "sig_name"])),
+    # -- sig_class dim (update_db_classification, incl. the UPDATE
+    #    branch taken when a mapped name changes: SCD-1) --
+    "sig_class_select": ("charlotte/__init__.py:597", (
+        "SELECT `sig_class_name` FROM `sig_class` WHERE `sig_class_id` = ?")),
+    "sig_class_insert": ("charlotte/__init__.py:600-601", _stmt(
+        "sig_class", ["sig_class_id", "sig_class_name"])),
+    "sig_class_update": ("charlotte/__init__.py:605", (
+        "UPDATE `sig_class` SET `sig_class_name` = ? WHERE `sig_class_id` = ?")),
+}
+
+# The seven tables the reference's cid recovery walks (:561). ``opt``
+# is schema-only: present in snorby, written by neither engine.
+MAX_CID_TABLES: tuple[str, ...] = (
+    "data", "event", "icmphdr", "iphdr", "opt", "tcphdr", "udphdr",
+)
+
+
 # Known INET_ATON vectors (RFC dotted-quad → network-byte-order int);
 # tests assert functions/net.ip_str_to_long matches these, proving the
 # Spark-side conversion binds the same value the reference's
