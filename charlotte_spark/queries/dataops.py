@@ -831,3 +831,104 @@ def d150_fd_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fd")
     )
+
+
+# ---------------------------------------------------------------------------
+# D169: semi-structured field-inventory profiling (schema drift audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d169_json_field_inventory",
+    tags=("D169", "D50", "D150"),
+    oracle=f"""
+    WITH payloads AS (
+        SELECT doc_id,
+               '{{"id":' || CAST(doc_id AS VARCHAR)
+                   || ',"lang":"' || lang || '"'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ',"score":' || CAST(doc_id % 100 AS VARCHAR)
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ',"tag":"t' || CAST(doc_id % 7 AS VARCHAR) || '"'
+                           ELSE '' END
+                   || '}}' AS payload
+        FROM documents
+    ),
+    kv AS (
+        SELECT doc_id, payload, unnest(json_keys(payload)) AS field
+        FROM payloads
+    ),
+    vals AS (
+        SELECT field, doc_id,
+               json_extract_string(payload, '$.' || field) AS val
+        FROM kv
+    )
+    SELECT field,
+           CAST(count(*) AS BIGINT) AS n_present,
+           {sql_round("CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM payloads)", 6)}
+               AS presence_rate,
+           CAST(count(DISTINCT val) AS BIGINT) AS n_distinct_values,
+           CAST(sum(CASE WHEN regexp_matches(val, '^-?[0-9]+$')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric
+    FROM vals GROUP BY field ORDER BY field
+    """,
+)
+def d169_json_field_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-inventory profiling of a semi-structured payload column —
+    the schema-drift audit run over event/JSONL feeds before trusting
+    them: which fields exist, how often, with how many distinct values,
+    and whether their values are numeric. Payloads are synthesized as
+    identical JSON strings in both engines (optional fields keyed on
+    doc_id mods, so presence REALLY varies); each engine then discovers
+    fields with its own native JSON machinery — Spark explodes
+    ``from_json(payload, 'map<string,string>')``, DuckDB unnests
+    ``json_keys`` + dynamic-path ``json_extract_string`` — so a parsing
+    or key-discovery defect on either side breaks the hash.
+
+    Plan shape: parse + explode are scan-stage (one Generate off the
+    JSON map, no UDF); one field-keyed partial-agg shuffle over
+    O(fields) keys; the denominator is a 1-row broadcast. At 100 TB
+    this is the JSONL-feed profiling pass — map-only until a
+    fields-sized rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit('{"id":'),
+        F.col("doc_id").cast("string"),
+        F.lit(',"lang":"'),
+        F.col("lang"),
+        F.lit('"'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(',"score":'), (F.col("doc_id") % 100).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(',"tag":"t'), (F.col("doc_id") % 7).cast("string"), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    p = d.select("doc_id", payload.alias("payload"))
+    total = p.agg(F.count(F.lit(1)).alias("__total"))
+    kv = p.select(
+        "doc_id", F.explode(F.from_json("payload", "map<string,string>")).alias("field", "val")
+    )
+    return (
+        kv.groupBy("field")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.count_distinct("val").alias("n_distinct_values"),
+            F.sum(F.col("val").rlike("^-?[0-9]+$").cast("long")).alias("n_numeric"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "field",
+            "n_present",
+            pround(F.col("n_present").cast("double") / F.col("__total"), 6).alias(
+                "presence_rate"
+            ),
+            "n_distinct_values",
+            "n_numeric",
+        )
+        .orderBy("field")
+    )

@@ -991,3 +991,65 @@ def d131_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "corpus_id", pround("ej", 4).alias("est_jaccard"))
         .orderBy("new_id", "corpus_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D170: duplicate-cluster size distribution + dedup yield curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d170_dedup_yield",
+    tags=("D170", "D65", "D24"),
+    oracle=f"""
+    WITH corpus AS ({_SQL_CORPUS_EXACT}),
+    clusters AS (
+        SELECT md5(text) AS k,
+               count(*) AS copies,
+               len(string_split(any_value(text), ' ')) AS toks_per_copy
+        FROM corpus GROUP BY md5(text)
+    )
+    SELECT CAST(copies AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(copies) AS BIGINT) AS n_docs,
+           CAST(sum((copies - 1) * toks_per_copy) AS BIGINT) AS tokens_removed,
+           {sql_round("CAST(sum((copies - 1) * toks_per_copy) AS DOUBLE)"
+                      " / sum(copies * toks_per_copy)", 6)} AS removal_frac
+    FROM clusters GROUP BY copies ORDER BY cluster_size
+    """,
+)
+def d170_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield curve: the report a curation pipeline reads before
+    committing to keep-one-per-cluster — for each exact-dup cluster
+    size, how many clusters exist, how many documents they hold, and
+    how many tokens keep-one would remove (absolute and as a fraction
+    of that size class). D65 finds the clusters; this is the
+    planning-level accounting of what acting on them buys (every
+    copies=1 row shows the untouched mass, so the curve is the whole
+    corpus, not just the dup tail).
+
+    Token counts ride any_value(text) per cluster — sound because the
+    cluster key IS md5(text), so every member has identical text.
+
+    Plan shape: one md5-keyed partial-agg shuffle (the D65 shuffle)
+    building O(clusters) rows, then a rollup onto O(distinct sizes)
+    keys — the second aggregation input is already cluster-grained, so
+    at 100 TB the expensive shuffle happens once and everything after
+    is sketch-sized."""
+    c = _corpus_exact(spark, sf_dir)
+    clusters = c.groupBy(F.md5("text").alias("k")).agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.size(F.split(F.any_value("text"), " ")).alias("toks_per_copy"),
+    )
+    removed = F.sum((F.col("copies") - 1) * F.col("toks_per_copy"))
+    total = F.sum(F.col("copies") * F.col("toks_per_copy"))
+    return (
+        clusters.groupBy(F.col("copies").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("copies").alias("n_docs"),
+            removed.alias("tokens_removed"),
+            pround(removed.cast("double") / total, 6).alias("removal_frac"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -170,3 +170,82 @@ def d85_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_frame_md5 string, sampled_bytes bigint"
     )
     return d.mapInPandas(sample_frames, out_schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# D168: media-type sniffing from magic bytes
+# ---------------------------------------------------------------------------
+
+# (magic-hex-prefix, detected type) in sniff order — the public file
+# signatures; anything else is 'unknown'. Synthesis wraps each doc's
+# text bytes in one of these headers by doc_id % 4 (deterministic in
+# both engines), so the oracle knows the GROUND-TRUTH type without
+# parsing bytes: a sniffing bug (wrong magic constant, wrong prefix
+# length, wrong precedence) mis-buckets rows and fails the hash.
+_MAGIC = (
+    ("FFD8FFE0", "jpeg"),
+    ("89504E47", "png"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),
+)
+
+
+@query(
+    "d168_media_type_sniff",
+    tags=("D168", "D72"),
+    oracle=f"""
+    WITH synth AS (
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                               WHEN 2 THEN 'gif' ELSE 'riff' END AS true_type,
+               4 + octet_length(encode(text)) AS n_bytes
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT true_type AS detected_type,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+           CAST(max(n_bytes) AS BIGINT) AS max_bytes
+    FROM synth GROUP BY true_type ORDER BY detected_type
+    """,
+)
+def d168_media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-type sniffing over opaque binary columns: detect the
+    container format from the leading magic bytes (JPEG/PNG/GIF/RIFF
+    signatures) and roll up per-type file counts and byte volumes — the
+    first triage a multimodal ingest runs before routing blobs to
+    decoders. Blobs are synthesized by prepending a real 4-byte magic
+    header (chosen by doc_id % 4) to the text bytes; the Spark side
+    GENUINELY sniffs the binary (hex of the first 4 bytes against the
+    signature table) while the oracle derives the ground-truth type
+    from the synthesis rule — any sniffing defect mis-buckets and
+    breaks the hash (the D149 recompute-from-source proof shape).
+
+    Plan shape: header prepend, sniff, and byte length are one
+    codegen'd scan-stage projection over the binary column (unhex /
+    concat / substring / hex — zero UDF, zero Python); then one
+    partial-agg groupBy on the detected type (<= 5 keys). At 100 TB:
+    map-only until a 5-key rollup."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hdr = F.when(F.col("doc_id") % 4 == 0, F.lit(_MAGIC[0][0]))
+    for i, (hx, _) in enumerate(_MAGIC[1:], start=1):
+        cond = F.col("doc_id") % 4 == i
+        hdr = hdr.when(cond, F.lit(hx))
+    blob = F.concat(F.unhex(hdr), F.encode("text", "UTF-8"))
+    b = d.select(blob.alias("blob"))
+    magic = F.hex(F.substring("blob", 1, 4))
+    det = None
+    for hx, name in _MAGIC:
+        det = (F.when(magic == hx, name) if det is None else det.when(magic == hx, name))
+    det = det.otherwise("unknown")
+    return (
+        b.select(det.alias("detected_type"), F.length("blob").alias("n_bytes"))
+        .groupBy("detected_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .orderBy("detected_type")
+    )

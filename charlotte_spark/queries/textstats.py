@@ -580,3 +580,81 @@ def d164_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# D165: character-entropy quality scoring
+# ---------------------------------------------------------------------------
+
+# Below this many bits-of-e (nats) a document is flagged low-entropy —
+# the gibberish/repetition screen complementing the Gopher rules (D76):
+# natural text sits near the alphabet's entropy; keyboard mashing,
+# single-char floods and base64 walls sit far below or above it.
+_ENTROPY_FLOOR = 2.9
+
+
+@query(
+    "d165_char_entropy",
+    tags=("D165", "D69", "D76"),
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang,
+               list_aggregate(
+                   list_transform(
+                       list_sort(list_distinct(string_split(text, ''))),
+                       c -> -(CAST(len(text) - len(replace(text, c, '')) AS DOUBLE)
+                              / len(text))
+                            * ln(CAST(len(text) - len(replace(text, c, '')) AS DOUBLE)
+                                 / len(text))
+                   ), 'sum') AS h
+        FROM documents WHERE text IS NOT NULL AND len(text) > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {sql_round("avg(h)", 4)} AS avg_entropy,
+           {sql_round("min(h)", 4)} AS min_entropy,
+           {sql_round("max(h)", 4)} AS max_entropy,
+           CAST(sum(CASE WHEN h < {_ENTROPY_FLOOR} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_entropy
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def d165_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (nats), rolled up
+    per language — the cheap statistical quality screen run before any
+    model-based filter: repetition floods and single-token spam score
+    far below the alphabet entropy, encoded blobs score near log(64).
+    Flags docs under {floor} nats.
+
+    Plan shape: the per-doc entropy is ONE scan-stage expression — the
+    char-count per distinct char uses the length-after-replace trick
+    (O(alphabet × len) string ops, zero explode, zero UDF) and the fold
+    runs over the SORTED distinct-char array so the float sum order is
+    engine-identical (DuckDB's list_distinct is unordered). At 100 TB:
+    map-only until the per-lang rollup's one keyed shuffle — the same
+    cost class as D69's quality score."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    n = F.length("text").cast("double")
+    cnt = lambda c: (F.length("text") - F.length(F.replace(F.col("text"), c))).cast("double")  # noqa: E731
+    h = F.aggregate(
+        F.array_sort(F.array_distinct(F.split("text", ""))),
+        F.lit(0.0),
+        lambda acc, c: acc - (cnt(c) / n) * F.log(cnt(c) / n),
+    )
+    per_doc = d.select("lang", h.alias("h"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pround(F.avg("h"), 4).alias("avg_entropy"),
+            pround(F.min("h"), 4).alias("min_entropy"),
+            pround(F.max("h"), 4).alias("max_entropy"),
+            F.sum((F.col("h") < _ENTROPY_FLOOR).cast("long")).alias("n_low_entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
+d165_char_entropy.__doc__ = d165_char_entropy.__doc__.format(floor=_ENTROPY_FLOOR)

@@ -809,3 +809,188 @@ def d125_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# D166: benchmark containment ratio (graded decontamination)
+# ---------------------------------------------------------------------------
+
+# Overlap fractions above which a doc is reported contaminated /
+# suspect. D79 is the boolean any-collision screen; real pipelines
+# grade by the FRACTION of a doc's n-grams found in the benchmark
+# (e.g. the Llama/GPT-4 "dirty if > X% token overlap" rules).
+_CONTAIN_HI_BP = 5000  # >= 50% => contaminated
+_CONTAIN_LO_BP = 2000  # >= 20% => suspect
+
+
+@query(
+    "d166_containment_ratio",
+    tags=("D166", "D79", "D17"),
+    oracle=f"""
+    WITH bench_grams AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram
+        FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE source = 'src0')
+        WHERE len(toks) >= 5
+    ),
+    train_grams AS (
+        SELECT doc_id, lang, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+              WHERE source <> 'src0')
+        WHERE len(toks) >= 5
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.lang,
+               count(*) AS n_grams,
+               sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM train_grams t LEFT JOIN bench_grams b USING (gram)
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {sql_round("avg(CAST(n_hit AS DOUBLE) / n_grams)", 6)} AS avg_containment,
+           {sql_round("max(CAST(n_hit AS DOUBLE) / n_grams)", 6)} AS max_containment,
+           CAST(sum(CASE WHEN n_hit * 10000 >= n_grams * {_CONTAIN_HI_BP}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(sum(CASE WHEN n_hit * 10000 >= n_grams * {_CONTAIN_LO_BP}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def d166_containment_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark decontamination: per training document, the
+    FRACTION of its distinct 5-grams that appear in the benchmark set
+    (source 'src0'), rolled up per language with contaminated
+    (>= 50%) / suspect (>= 20%) counts. D79 answers "touches the
+    benchmark at all?"; this is the graded rule production pipelines
+    apply (drop above a high threshold, audit the band below it).
+    Threshold compares use integer basis points (n_hit*10000 >=
+    n_grams*bp) so no float boundary can split the engines.
+
+    Plan shape: distinct per-doc gram stream (one (doc,gram)-keyed
+    partial-agg shuffle), LEFT join against the broadcast benchmark
+    gram set (eval suites are MBs at any corpus scale — the probe side
+    never shuffles for the membership test), one doc-keyed count
+    rollup, one lang rollup. Never all-pairs, never a corpus
+    self-join."""
+    docs = fan_out(_docs(spark, sf_dir))
+    bench = (
+        explode_shingles(docs.filter(F.col("source") == "src0"), 5, keep=())
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = docs.filter(F.col("source") != "src0")
+    tg = explode_shingles(train, 5, keep=("doc_id", "lang")).distinct()
+    per_doc = (
+        tg.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    ratio = F.col("n_hit").cast("double") / F.col("n_grams")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pround(F.avg(ratio), 6).alias("avg_containment"),
+            pround(F.max(ratio), 6).alias("max_containment"),
+            F.sum(
+                (F.col("n_hit") * 10000 >= F.col("n_grams") * _CONTAIN_HI_BP).cast("long")
+            ).alias("n_contaminated"),
+            F.sum(
+                (F.col("n_hit") * 10000 >= F.col("n_grams") * _CONTAIN_LO_BP).cast("long")
+            ).alias("n_suspect"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D167: leakage-safe grouped train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d167_grouped_split",
+    tags=("D167", "D78"),
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               source || '/' || CAST(doc_id % 97 AS VARCHAR) AS grp
+        FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id, grp,
+               CASE WHEN ({sql_hash_long("grp", "gsplit|")} % 10) < 8 THEN 'train'
+                    WHEN ({sql_hash_long("grp", "gsplit|")} % 10) = 8 THEN 'val'
+                    ELSE 'test' END AS g_split,
+               CASE WHEN ({sql_hash_long("doc_id", "gsplit|")} % 10) < 8 THEN 'train'
+                    WHEN ({sql_hash_long("doc_id", "gsplit|")} % 10) = 8 THEN 'val'
+                    ELSE 'test' END AS r_split
+        FROM d
+    ),
+    by_group AS (
+        SELECT grp,
+               count(DISTINCT g_split) AS g_spread,
+               count(DISTINCT r_split) AS r_spread
+        FROM assigned GROUP BY grp
+    ),
+    splits AS (
+        SELECT g_split AS split, count(*) AS n_docs, count(DISTINCT grp) AS n_groups
+        FROM assigned GROUP BY g_split
+    )
+    SELECT s.split, CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.n_groups AS BIGINT) AS n_groups,
+           CAST(x.leaky_grouped AS BIGINT) AS leaky_grouped,
+           CAST(x.leaky_rowwise AS BIGINT) AS leaky_rowwise
+    FROM splits s CROSS JOIN (
+        SELECT sum(CASE WHEN g_spread > 1 THEN 1 ELSE 0 END) AS leaky_grouped,
+               sum(CASE WHEN r_spread > 1 THEN 1 ELSE 0 END) AS leaky_rowwise
+        FROM by_group
+    ) x
+    ORDER BY s.split
+    """,
+)
+def d167_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assignment hashes the GROUP
+    (site/domain — synthesized as source + a 97-way page-path mod, the
+    D157 construction), not the row, so near-duplicate documents from
+    one site can never straddle train and test (GroupShuffleSplit
+    semantics). The audit columns make the guarantee checkable: groups
+    spanning >1 split under group-hash (must be 0) vs under the naive
+    row-hash of D78 (positive — the leakage a row-wise split silently
+    accepts).
+
+    Plan shape: assignment is a scan-stage projection of the group key
+    (splits stay stable as the corpus grows, the D78 property lifted to
+    groups); the audit is one group-keyed partial-agg shuffle over
+    O(groups) rows plus a 1-row broadcast of the leak totals. At
+    100 TB: one keyed shuffle, no fact re-scan."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit("/"), (F.col("doc_id") % 97).cast("string")).alias("grp"),
+    )
+    gb = portable_hash_long("grp", "gsplit|") % 10
+    rb = portable_hash_long("doc_id", "gsplit|") % 10
+    assigned = d.select(
+        "doc_id",
+        "grp",
+        F.when(gb < 8, "train").when(gb == 8, "val").otherwise("test").alias("g_split"),
+        F.when(rb < 8, "train").when(rb == 8, "val").otherwise("test").alias("r_split"),
+    )
+    by_group = assigned.groupBy("grp").agg(
+        F.count_distinct("g_split").alias("g_spread"),
+        F.count_distinct("r_split").alias("r_spread"),
+    )
+    leaks = by_group.agg(
+        F.sum((F.col("g_spread") > 1).cast("long")).alias("leaky_grouped"),
+        F.sum((F.col("r_spread") > 1).cast("long")).alias("leaky_rowwise"),
+    )
+    splits = assigned.groupBy(F.col("g_split").alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("grp").alias("n_groups"),
+    )
+    return splits.crossJoin(F.broadcast(leaks)).orderBy("split")

@@ -773,3 +773,83 @@ def test_vocab_coverage_uses_checkpointed_prefix(audits):
     assert len([s for s in a["scans"] if "documents" in s["path"]]) <= 1
     assert "InMemoryTableScan" in a["plan"]
     assert not (a["sort_merge_join"] or a["nested_loop_join"])
+
+
+def test_char_entropy_is_map_only_scan_stage(audits):
+    """d165: the per-doc entropy is one codegen'd projection — no
+    Python eval node, no explode (Generate), no join; the only shuffle
+    is the per-lang rollup, which partial-aggregates."""
+    a = audits("d165_char_entropy")
+    assert len([s for s in a["scans"] if "documents" in s["path"]]) == 1
+    assert "BatchEvalPython" not in a["plan"] and "ArrowEvalPython" not in a["plan"]
+    assert "Generate" not in a["plan"]
+    assert a["partial_aggregate"]
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )
+
+
+def test_containment_ratio_broadcasts_benchmark(audits):
+    """d166: the benchmark gram set must be the BROADCAST side (eval
+    suites are MBs at any corpus scale); the train gram stream never
+    sort-merges against it, and both aggregations partial-agg."""
+    a = audits("d166_containment_ratio")
+    assert a["broadcast_hash_join"]
+    assert not (a["sort_merge_join"] or a["nested_loop_join"])
+    assert a["partial_aggregate"]
+
+
+def test_grouped_split_single_group_shuffle(audits):
+    """d167: assignment is a projection (no join to assign); the audit
+    shuffles once on the group key and the leak totals come back as a
+    1-row broadcast (BNLJ over a single-row build side is the bounded
+    crossJoin class)."""
+    a = audits("d167_grouped_split")
+    assert len([s for s in a["scans"] if "documents" in s["path"]]) <= 2
+    assert a["partial_aggregate"]
+    assert not a["sort_merge_join"]
+
+
+def test_media_sniff_scan_stage_no_udf(audits):
+    """d168: synthesis + sniff + length are scan-stage binary
+    expressions — no Python eval node, no Generate, no join; rollup
+    partial-aggregates onto <= 5 keys."""
+    a = audits("d168_media_type_sniff")
+    assert len([s for s in a["scans"] if "documents" in s["path"]]) == 1
+    assert "BatchEvalPython" not in a["plan"] and "ArrowEvalPython" not in a["plan"]
+    assert "Generate" not in a["plan"]
+    assert a["partial_aggregate"]
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )
+
+
+def test_json_inventory_explodes_map_no_udf(audits):
+    """d169: field discovery is a Generate off from_json's map — JVM
+    JSON parsing, no Python eval node; one field-keyed partial agg;
+    the denominator is a 1-row broadcast, never a re-aggregation of
+    the payload stream per field."""
+    a = audits("d169_json_field_inventory")
+    assert "BatchEvalPython" not in a["plan"] and "ArrowEvalPython" not in a["plan"]
+    assert "Generate" in a["plan"]
+    assert a["partial_aggregate"]
+    assert not a["sort_merge_join"]
+
+
+def test_dedup_yield_two_level_aggregation(audits):
+    """d170: the md5-keyed cluster build shuffles once; the size-class
+    rollup re-keys the O(clusters) output (cluster-grained input, no
+    second pass over the corpus), and there is no join at all."""
+    a = audits("d170_dedup_yield")
+    assert a["partial_aggregate"]
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )
+    # Catalyst folds the md5(text) alias into a grouping expression, so
+    # the cluster-build exchange keys on _groupingexpression, not `k`.
+    assert re.search(r"hashpartitioning\((k|_groupingexpression)#\d+", a["plan"]), (
+        "cluster build must shuffle on the md5 key"
+    )
+    assert re.search(r"hashpartitioning\(cluster_size#\d+|hashpartitioning\(copies#\d+", a["plan"]), (
+        "size-class rollup must re-key the cluster table"
+    )
