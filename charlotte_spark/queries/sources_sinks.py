@@ -549,3 +549,102 @@ def d149_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# D171: small-file compaction planner
+# ---------------------------------------------------------------------------
+
+# Fragmentation knobs: the corpus is written bucket-partitioned (a
+# portable hash bucket per doc) to produce a REAL small-files layout,
+# then the planner computes the per-partition rewrite a compactor
+# would run toward the target file size.
+_FRAG_BUCKETS = 16
+_COMPACT_TARGET_ROWS = 200
+
+
+@query(
+    "d171_compaction_planner",
+    tags=("D171", "D4", "D142"),
+    oracle=f"""
+    WITH layout AS (
+        SELECT lang,
+               CAST('0x' || substring(md5('frag|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % {_FRAG_BUCKETS} AS bucket
+        FROM documents
+    ),
+    per_lang AS (
+        SELECT lang,
+               count(DISTINCT bucket) AS n_files,
+               count(*) AS n_rows
+        FROM layout GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_files AS BIGINT) AS n_files,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           {sql_round("CAST(n_rows AS DOUBLE) / n_files", 4)} AS avg_rows_per_file,
+           CAST(CAST(ceil(CAST(n_rows AS DOUBLE) / {_COMPACT_TARGET_ROWS}) AS BIGINT)
+                AS BIGINT) AS planned_files,
+           CAST(greatest(n_files - CAST(ceil(CAST(n_rows AS DOUBLE)
+                / {_COMPACT_TARGET_ROWS}) AS BIGINT), 0) AS BIGINT) AS files_saved
+    FROM per_lang ORDER BY lang
+    """,
+)
+def d171_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: write the corpus hash-bucket
+    partitioned (a deliberately fragmented layout — the many-tiny-files
+    state every long-lived table drifts into), then compute per
+    partition what a compactor would do: actual file count and rows per
+    file from the FILES ON DISK (count of distinct input_file_name off
+    the re-read, the write→read path D101 proves), target-file plan
+    (ceil(rows / target)) and files saved by the rewrite. The oracle
+    recomputes the expected layout from the synthesis rule (the
+    D149/D168 recompute-from-source shape) — a writer defect (two files
+    in one partition dir, dropped rows) or a planner arithmetic bug
+    breaks the hash.
+
+    Plan shape: one bucketed write (repartition on the partition
+    columns so each (lang, bucket) is exactly one task = one file), one
+    re-read rolled up per (lang, file) then lang — file-count facts
+    come from filenames, not assumptions. At 100 TB this is the
+    metadata pass a table service runs nightly: O(files) rows after
+    the first fold, no data rewrite until the plan says so."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("frag|"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _FRAG_BUCKETS,
+    )
+    sig = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{TMP}/fragmented_{sig}"
+    (
+        d.repartition("lang", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("lang", "bucket")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "lang", F.input_file_name().alias("file")
+    )
+    per_lang = back.groupBy("lang").agg(
+        F.count_distinct("file").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    planned = F.ceil(F.col("n_rows").cast("double") / _COMPACT_TARGET_ROWS).cast("long")
+    return per_lang.select(
+        "lang",
+        "n_files",
+        "n_rows",
+        pround(F.col("n_rows").cast("double") / F.col("n_files"), 4).alias(
+            "avg_rows_per_file"
+        ),
+        planned.alias("planned_files"),
+        F.greatest(F.col("n_files") - planned, F.lit(0).cast("long")).alias(
+            "files_saved"
+        ),
+    ).orderBy("lang")

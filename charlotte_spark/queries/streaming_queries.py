@@ -808,3 +808,75 @@ def d162_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# A172: streaming windowed distinct-user sketch (HLL in the live path)
+# ---------------------------------------------------------------------------
+
+# Same tolerance as A83: lgConfigK=12 gives ~1.6% relative standard
+# error; the in-query flag asserts the estimate landed within 5% of
+# exact — the oracle pins the flag as the LITERAL 1 (the d58 pattern),
+# so a sketch drifting out of bound fails the driver hash.
+_HLL_WINDOW_TOL_BP = 500
+
+
+@query(
+    "a172_streaming_hll_window",
+    tags=("D172", "A83", "D53"),
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           CAST(1 AS INT) AS within_bound
+    FROM events
+    GROUP BY date_trunc('day', ts) ORDER BY win_start
+    """,
+)
+def a172_streaming_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed distinct-user counting via a mergeable HLL
+    sketch — the live-dashboard counterpart of A83: exact streaming
+    COUNT(DISTINCT) is disallowed (unbounded per-window state), so the
+    production shape is a per-window hll_sketch_agg whose state is a
+    fixed 2^lgK-register sketch per window, mergeable across
+    micro-batches and across days. The declared result carries the
+    EXACT per-window distinct (recomputed batch-side off the same
+    table, hash-checkable) plus the in-query flag that the streaming
+    sketch estimate landed within 5% of it; the oracle pins the flag
+    as the literal 1, so estimator drift fails the driver hash
+    (the d58/A83 invariant-pin discipline).
+
+    Plan shape: ONE streaming tumbling-window aggregate with
+    partial-agg sketch merge map-side; state = O(windows) sketches of
+    fixed size regardless of cardinality — the property that makes
+    this the 100 TB/day shape. The exact side is one batch
+    distinct-per-window scan; estimates join it as an O(windows)-row
+    broadcast."""
+    s = _replay(spark, sf_dir).filter(F.col("event_id") >= 0)
+    agg = s.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = run_to_memory(agg, "complete").select(
+        F.col("w.start").alias("win"),
+        F.hll_sketch_estimate("sk").alias("est"),
+    )
+    from ..catalog import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("win"))
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+    )
+    return (
+        exact.join(F.broadcast(est), "win")
+        .select(
+            F.date_format("win", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_users_exact",
+            (
+                F.abs(F.col("est") - F.col("n_users_exact")) * 10000
+                <= F.col("n_users_exact") * _HLL_WINDOW_TOL_BP
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+        .orderBy("win_start")
+    )

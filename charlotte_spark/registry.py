@@ -155,13 +155,15 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q9_product_type_profit",
     "q21_waiting_supplier",
     # ---- 50-slot window boundary ----
-    # Round-8 additions (D165-D170): next round's window candidates.
+    # Round-8 additions (D165-D172): next round's window candidates.
     "d165_char_entropy",
     "d166_containment_ratio",
     "d167_grouped_split",
     "d168_media_type_sniff",
     "d169_json_field_inventory",
     "d170_dedup_yield",
+    "d171_compaction_planner",
+    "a172_streaming_hll_window",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

@@ -853,3 +853,25 @@ def test_dedup_yield_two_level_aggregation(audits):
     assert re.search(r"hashpartitioning\(cluster_size#\d+|hashpartitioning\(copies#\d+", a["plan"]), (
         "size-class rollup must re-key the cluster table"
     )
+
+
+def test_compaction_planner_counts_real_files(audits):
+    """d171: file counts must come from input_file_name over the
+    re-read (expand + count-distinct), not from the synthesis rule;
+    one rollup keyed on lang; no join."""
+    a = audits("d171_compaction_planner")
+    assert "input_file_name" in a["plan"]
+    assert a["partial_aggregate"]
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )
+
+
+def test_streaming_hll_window_bounded_state_and_broadcast(audits):
+    """a172: the estimate side joins the exact side as a BROADCAST of
+    O(windows) rows; the exact side partial-aggregates; no sort-merge
+    join of the event log against itself."""
+    a = audits("a172_streaming_hll_window")
+    assert a["broadcast_hash_join"]
+    assert not (a["sort_merge_join"] or a["nested_loop_join"])
+    assert a["partial_aggregate"]
