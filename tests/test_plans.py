@@ -875,3 +875,17 @@ def test_streaming_hll_window_bounded_state_and_broadcast(audits):
     assert a["broadcast_hash_join"]
     assert not (a["sort_merge_join"] or a["nested_loop_join"])
     assert a["partial_aggregate"]
+
+
+def test_waterfill_solve_is_sketch_sized(audits):
+    """d173: the corpus is touched by exactly ONE documents scan (the
+    capacity rollup, partial-agg); the waterfilling solve runs on
+    bounded whole-table windows over O(sources) rows — no join, no
+    second scan, no Python."""
+    a = audits("d173_token_budget_waterfill")
+    assert len([s for s in a["scans"] if "documents" in s["path"]]) == 1
+    assert "BatchEvalPython" not in a["plan"] and "ArrowEvalPython" not in a["plan"]
+    assert a["partial_aggregate"]
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )

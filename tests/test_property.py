@@ -579,3 +579,50 @@ def test_incremental_rollup_cut_invariant(spark, duck, sf_dir, monkeypatch, cut)
     monkeypatch.setattr(rs, "_IVM_CUT", cut)
     q = load_all_queries()["d161_incremental_rollup"]
     assert_oracle_match(q.fn(spark, sf_dir), duck, q.oracle, f"d161_cut_{cut}")
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    caps=st.lists(st.integers(min_value=1, max_value=5000), min_size=2, max_size=25),
+    ws=st.lists(st.integers(min_value=1, max_value=9), min_size=25, max_size=25),
+    frac=st.integers(min_value=5, max_value=95),
+)
+def test_waterfill_predicate_equals_iterative(caps, ws, frac):
+    """D173's window formulation — saturated iff
+    cap·(W − W_k) < w·(B − C_k) on the capacity/weight ascending order,
+    computed with break-free running sums exactly as SQL windows do —
+    must agree with iterative (bisection) waterfilling: same saturated
+    set, and the resulting allocation spends the budget exactly."""
+    ws = ws[: len(caps)]
+    n = len(caps)
+    B = sum(caps) * frac // 100
+    if B <= 0:
+        return
+    # iterative ground truth
+    lo, hi = 0.0, max(c / w for c, w in zip(caps, ws)) + B
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if sum(min(c, mid * w) for c, w in zip(caps, ws)) < B:
+            lo = mid
+        else:
+            hi = mid
+    lam_true = (lo + hi) / 2
+    sat_true = [c < lam_true * w - 1e-9 for c, w in zip(caps, ws)]
+
+    # window formulation (break-free, as in the SQL/DataFrame plan)
+    order = sorted(range(n), key=lambda i: (caps[i] / ws[i], i))
+    W = sum(ws)
+    ck = wk = 0
+    sat = [False] * n
+    for i in order:
+        ck += caps[i]
+        wk += ws[i]
+        if W > wk and caps[i] * (W - wk) < ws[i] * (B - ck):
+            sat[i] = True
+    c_sat = sum(caps[i] for i in range(n) if sat[i])
+    w_sat = sum(ws[i] for i in range(n) if sat[i])
+    lam = (B - c_sat) / (W - w_sat)
+    alloc = sum(caps[i] if sat[i] else lam * ws[i] for i in range(n))
+
+    assert sat == sat_true
+    assert abs(alloc - B) < 1e-6 * max(B, 1)
