@@ -861,3 +861,97 @@ def d161_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 d161_incremental_rollup.__doc__ = d161_incremental_rollup.__doc__.format(cut=_IVM_CUT)
+
+
+# ---------------------------------------------------------------------------
+# D174: mergeable moment partials (incremental statistics maintenance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d174_mergeable_moments",
+    tags=("D174", "D161", "D93"),
+    oracle=f"""
+    WITH m AS (
+        SELECT o_orderstatus AS s,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc,
+               sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+                   * CAST(round(o_totalprice * 100) AS BIGINT)) AS sq
+        FROM orders GROUP BY s
+    )
+    SELECT s,
+           CAST(n AS BIGINT) AS n_rows,
+           {sql_round("CAST(sc AS DOUBLE) / n / 100.0", 4)} AS mean_price,
+           {sql_round(
+               "sqrt((CAST(sq AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / n) / 100.0",
+               4)} AS stddev_price,
+           md5(CAST(n AS VARCHAR) || ':' || CAST(sc AS VARCHAR)
+               || ':' || CAST(sq AS VARCHAR)) AS partials_md5
+    FROM m ORDER BY s
+    """,
+)
+def d174_mergeable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental statistics maintenance: per-group moment PARTIALS
+    (count, Σx, Σx²) computed separately over the base (orders before
+    {cut}) and the delta (at/after), then MERGED by addition — the
+    Chan-et-al parallel-moments identity that lets a profiling service
+    refresh mean/stddev without re-scanning history (D161's IVM story
+    lifted from sums to second moments, feeding D93's profile). The
+    partials are EXACT integers — prices convert to cents per row, and
+    Σx² accumulates in 128-bit (decimal(38,0) / HUGEINT; cents² at
+    corpus row counts overflows int64) — so the merged partials are
+    bit-identical in any aggregation order and the partials_md5 digest
+    pins every component. The oracle computes the same moments over
+    the FULL table and never sees the merge (the D136/D161 proof):
+    double-counting, a dropped side, or 64-bit Σx² overflow all
+    hash-mismatch. mean/stddev derive from the exact integers in
+    IEEE doubles, identical in both engines.
+
+    Plan shape: two partial-agg scans (base is a stored aggregate in
+    production — only the delta is fact-sized per refresh) + one merge
+    groupBy over O(groups) partial rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit(_IVM_CUT).cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderstatus").alias("s")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("sc"),
+            F.sum(cents.cast("decimal(19,0)") * cents).alias("sq"),
+        )
+
+    base = partials(o.filter(F.col("o_orderdate") < cut))
+    delta = partials(o.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("s")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sc").alias("sc"),
+            F.sum("sq").alias("sq"),
+        )
+    )
+    scd = F.col("sc").cast("double")
+    sqd = F.col("sq").cast("double")
+    n = F.col("n")
+    return merged.select(
+        "s",
+        F.col("n").alias("n_rows"),
+        pround(scd / n / 100.0, 4).alias("mean_price"),
+        pround(F.sqrt((sqd - scd * F.col("sc") / n) / n) / 100.0, 4).alias(
+            "stddev_price"
+        ),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("n").cast("string"),
+                F.col("sc").cast("string"),
+                F.col("sq").cast("decimal(38,0)").cast("string"),
+            )
+        ).alias("partials_md5"),
+    ).orderBy("s")
+
+
+d174_mergeable_moments.__doc__ = d174_mergeable_moments.__doc__.format(cut=_IVM_CUT)

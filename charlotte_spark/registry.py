@@ -165,6 +165,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d171_compaction_planner",
     "a172_streaming_hll_window",
     "d173_token_budget_waterfill",
+    "d174_mergeable_moments",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

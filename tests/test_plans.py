@@ -471,7 +471,9 @@ def test_triangle_count_broadcasts_and_never_cartesian(audits):
         for line in src.splitlines()
         if "F.broadcast(" in line.split("#")[0]
     ]
-    assert all("du" in h or "dv" in h for h in hints), (
+    # Allowed hints: the O(V) degree tables (du/dv) and d169's 1-row
+    # denominator (total) — never the O(E) edge list or a fact side.
+    assert all("du" in h or "dv" in h or "total" in h for h in hints), (
         f"fact-side broadcast hint crept back into dataops.py: {hints}"
     )
 
@@ -885,6 +887,23 @@ def test_waterfill_solve_is_sketch_sized(audits):
     a = audits("d173_token_budget_waterfill")
     assert len([s for s in a["scans"] if "documents" in s["path"]]) == 1
     assert "BatchEvalPython" not in a["plan"] and "ArrowEvalPython" not in a["plan"]
+    assert a["partial_aggregate"]
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )
+
+
+def test_mergeable_moments_two_scans_one_merge(audits):
+    """d174: base + delta partials are two filtered orders scans (in
+    production the base is a stored aggregate); the merge is one
+    keyed groupBy over O(groups) partial rows; no join; every
+    aggregate partial-aggregates."""
+    a = audits("d174_mergeable_moments")
+    od = [s for s in a["scans"] if "orders" in s["path"]]
+    assert len(od) == 2
+    assert all(s["pushed_filters"] for s in od), (
+        "the date cut must push into both scans"
+    )
     assert a["partial_aggregate"]
     assert not (
         a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
