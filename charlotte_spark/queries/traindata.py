@@ -919,7 +919,7 @@ def d166_containment_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH d AS (
         SELECT doc_id,
-               source || '/' || CAST(doc_id % 97 AS VARCHAR) AS grp
+               source || '/' || CAST(doc_id % 7 AS VARCHAR) AS grp
         FROM documents
     ),
     assigned AS (
@@ -956,12 +956,14 @@ def d166_containment_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d167_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: assignment hashes the GROUP
-    (site/domain — synthesized as source + a 97-way page-path mod, the
-    D157 construction), not the row, so near-duplicate documents from
-    one site can never straddle train and test (GroupShuffleSplit
-    semantics). The audit columns make the guarantee checkable: groups
-    spanning >1 split under group-hash (must be 0) vs under the naive
-    row-hash of D78 (positive — the leakage a row-wise split silently
+    (site/domain — synthesized as source + a 7-way page-path mod, sized
+    so groups hold several documents at every SF: the leakage audit is
+    vacuous over singleton groups), not the row, so near-duplicate
+    documents from one site can never straddle train and test
+    (GroupShuffleSplit semantics). The audit columns make the guarantee
+    checkable AND non-vacuous: groups spanning >1 split under
+    group-hash (must be 0) vs under the naive row-hash of D78
+    (positive at every SF — the leakage a row-wise split silently
     accepts).
 
     Plan shape: assignment is a scan-stage projection of the group key
@@ -971,7 +973,7 @@ def d167_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: one keyed shuffle, no fact re-scan."""
     d = _docs(spark, sf_dir).select(
         "doc_id",
-        F.concat(F.col("source"), F.lit("/"), (F.col("doc_id") % 97).cast("string")).alias("grp"),
+        F.concat(F.col("source"), F.lit("/"), (F.col("doc_id") % 7).cast("string")).alias("grp"),
     )
     gb = portable_hash_long("grp", "gsplit|") % 10
     rb = portable_hash_long("doc_id", "gsplit|") % 10
