@@ -1053,3 +1053,154 @@ def d170_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# D176: minhash estimator calibration (est vs exact Jaccard per bucket)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d176_minhash_calibration",
+    tags=("D176", "A66"),
+    oracle=f"""
+    WITH corpus AS ({_SQL_CORPUS_NEAR}),
+    sig AS ({_sql_minhash_sig(_SQL_CORPUS_NEAR)}),
+    bands AS (
+        SELECT doc_id,
+               unnest([{", ".join(str(i) for i in range(N_BANDS))}]) AS band_idx,
+               unnest([{", ".join(
+                   f"md5(CAST(mh{2 * i} AS VARCHAR) || '_' || CAST(mh{2 * i + 1} AS VARCHAR))"
+                   for i in range(N_BANDS)
+               )}]) AS bhash
+        FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT a_id, b_id,
+               ({" + ".join(
+                   f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END"
+                   for j in range(N_HASHES)
+               )}) AS matches
+        FROM pairs JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+        WHERE len(toks) >= 3
+    ),
+    joined AS (
+        SELECT s.matches,
+               s.matches / {float(N_HASHES)} AS est,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))) AS exact
+        FROM scored s JOIN sh a ON a.doc_id = s.a_id JOIN sh b ON b.doc_id = s.b_id
+    )
+    SELECT CAST(floor(matches * 10.0 / {N_HASHES}) AS BIGINT) AS est_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {sql_round("avg(est)", 4)} AS mean_est,
+           {sql_round("avg(exact)", 4)} AS mean_exact,
+           {sql_round("avg(abs(est - exact))", 4)} AS mean_abs_err,
+           {sql_round("min(exact)", 4)} AS min_exact,
+           {sql_round("max(exact)", 4)} AS max_exact
+    FROM joined GROUP BY est_bucket ORDER BY est_bucket
+    """,
+)
+def d176_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair,
+    compute BOTH the signature-estimated Jaccard and the exact
+    shingle-set Jaccard, then report the estimator's behavior per
+    estimate decile — pair counts, mean est vs mean exact, mean
+    absolute error, exact range. This is the measure-don't-guess
+    artifact behind a66's 0.49 threshold: it shows where the
+    12-hash estimator is trustworthy and how much false-positive mass
+    the banding admits below the cut, BEFORE committing a corpus-wide
+    dedup to it. The decile key is integer arithmetic
+    (floor(matches·10/12)) — no float boundary.
+
+    Plan shape: the signature table materializes once and feeds the
+    band explode + both sides of the estimate join (the a66 shape);
+    the exact side joins the once-materialized shingle table twice by
+    doc id — every join is keyed, candidates come only from band
+    buckets (never all-pairs), and the rollup is O(candidates) into
+    <= 11 buckets. At 100 TB the calibration runs on a SAMPLE of
+    candidates (hash-filter on the pair key) — the report is
+    distribution-level, so a 1% sample gives the same curve; sampling
+    hook documented here rather than forced at test SF."""
+    sig = reliable_checkpoint(_minhash_sig(_corpus_near(spark, sf_dir)).coalesce(8))
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.md5(
+                F.concat(
+                    F.col(f"mh{2 * i}").cast("string"),
+                    F.lit("_"),
+                    F.col(f"mh{2 * i + 1}").cast("string"),
+                )
+            ).alias("bhash"),
+        )
+        for i in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.bhash").alias("bhash")
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("a_id"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_HASHES)])
+    sb = sig.select(F.col("doc_id").alias("b_id"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(N_HASHES)])
+    matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(N_HASHES)
+    )
+    scored = pairs.join(sa, "a_id").join(sb, "b_id").select(
+        "a_id", "b_id", matches.alias("matches")
+    )
+    sh = reliable_checkpoint(
+        with_shingles(_corpus_near(spark, sf_dir), 3)
+        .select("doc_id", "shingles")
+        .coalesce(8)
+    )
+    ja = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
+    jb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    joined = (
+        scored.join(ja, "a_id")
+        .join(jb, "b_id")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select(
+            "matches",
+            (F.col("matches") / float(N_HASHES)).alias("est"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
+            ).alias("exact"),
+        )
+    )
+    return (
+        joined.groupBy(
+            F.floor(F.col("matches") * 10.0 / N_HASHES).cast("long").alias("est_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            pround(F.avg("est"), 4).alias("mean_est"),
+            pround(F.avg("exact"), 4).alias("mean_exact"),
+            pround(F.avg(F.abs(F.col("est") - F.col("exact"))), 4).alias("mean_abs_err"),
+            pround(F.min("exact"), 4).alias("min_exact"),
+            pround(F.max("exact"), 4).alias("max_exact"),
+        )
+        .orderBy("est_bucket")
+    )

@@ -756,3 +756,68 @@ def d118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(block_dedup, "dropped_id long, label int, kept_id long")
         .orderBy("dropped_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D175: per-dimension embedding profile (feature-scaling statistics)
+# ---------------------------------------------------------------------------
+
+# A dimension is degenerate when its spread collapses — dead ReLU
+# columns / constant features that waste index bits and distort cosine.
+_DIM_STD_FLOOR = 0.05
+
+
+@query(
+    "d175_embedding_dim_profile",
+    tags=("D175", "D75", "D93"),
+    oracle=f"""
+    WITH ex AS (
+        SELECT unnest(embedding) AS val,
+               unnest(range(1, len(embedding) + 1)) AS p
+        FROM embeddings
+    )
+    SELECT CAST(p - 1 AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_round("avg(CAST(val AS DOUBLE))", 4)} AS mean,
+           {sql_round("stddev_pop(CAST(val AS DOUBLE))", 4)} AS std,
+           {sql_round("min(CAST(val AS DOUBLE))", 6)} AS vmin,
+           {sql_round("max(CAST(val AS DOUBLE))", 6)} AS vmax,
+           CAST(CASE WHEN stddev_pop(CAST(val AS DOUBLE)) < {_DIM_STD_FLOOR}
+                THEN 1 ELSE 0 END AS INT) AS degenerate
+    FROM ex GROUP BY p ORDER BY dim
+    """,
+)
+def d175_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean / population stddev /
+    range / degenerate flag) — the feature-scaling profile computed
+    before whitening (D102's PCA input), int8 quantization (D75's
+    scale factors), or index building (dead dimensions waste IVF/LSH
+    bits). Flags dimensions whose spread collapses below {floor}.
+
+    Plan shape: ONE posexplode of the vector column (O(rows × dim)
+    stream, map-side) into a dim-keyed partial aggregate — dim keys
+    (64 here, a few thousand at most in practice) mean the reduce side
+    is trivially balanced and the result is O(dim) rows regardless of
+    corpus size. The moments are single-pass mergeable aggregates
+    (the D93 family) — no second scan, no driver loop."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("dim", "val")).select(
+        "dim", F.col("val").cast("double").alias("val")
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.avg("val"), 4).alias("mean"),
+            pround(F.stddev_pop("val"), 4).alias("std"),
+            pround(F.min("val"), 6).alias("vmin"),
+            pround(F.max("val"), 6).alias("vmax"),
+            (F.stddev_pop("val") < _DIM_STD_FLOOR).cast("int").alias("degenerate"),
+        )
+        .orderBy("dim")
+    )
+
+
+d175_embedding_dim_profile.__doc__ = d175_embedding_dim_profile.__doc__.format(
+    floor=_DIM_STD_FLOOR
+)

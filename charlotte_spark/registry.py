@@ -166,6 +166,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "a172_streaming_hll_window",
     "d173_token_budget_waterfill",
     "d174_mergeable_moments",
+    "d175_embedding_dim_profile",
+    "d176_minhash_calibration",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

@@ -908,3 +908,31 @@ def test_mergeable_moments_two_scans_one_merge(audits):
     assert not (
         a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
     )
+
+
+def test_embedding_dim_profile_single_explode(audits):
+    """d175: one posexplode (Generate) of the vector column into a
+    dim-keyed partial aggregate — no join, no Python, one embeddings
+    scan pruned to the vector column."""
+    a = audits("d175_embedding_dim_profile")
+    em = [s for s in a["scans"] if "embeddings" in s["path"]]
+    assert len(em) == 1 and em[0]["read_columns"] == ["embedding"], (
+        "scan must prune to the vector column"
+    )
+    assert "Generate" in a["plan"]
+    assert "BatchEvalPython" not in a["plan"] and "ArrowEvalPython" not in a["plan"]
+    assert a["partial_aggregate"]
+    assert not (
+        a["sort_merge_join"] or a["broadcast_hash_join"] or a["nested_loop_join"]
+    )
+
+
+def test_minhash_calibration_never_all_pairs(audits):
+    """d176: candidates come only from the band-bucket equi-join —
+    no CartesianProduct anywhere; the signature/shingle tables are
+    checkpointed (ExistingRDD) so shingling runs once; the rollup
+    partial-aggregates into <= 11 buckets."""
+    a = audits("d176_minhash_calibration")
+    assert "CartesianProduct" not in a["plan"]
+    assert "ExistingRDD" in a["plan"], "sig/shingle tables must be checkpointed"
+    assert a["partial_aggregate"]
