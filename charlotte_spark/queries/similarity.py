@@ -821,3 +821,90 @@ def d175_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 d175_embedding_dim_profile.__doc__ = d175_embedding_dim_profile.__doc__.format(
     floor=_DIM_STD_FLOOR
 )
+
+
+# ---------------------------------------------------------------------------
+# D178: per-label centroid dispersion (cluster cohesion audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d178_centroid_dispersion",
+    tags=("D178", "D86", "D67"),
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label,
+               unnest(embedding) AS val,
+               unnest(range(1, len(embedding) + 1)) AS dim
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, dim, avg(CAST(val AS DOUBLE)) AS m
+        FROM ex GROUP BY label, dim
+    ),
+    pv AS (
+        SELECT e.vec_id, e.label,
+               sum(CAST(e.val AS DOUBLE) * c.m) AS dot,
+               sum(CAST(e.val AS DOUBLE) * CAST(e.val AS DOUBLE)) AS v2
+        FROM ex e JOIN cent c ON c.label = e.label AND c.dim = e.dim
+        GROUP BY e.vec_id, e.label
+    ),
+    cn AS (SELECT label, sum(m * m) AS c2 FROM cent GROUP BY label)
+    SELECT pv.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           {sql_round("avg(dot / (sqrt(v2) * sqrt(c2)))", 4)} AS mean_cos,
+           {sql_round("min(dot / (sqrt(v2) * sqrt(c2)))", 4)} AS min_cos
+    FROM pv JOIN cn USING (label)
+    GROUP BY pv.label ORDER BY pv.label
+    """,
+)
+def d178_centroid_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cohesion: every vector's cosine to its
+    label's mean vector, rolled up to mean/min per label — the cluster
+    quality audit run after k-means (D86) or before trusting labels as
+    SemDeDup blocks (D118): a low mean says the label is diffuse, a
+    low min flags outliers/mislabels.
+
+    Fully distributed — no vector ever reaches the driver and no array
+    is materialized whole: vectors stay as an exploded (vec_id, label,
+    dim, val) stream; centroids are a (label, dim)-keyed partial
+    aggregate (O(labels × dim) rows — always broadcastable, hinted);
+    the per-vector dot/norm fold is one keyed rejoin + groupBy on the
+    vec id; centroid norms join back as an O(labels)-row broadcast.
+    Contrast with D86, which broadcasts literal centroids from the
+    driver: here the centroid TABLE is data, so the same shape scales
+    to millions of labels."""
+    from ..session import reliable_checkpoint
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "val")
+    ).select("vec_id", "label", "dim", F.col("val").cast("double").alias("val"))
+    # Materialize the centroid table once: it feeds both the rejoin and
+    # the norm fold, and an unmaterialized lineage would re-scan the
+    # corpus per consumer (3 scans -> 2; the remaining two passes are
+    # the aggregate build and the rejoin, which is the floor without
+    # materializing the exploded corpus itself).
+    cent = reliable_checkpoint(
+        ex.groupBy("label", "dim").agg(F.avg("val").alias("m")).coalesce(8)
+    )
+    pv = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("val") * F.col("m")).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("v2"),
+        )
+    )
+    cn = cent.groupBy("label").agg(F.sum(F.col("m") * F.col("m")).alias("c2"))
+    cos = F.col("dot") / (F.sqrt("v2") * F.sqrt("c2"))
+    return (
+        pv.join(F.broadcast(cn), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            pround(F.avg(cos), 4).alias("mean_cos"),
+            pround(F.min(cos), 4).alias("min_cos"),
+        )
+        .orderBy("label")
+    )

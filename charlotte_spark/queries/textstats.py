@@ -658,3 +658,64 @@ def d165_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 d165_char_entropy.__doc__ = d165_char_entropy.__doc__.format(floor=_ENTROPY_FLOOR)
+
+
+# ---------------------------------------------------------------------------
+# D177: Zipf fit of the vocabulary (rank-frequency power law)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d177_zipf_fit",
+    tags=("D177", "D164", "D114"),
+    oracle=f"""
+    WITH tf AS (
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM tf
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS total_tokens,
+           {sql_round("regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rk AS DOUBLE)))", 4)}
+               AS zipf_slope,
+           {sql_round("regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rk AS DOUBLE)))", 4)}
+               AS zipf_intercept,
+           {sql_round("regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rk AS DOUBLE)))", 4)}
+               AS r2
+    FROM ranked
+    """,
+)
+def d177_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit of the corpus vocabulary: OLS slope /
+    intercept / R² of ln(frequency) on ln(rank) — the power-law
+    diagnostic run next to D164's coverage curve when sizing a
+    tokenizer or sanity-checking a synthetic corpus (natural language
+    sits near slope −1; a flat slope betrays templated or mixed text).
+
+    Plan shape: the type-frequency table partial-aggregates off one
+    explode; the GLOBAL frequency rank rides the distributed prefix
+    operator (D35/D164 — no single-task rank window at million-type
+    vocabularies); the fit itself is a single-pass co-moment aggregate
+    (regr_* family, D114) over the O(types) ranked rows. Engine
+    parity: ln over identical integer counts/ranks is IEEE-identical;
+    the co-moment sums round at 4 decimals (the D114 discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("oc", -F.col("c"))
+    )
+    ranked = ordered_prefix(tf, ["oc", "tok"], row_number="rk")
+    lnc = F.log(F.col("c").cast("double"))
+    lnr = F.log(F.col("rk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("total_tokens"),
+        pround(F.regr_slope(lnc, lnr), 4).alias("zipf_slope"),
+        pround(F.regr_intercept(lnc, lnr), 4).alias("zipf_intercept"),
+        pround(F.regr_r2(lnc, lnr), 4).alias("r2"),
+    )

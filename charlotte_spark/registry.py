@@ -168,6 +168,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d174_mergeable_moments",
     "d175_embedding_dim_profile",
     "d176_minhash_calibration",
+    "d177_zipf_fit",
+    "d178_centroid_dispersion",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

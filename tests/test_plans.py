@@ -936,3 +936,26 @@ def test_minhash_calibration_never_all_pairs(audits):
     assert "CartesianProduct" not in a["plan"]
     assert "ExistingRDD" in a["plan"], "sig/shingle tables must be checkpointed"
     assert a["partial_aggregate"]
+
+
+def test_zipf_fit_uses_distributed_rank(audits):
+    """d177: the global frequency rank must ride the prefix operator
+    (persisted input = InMemoryTableScan; its one broadcast offset
+    join), and the co-moment fit partial-aggregates — never a
+    single-task global rank window over the type table."""
+    a = audits("d177_zipf_fit")
+    assert "InMemoryTableScan" in a["plan"]
+    assert a["partial_aggregate"]
+    assert not (a["sort_merge_join"] or a["nested_loop_join"])
+
+
+def test_centroid_dispersion_is_keyed_joins_only(audits):
+    """d178: centroids and centroid norms join back as BROADCASTS of
+    bounded tables (labels × dim / labels rows); the vector stream is
+    exploded once (Generate), never collected, and every aggregate
+    partial-aggregates."""
+    a = audits("d178_centroid_dispersion")
+    assert a["broadcast_hash_join"]
+    assert "Generate" in a["plan"]
+    assert a["partial_aggregate"]
+    assert not (a["nested_loop_join"] or a["sort_merge_join"])
