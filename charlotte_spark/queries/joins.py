@@ -674,3 +674,107 @@ def d163_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.sum("bf") - F.sum("ex")).alias("n_false_pass"),
         pround(1.0 - F.sum("bf") / F.count(F.lit(1)), 6).alias("pruned_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D179: longest-prefix-match enrichment (overlapping blocks, most
+# specific wins — the GeoIP / routing-table semantics D130 doesn't have)
+# ---------------------------------------------------------------------------
+
+# (block, prefix_len, lo, hi) — DELIBERATELY nested: corp contains a dc
+# range which contains a rack range; an address inside all three must
+# label as the rack (longest prefix), which plain containment (D130)
+# cannot express. Ranges are sized so every level matches events at
+# every SF (1,000 events at sf0.001).
+_LPM_BLOCKS = (
+    ("corp/4", 4, 0x00000000, 0x3FFFFFFF),
+    ("corp-dc/8", 8, 0x10000000, 0x17FFFFFF),
+    ("corp-dc-rack/12", 12, 0x12000000, 0x15FFFFFF),
+    ("partner/4", 4, 0x80000000, 0xBFFFFFFF),
+    ("partner-vpn/8", 8, 0x90000000, 0x97FFFFFF),
+)
+
+
+@query(
+    "d179_longest_prefix_match",
+    tags=("D179", "D130", "D20"),
+    oracle=f"""
+    WITH evt AS (
+        SELECT event_id, user_id,
+               CAST('0x' || substring(md5('ip|' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS ip
+        FROM events
+    ),
+    dim(block, plen, lo, hi) AS (
+        VALUES {", ".join(f"('{n}', {p}, {lo}, {hi})" for n, p, lo, hi in _LPM_BLOCKS)}
+    ),
+    win AS (
+        SELECT e.event_id, e.user_id,
+               max(CASE WHEN d.block IS NULL THEN NULL
+                        ELSE lpad(CAST(d.plen AS VARCHAR), 2, '0') || '|' || d.block
+                   END) AS k
+        FROM evt e LEFT JOIN dim d ON e.ip BETWEEN d.lo AND d.hi
+        GROUP BY e.event_id, e.user_id
+    )
+    SELECT CASE WHEN k IS NULL THEN 'unassigned'
+                ELSE split_part(k, '|', 2) END AS block,
+           CAST(coalesce(max(CAST(substring(k, 1, 2) AS INT)), -1) AS INT)
+               AS prefix_len,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM win
+    GROUP BY CASE WHEN k IS NULL THEN 'unassigned' ELSE split_part(k, '|', 2) END
+    ORDER BY block
+    """,
+)
+def d179_longest_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match enrichment: the block dimension OVERLAPS by
+    design (rack ⊂ dc ⊂ corp) and each address labels as its MOST
+    SPECIFIC containing block — routing-table / GeoIP semantics, which
+    D130's plain containment cannot express (a BETWEEN join would emit
+    one row per enclosing block). The winner is max over the padded
+    'prefix_len|block' key, so ties (impossible in a well-formed
+    hierarchy, but defensive) break lexicographically in both engines.
+
+    Plan shape: candidates come from the D130 broadcast containment
+    join (bounded O(blocks) build side, event log never shuffles to
+    match); the winner fold is one event-keyed groupBy over the
+    candidate stream (<= nesting-depth rows per event), then the block
+    rollup. At 100 TB with >10^4 blocks the production swap is D130's
+    interval index (prefix bucketing -> equi-join) feeding the same
+    winner fold."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", portable_hash_long("event_id", "ip|").alias("ip")
+    )
+    dim = local_df(
+        spark,
+        [(n, p, lo, hi) for n, p, lo, hi in _LPM_BLOCKS],
+        "block string, plen int, lo long, hi long",
+    )
+    k = F.when(
+        F.col("block").isNotNull(),
+        F.concat(F.lpad(F.col("plen").cast("string"), 2, "0"), F.lit("|"), F.col("block")),
+    )
+    win = (
+        e.join(
+            F.broadcast(dim),
+            (F.col("ip") >= F.col("lo")) & (F.col("ip") <= F.col("hi")),
+            "left",
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.max(k).alias("k"))
+    )
+    return (
+        win.groupBy(
+            F.coalesce(F.substring_index("k", "|", -1), F.lit("unassigned")).alias(
+                "block"
+            )
+        )
+        .agg(
+            F.coalesce(
+                F.max(F.substring("k", 1, 2).cast("int")), F.lit(-1)
+            ).cast("int").alias("prefix_len"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("block")
+    )

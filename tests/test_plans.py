@@ -959,3 +959,13 @@ def test_centroid_dispersion_is_keyed_joins_only(audits):
     assert "Generate" in a["plan"]
     assert a["partial_aggregate"]
     assert not (a["nested_loop_join"] or a["sort_merge_join"])
+
+
+def test_lpm_bounded_candidates_and_winner_fold(audits):
+    """d179: candidates come from a BNLJ whose build side is the
+    bounded literal block dim (the D130 budget class) — never a
+    CartesianProduct; the winner fold and rollup partial-aggregate."""
+    a = audits("d179_longest_prefix_match")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["partial_aggregate"]
+    assert not a["sort_merge_join"]
