@@ -648,3 +648,72 @@ def d171_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "files_saved"
         ),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# D180: XML round-trip (Spark 4 native XML source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d180_xml_roundtrip",
+    tags=("D180", "D2", "D128"),
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS corpus_md5
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def d180_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip on Spark 4's NATIVE xml source (spark-xml was
+    merged into core in 4.0 — no external package): write the corpus as
+    lang-partitioned XML with an explicit rowTag, re-read it WITH the
+    schema (the D128 no-inference discipline: inference costs an extra
+    full scan and type-drifts on empty partitions), and prove content
+    preservation — including the writer's entity escaping round-trip —
+    with the same order-independent per-doc digest as D99/D128. The
+    oracle recomputes the digest from the source table and never sees
+    the XML (the D136 proof): a writer escaping bug, a reader rowTag
+    miss, or a dropped partition all hash-mismatch.
+
+    Scale: XML is the arrival format of several public corpora
+    (Wikipedia dumps, PubMed); like JSONL this operator exists for
+    INGEST — the row-level reader parallelizes per file and partition
+    pruning on lang works as parquet's, but the conversion to columnar
+    (D101) is the first thing the pipeline does."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{TMP}/documents_xml_{sig}"
+    (
+        docs.write.mode("overwrite")
+        .partitionBy("lang")
+        .option("rowTag", "doc")
+        .format("xml")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, text string, source string, n_chars long, lang string")
+        .load(out)
+    )
+    digest = F.md5(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", F.md5("text").alias("h")))),
+                lambda s: s["h"],
+            ),
+        )
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+            digest.alias("corpus_md5"),
+        )
+        .orderBy("lang")
+    )

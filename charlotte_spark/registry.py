@@ -171,6 +171,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d177_zipf_fit",
     "d178_centroid_dispersion",
     "d179_longest_prefix_match",
+    "d180_xml_roundtrip",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",
