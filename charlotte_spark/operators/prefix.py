@@ -40,8 +40,23 @@ its own exchange. DISK_ONLY rather than a reliable checkpoint because
 truncation, and (b) measured at sf0.1 the checkpoint's extra
 cache-then-rewrite job costs ~50% more wall time per call
 (d139: 1.12 s -> 0.74 s median-of-5); DISK_ONLY also never competes
-with execution memory. Blocks are released by the ContextCleaner once
-the frame is unreferenced.
+with execution memory.
+
+Cache lifetime (ADVICE r08 #1): Spark's CacheManager holds every
+persisted plan until explicit unpersist/clearCache/session end — the
+ContextCleaner does NOT release cached blocks when the frame goes
+unreferenced, so without cleanup each call leaks disk blocks for the
+whole session. Cleanup contract: each ``_materialize`` unpersists the
+PREVIOUS calls' caches once its own cache is fully built (a chained
+call — d142 prefixes twice — reads the previous cache while counting
+the new one, so eviction must follow materialization). At most one
+call's blocks are ever live. Consequence for callers: consume (run an
+action on) an ``ordered_prefix`` result BEFORE the next
+``ordered_prefix`` call in the session — evicting an unconsumed
+result's cache would re-fork its lineage on collection (the
+wrong-answer bug above). Every registry/bench/driver/pytest flow is
+sequential and satisfies this; ``release_prefix_caches()`` frees the
+final call's blocks for harnesses that want a clean session.
 
 The order columns must form a TOTAL order (include a unique tie-break
 key): range partitioning keeps equal keys together, but a caller that
@@ -60,14 +75,40 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["ordered_prefix"]
+__all__ = ["ordered_prefix", "release_prefix_caches"]
+
+# Live persisted frames from prior ordered_prefix calls; evicted once a
+# newer call's cache is materialized (see module docstring).
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_prefix_caches() -> None:
+    """Unpersist every live prefix cache (harness/session teardown)."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
 
 
 def _materialize(df: DataFrame) -> DataFrame:
     """Eagerly persist so every consumer shares ONE evaluated lineage
-    (see module docstring — fork consistency, not lineage truncation)."""
+    (see module docstring — fork consistency, not lineage truncation).
+    Evicts the previous calls' caches AFTER this one is built: the
+    count() below may read them (chained prefixes); nothing does
+    afterwards. A repeated call over the SAME input plan shares one
+    CacheManager entry (cache keys are analyzed-plan equality), so such
+    frames are dropped from tracking WITHOUT unpersisting — unpersisting
+    would remove the entry the new call just reused."""
     cached = df.persist(StorageLevel.DISK_ONLY)
     cached.count()
+    new_plan = cached._jdf.queryExecution().analyzed()
+    for old in list(_LIVE_CACHES):
+        _LIVE_CACHES.remove(old)
+        try:
+            same = old._jdf.queryExecution().analyzed().sameResult(new_plan)
+        except Exception:
+            same = True  # can't compare → keep the entry (leak one, stay correct)
+        if not same:
+            old.unpersist()
+    _LIVE_CACHES.append(cached)
     return cached
 
 

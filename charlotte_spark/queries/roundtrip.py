@@ -16,18 +16,31 @@ against straight-line reimplementations of the reference
 (/root/reference/charlotte/__init__.py:463-538).
 
 Scale note: the materialization is one map-only parquet write of the
-query's own output (no extra shuffle), and the digest fold is a keyed
-groupBy — the same cost class as returning the rows themselves.
+query's own output (no extra shuffle), and the digest fold is the
+shared TWO-LEVEL bucketed fold (functions/digest.py): level 1 keyed by
+(group, payload-bucket) so no single buffer ever holds a corpus-scale
+group's payloads, level 2 over <= B bounded sub-digests per group —
+the same cost class as returning the rows, safe at any group size.
+
+The scratch root is namespaced per PROCESS (ADVICE r07 #2 / r08): a
+concurrent sweep in another interpreter can no longer overwrite the
+parquet between the Spark fold and the DuckDB fold. Both folds of one
+comparison run in one interpreter (the driver imports
+``__spark_entry__`` and runs query + oracle side by side), so the
+import-time token is consistent where it must be.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.digest import sql_two_level_digest, two_level_digest
 from ..streaming.harness import _scratch_root
 
-RT_DIR = _scratch_root("CHARLOTTE_RT_TMP", "charlotte_rt")
+RT_DIR = f"{_scratch_root('CHARLOTTE_RT_TMP', 'charlotte_rt')}/run_{os.getpid()}"
 
 
 def rt_path(name: str) -> str:
@@ -36,31 +49,28 @@ def rt_path(name: str) -> str:
 
 def rt_oracle(name: str, group_col: str) -> str:
     """DuckDB side: fold the Spark-written parquet with DuckDB's OWN
-    md5/string_agg aggregation pipeline."""
-    return f"""
-    SELECT {group_col},
-           CAST(count(*) AS BIGINT) AS n_rows,
-           md5(string_agg(payload, ',' ORDER BY payload)) AS digest
-    FROM read_parquet('{rt_path(name)}/*.parquet')
-    GROUP BY {group_col} ORDER BY {group_col}
-    """
+    md5/string_agg two-level bucketed pipeline."""
+    return sql_two_level_digest(
+        f"read_parquet('{rt_path(name)}/*.parquet')",
+        [group_col],
+        "payload",
+        count_alias="n_rows",
+        digest_alias="digest",
+    )
 
 
 def rt_digest(df: DataFrame, name: str, group_col: str) -> DataFrame:
     """Spark side: materialize the row-level frame (columns:
     ``group_col`` + ``payload`` string) to parquet, read it back, and
-    fold to (group, n_rows, md5-of-sorted-payloads) — the counterpart
+    fold to (group, n_rows, two-level payload digest) — the counterpart
     of ``rt_oracle(name, group_col)``."""
     out = rt_path(name)
     df.write.mode("overwrite").parquet(out)
     back = df.sparkSession.read.parquet(out)
-    return (
-        back.groupBy(group_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.md5(F.concat_ws(",", F.array_sort(F.collect_list("payload")))).alias(
-                "digest"
-            ),
-        )
-        .orderBy(group_col)
+    return two_level_digest(
+        back,
+        [group_col],
+        F.col("payload"),
+        count_alias="n_rows",
+        digest_alias="digest",
     )

@@ -27,8 +27,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.digest import sql_two_level_digest, two_level_digest
 from ..functions.portable import pround, sql_round
 from ..registry import query
+
+# Portable (doc_id, text)-binding payload for corpus round-trip digests:
+# the md5 multiset binds each doc's content to its id, so a dropped row,
+# a mutated text, or a doc_id/text permutation all change the digest.
+_DOC_PAYLOAD_SQL = "md5(CAST(doc_id AS VARCHAR) || '|' || text)"
+
+
+def _doc_payload() -> F.Column:
+    return F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text")))
 
 from ..streaming.harness import _scratch_root
 
@@ -98,61 +108,54 @@ def d4_partitioned_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d99_orc_roundtrip",
     tags=("D99", "D2", "D4"),
-    oracle="""
-    SELECT lang,
-           count(*) AS n,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS corpus_md5
-    FROM documents GROUP BY lang ORDER BY lang
-    """,
+    oracle=sql_two_level_digest(
+        "documents",
+        ["lang"],
+        _DOC_PAYLOAD_SQL,
+        count_alias="n",
+        digest_alias="corpus_md5",
+        sum_exprs={"total_chars": "n_chars"},
+    ),
 )
 def d99_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Columnar-format breadth: write the corpus as lang-partitioned ORC
     (Spark's second built-in columnar format — the interchange target
     for Hive-era warehouses), re-read it, and prove byte-exact content
-    preservation with an order-independent corpus digest (md5 over
-    per-doc md5s in doc_id order). Same pushdown/pruning machinery as
-    parquet: partition pruning on lang, predicate pushdown into the ORC
-    reader."""
+    preservation with an order-independent (doc_id, text)-binding corpus
+    digest. Same pushdown/pruning machinery as parquet: partition
+    pruning on lang, predicate pushdown into the ORC reader.
+
+    The digest is the shared TWO-LEVEL bucketed fold (VERDICT r08 #2,
+    functions/digest.py): level 1 keys on (lang, payload-bucket) so no
+    aggregation buffer ever holds a per-lang corpus of md5s on one
+    reducer, level 2 folds <= B sorted sub-digests per lang."""
     docs = load_table(spark, sf_dir, "documents")
     sig = os.path.basename(sf_dir.rstrip("/"))
     out = f"{TMP}/documents_orc_{sig}"
     docs.write.mode("overwrite").partitionBy("lang").orc(out)
     back = spark.read.orc(out)
-    digest = F.md5(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("doc_id", F.md5("text").alias("h")))),
-                lambda s: s["h"],
-            ),
-        )
-    )
-    return (
-        back.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("n_chars").alias("total_chars"),
-            digest.alias("corpus_md5"),
-        )
-        .orderBy("lang")
+    return two_level_digest(
+        back,
+        ["lang"],
+        _doc_payload(),
+        count_alias="n",
+        digest_alias="corpus_md5",
+        sum_cols={"total_chars": "n_chars"},
     )
 
 
 @query(
     "d101_shard_export",
     tags=("D101", "D4", "D78"),
-    oracle="""
-    WITH sharded AS (
-        SELECT *, CAST('0x' || substring(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard
-        FROM documents
-    )
-    SELECT shard,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS shard_md5
-    FROM sharded GROUP BY shard ORDER BY shard
-    """,
+    oracle=sql_two_level_digest(
+        "(SELECT *, CAST('0x' || substring(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        " AS BIGINT) % 8 AS shard FROM documents)",
+        ["shard"],
+        _DOC_PAYLOAD_SQL,
+        count_alias="n_docs",
+        digest_alias="shard_md5",
+        sum_exprs={"total_chars": "n_chars"},
+    ),
 )
 def d101_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard export: split the corpus into 8 hash-addressed
@@ -173,23 +176,13 @@ def d101_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = f"{TMP}/shards_{sig}"
     docs.write.mode("overwrite").partitionBy("shard").parquet(out)
     back = spark.read.parquet(out)
-    digest = F.md5(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("doc_id", F.md5("text").alias("h")))),
-                lambda s: s["h"],
-            ),
-        )
-    )
-    return (
-        back.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            digest.alias("shard_md5"),
-        )
-        .orderBy("shard")
+    return two_level_digest(
+        back,
+        ["shard"],
+        _doc_payload(),
+        count_alias="n_docs",
+        digest_alias="shard_md5",
+        sum_cols={"total_chars": "n_chars"},
     )
 
 
@@ -317,11 +310,14 @@ def d5_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d127_text_binary_roundtrip",
     tags=("D127", "D2", "D99", "D72"),
-    oracle="""
-    SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           md5(string_agg(text, chr(10) ORDER BY text)) AS corpus_md5,
-           CAST(sum(n_chars) + count(*) AS BIGINT) AS total_bytes
-    FROM documents
+    oracle=f"""
+    SELECT d.n_docs, d.corpus_md5, b.total_bytes
+    FROM ({sql_two_level_digest("documents", [], "text",
+                                count_alias="n_docs", digest_alias="corpus_md5")}) d
+    CROSS JOIN (
+        SELECT CAST(sum(n_chars) + count(*) AS BIGINT) AS total_bytes
+        FROM documents
+    ) b
     """,
 )
 def d127_text_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,9 +341,10 @@ def d127_text_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = f"{TMP}/documents_text_{sig}"
     docs.select("text").write.mode("overwrite").text(out)
     lines = spark.read.text(out)
-    digest = F.md5(F.concat_ws("\n", F.array_sort(F.collect_list("value"))))
-    line_side = lines.agg(
-        F.count(F.lit(1)).alias("n_docs"), digest.alias("corpus_md5")
+    # Global two-level digest (functions/digest.py): the single-group
+    # fold otherwise buffers the WHOLE corpus's lines on one reducer.
+    line_side = two_level_digest(
+        lines, [], F.col("value"), count_alias="n_docs", digest_alias="corpus_md5"
     )
     byte_side = (
         spark.read.format("binaryFile")
@@ -360,13 +357,14 @@ def d127_text_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d128_jsonl_roundtrip",
     tags=("D128", "D2", "D99"),
-    oracle="""
-    SELECT lang,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS corpus_md5
-    FROM documents GROUP BY lang ORDER BY lang
-    """,
+    oracle=sql_two_level_digest(
+        "documents",
+        ["lang"],
+        _DOC_PAYLOAD_SQL,
+        count_alias="n",
+        digest_alias="corpus_md5",
+        sum_exprs={"total_chars": "n_chars"},
+    ),
 )
 def d128_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL round-trip — the de-facto interchange format for training
@@ -389,23 +387,13 @@ def d128_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(
         "doc_id long, text string, source string, n_chars long, lang string"
     ).json(out)
-    digest = F.md5(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("doc_id", F.md5("text").alias("h")))),
-                lambda s: s["h"],
-            ),
-        )
-    )
-    return (
-        back.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("n_chars").alias("total_chars"),
-            digest.alias("corpus_md5"),
-        )
-        .orderBy("lang")
+    return two_level_digest(
+        back,
+        ["lang"],
+        _doc_payload(),
+        count_alias="n",
+        digest_alias="corpus_md5",
+        sum_cols={"total_chars": "n_chars"},
     )
 
 
@@ -620,6 +608,16 @@ def d171_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % _FRAG_BUCKETS,
     )
+    # The file-count accounting below assumes one file per (lang, bucket)
+    # task; a session-level maxRecordsPerFile would split files and break
+    # the hash as a LAYOUT change, not arithmetic (ADVICE r08) — refuse
+    # loudly instead of mismatching confusingly.
+    mrpf = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    if mrpf not in ("0", None):
+        raise RuntimeError(
+            f"d171 needs spark.sql.files.maxRecordsPerFile unset (got {mrpf}): "
+            "the planner's files-on-disk count assumes one file per partition dir"
+        )
     sig = os.path.basename(sf_dir.rstrip("/"))
     out = f"{TMP}/fragmented_{sig}"
     (
@@ -658,13 +656,14 @@ def d171_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d180_xml_roundtrip",
     tags=("D180", "D2", "D128"),
-    oracle="""
-    SELECT lang,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS corpus_md5
-    FROM documents GROUP BY lang ORDER BY lang
-    """,
+    oracle=sql_two_level_digest(
+        "documents",
+        ["lang"],
+        _DOC_PAYLOAD_SQL,
+        count_alias="n",
+        digest_alias="corpus_md5",
+        sum_exprs={"total_chars": "n_chars"},
+    ),
 )
 def d180_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML round-trip on Spark 4's NATIVE xml source (spark-xml was
@@ -696,24 +695,18 @@ def d180_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = (
         spark.read.format("xml")
         .option("rowTag", "doc")
+        # Match the writer exactly (ADVICE r08): the reader's default
+        # ignoreSurroundingSpaces=true would silently trim texts with
+        # whitespace edges and fail the digest on a correct round-trip.
+        .option("ignoreSurroundingSpaces", "false")
         .schema("doc_id long, text string, source string, n_chars long, lang string")
         .load(out)
     )
-    digest = F.md5(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("doc_id", F.md5("text").alias("h")))),
-                lambda s: s["h"],
-            ),
-        )
-    )
-    return (
-        back.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("n_chars").alias("total_chars"),
-            digest.alias("corpus_md5"),
-        )
-        .orderBy("lang")
+    return two_level_digest(
+        back,
+        ["lang"],
+        _doc_payload(),
+        count_alias="n",
+        digest_alias="corpus_md5",
+        sum_cols={"total_chars": "n_chars"},
     )

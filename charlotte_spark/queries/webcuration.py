@@ -113,13 +113,22 @@ def d157_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     curl = F.regexp_replace(F.regexp_replace(url, r"\?.*$", ""), r"/+$", "")
     domain = F.regexp_extract(url, r"^https?://([^/]+)", 1)
     c = d.select(domain.alias("domain"), curl.alias("curl"))
+    # ONE collect_set per (domain, bkt) feeds both the distinct count
+    # (size) and the sub-digest — a separate count_distinct alongside
+    # would force Catalyst's expand, doubling the level-1 stream
+    # (VERDICT r08 #4: the 2.87x d157 regression was exactly that).
     lvl1 = (
         c.withColumn("bkt", portable_hash_long("curl") % _URL_BUCKETS)
         .groupBy("domain", "bkt")
         .agg(
             F.count(F.lit(1)).alias("n_docs_b"),
-            F.count_distinct("curl").alias("n_canon_b"),
-            F.md5(F.concat_ws(",", F.array_sort(F.collect_set("curl")))).alias("sub"),
+            F.array_sort(F.collect_set("curl")).alias("arr"),
+        )
+        .select(
+            "domain",
+            "n_docs_b",
+            F.size("arr").cast("long").alias("n_canon_b"),
+            F.md5(F.concat_ws(",", "arr")).alias("sub"),
         )
     )
     return (
