@@ -1204,3 +1204,353 @@ def d176_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("est_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# D181: checkpointed multi-round LSH dedup arrival loop (index compaction)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_match_ids(
+    probe_sig: DataFrame, index_sig: DataFrame, *, same_batch: bool = False
+) -> DataFrame:
+    """Distinct probe doc_ids with at least one index match at estimated
+    Jaccard >= 0.49 (the a66/d131 rule): candidates from band-bucket
+    equi-joins only (never all-pairs), re-scored on full-signature
+    agreement. With ``same_batch=True`` the probe IS the index and a doc
+    only matches SMALLER doc_ids — the keep-first-arrival rule for
+    within-batch duplicates."""
+    p = _bands_of(probe_sig).select(F.col("doc_id").alias("p_id"), "band_idx", "bhash")
+    i = _bands_of(index_sig).select(
+        F.col("doc_id").alias("i_id"),
+        F.col("band_idx").alias("band_idx_i"),
+        F.col("bhash").alias("bhash_i"),
+    )
+    cond = (F.col("band_idx") == F.col("band_idx_i")) & (
+        F.col("bhash") == F.col("bhash_i")
+    )
+    if same_batch:
+        cond = cond & (F.col("p_id") > F.col("i_id"))
+    cand = p.join(i, cond).select("p_id", "i_id").distinct()
+    sp = probe_sig.select(
+        F.col("doc_id").alias("p_id"),
+        *[F.col(f"mh{j}").alias(f"p_mh{j}") for j in range(N_HASHES)],
+    )
+    si = index_sig.select(
+        F.col("doc_id").alias("i_id"),
+        *[F.col(f"mh{j}").alias(f"i_mh{j}") for j in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"p_mh{j}") == F.col(f"i_mh{j}"), 1).otherwise(0)
+        for j in range(N_HASHES)
+    )
+    return (
+        cand.join(sp, "p_id")
+        .join(si, "i_id")
+        .filter(matches / float(N_HASHES) >= 0.49)
+        .select(F.col("p_id").alias("doc_id"))
+        .distinct()
+    )
+
+
+def _arrival_batch(d: DataFrame, r: int) -> DataFrame:
+    """Synthetic arrival round r over the curated corpus ``d``:
+
+    round 1: drop-last copies of every 20th doc (+1e6 — near-dups of
+    the index, must drop) + token-REVERSED copies of doc_id%20==7
+    (+3e6 — no shingle overlap with anything indexed, must accept);
+    round 2: drop-first copies of every 20th doc (+2e6 — near-dups of
+    the ORIGINAL corpus) + drop-last copies of round 1's reversed docs
+    (+4e6 — near-dups of docs ACCEPTED IN ROUND 1, droppable only
+    because the index grew between rounds) + token-reversed copies of
+    doc_id%20==13 (+5e6 — fresh, must accept, so every round grows the
+    index and no round's accepted set is vacuously empty)."""
+    toks = F.split("text", " ")
+    if r == 1:
+        near = d.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
+        )
+        fresh = d.filter(F.col("doc_id") % 20 == 7).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.array_join(F.reverse(toks), " ").alias("text"),
+        )
+    else:
+        near = d.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.array_join(F.slice(toks, 2, F.size(toks) - 1), " ").alias("text"),
+        )
+        fresh = d.filter(F.col("doc_id") % 20 == 7).select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(F.reverse(toks), 1, F.size(toks) - 1), " "
+            ).alias("text"),
+        )
+        fresh2 = d.filter(F.col("doc_id") % 20 == 13).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.array_join(F.reverse(toks), " ").alias("text"),
+        )
+        return near.unionByName(fresh).unionByName(fresh2)
+    return near.unionByName(fresh)
+
+
+_SQL_B1 = """
+    SELECT doc_id + 1000000 AS doc_id,
+           coalesce(array_to_string((string_split(text, ' '))[1:len(string_split(text, ' ')) - 1], ' '), '') AS text
+    FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id,
+           coalesce(array_to_string(list_reverse(string_split(text, ' ')), ' '), '') AS text
+    FROM documents WHERE doc_id % 20 = 7
+"""
+
+_SQL_B2 = """
+    SELECT doc_id + 2000000 AS doc_id,
+           coalesce(array_to_string(list_slice(string_split(text, ' '), 2, len(string_split(text, ' '))), ' '), '') AS text
+    FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 4000000 AS doc_id,
+           coalesce(array_to_string(list_slice(list_reverse(string_split(text, ' ')), 1, len(string_split(text, ' ')) - 1), ' '), '') AS text
+    FROM documents WHERE doc_id % 20 = 7
+    UNION ALL
+    SELECT doc_id + 5000000 AS doc_id,
+           coalesce(array_to_string(list_reverse(string_split(text, ' ')), ' '), '') AS text
+    FROM documents WHERE doc_id % 20 = 13
+"""
+
+
+def _sql_match_ids(probe_bands: str, index_bands: str, probe_sig: str,
+                   index_sig: str, same: bool = False) -> str:
+    extra = " AND n.doc_id > c.doc_id" if same else ""
+    matches = " + ".join(
+        f"CASE WHEN sn.mh{j} = sc.mh{j} THEN 1 ELSE 0 END" for j in range(N_HASHES)
+    )
+    return f"""
+        SELECT DISTINCT p.p_id AS doc_id FROM (
+            SELECT DISTINCT n.doc_id AS p_id, c.doc_id AS i_id
+            FROM {probe_bands} n JOIN {index_bands} c
+              ON n.band_idx = c.band_idx AND n.bhash = c.bhash{extra}
+        ) p
+        JOIN {probe_sig} sn ON sn.doc_id = p.p_id
+        JOIN {index_sig} sc ON sc.doc_id = p.i_id
+        WHERE ({matches}) / {float(N_HASHES)} >= 0.49
+    """
+
+
+def _d181_oracle() -> str:
+    from ..functions.digest import sql_two_level_digest
+
+    dg = sql_two_level_digest(
+        "(SELECT round_id, CAST(doc_id AS VARCHAR) AS p"
+        " FROM status_all WHERE status = 'accepted')",
+        ["round_id"],
+        "p",
+        count_alias="n_accepted",
+        digest_alias="accepted_md5",
+    )
+    return f"""
+    WITH b1 AS ({_SQL_B1}),
+    b2 AS ({_SQL_B2}),
+    corpus_sig AS ({_sql_minhash_sig("SELECT doc_id, text FROM documents")}),
+    b1_sig AS ({_sql_minhash_sig("SELECT doc_id, text FROM b1")}),
+    b2_sig AS ({_sql_minhash_sig("SELECT doc_id, text FROM b2")}),
+    corpus_bands AS ({_sql_bands("corpus_sig")}),
+    b1_bands AS ({_sql_bands("b1_sig")}),
+    b2_bands AS ({_sql_bands("b2_sig")}),
+    r1_idx_drop AS ({_sql_match_ids("b1_bands", "corpus_bands", "b1_sig", "corpus_sig")}),
+    r1_same_drop AS ({_sql_match_ids("b1_bands", "b1_bands", "b1_sig", "b1_sig", same=True)}),
+    r1_status AS (
+        SELECT CAST(1 AS INT) AS round_id, doc_id,
+               CASE WHEN doc_id IN (SELECT doc_id FROM r1_idx_drop) THEN 'dropped_index'
+                    WHEN doc_id IN (SELECT doc_id FROM r1_same_drop) THEN 'dropped_batch'
+                    ELSE 'accepted' END AS status
+        FROM b1
+    ),
+    index1_sig AS (
+        SELECT * FROM corpus_sig
+        UNION ALL
+        SELECT s.* FROM b1_sig s
+        JOIN r1_status st ON st.doc_id = s.doc_id AND st.status = 'accepted'
+    ),
+    index1_bands AS ({_sql_bands("index1_sig")}),
+    r2_idx_drop AS ({_sql_match_ids("b2_bands", "index1_bands", "b2_sig", "index1_sig")}),
+    r2_same_drop AS ({_sql_match_ids("b2_bands", "b2_bands", "b2_sig", "b2_sig", same=True)}),
+    r2_status AS (
+        SELECT CAST(2 AS INT) AS round_id, doc_id,
+               CASE WHEN doc_id IN (SELECT doc_id FROM r2_idx_drop) THEN 'dropped_index'
+                    WHEN doc_id IN (SELECT doc_id FROM r2_same_drop) THEN 'dropped_batch'
+                    ELSE 'accepted' END AS status
+        FROM b2
+    ),
+    index2_sig AS (
+        SELECT * FROM index1_sig
+        UNION ALL
+        SELECT s.* FROM b2_sig s
+        JOIN r2_status st ON st.doc_id = s.doc_id AND st.status = 'accepted'
+    ),
+    status_all AS (
+        SELECT CAST(0 AS INT) AS round_id, doc_id, 'accepted' AS status FROM documents
+        UNION ALL SELECT round_id, doc_id, status FROM r1_status
+        UNION ALL SELECT round_id, doc_id, status FROM r2_status
+    ),
+    counts AS (
+        SELECT round_id,
+               CAST(count(*) AS BIGINT) AS n_arrived,
+               CAST(sum(CASE WHEN status = 'dropped_index' THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_index,
+               CAST(sum(CASE WHEN status = 'dropped_batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_batch
+        FROM status_all GROUP BY round_id
+    ),
+    idx AS (
+        SELECT CAST(0 AS INT) AS round_id,
+               CAST((SELECT count(*) FROM corpus_sig) AS BIGINT) AS index_size_after
+        UNION ALL
+        SELECT CAST(1 AS INT), CAST((SELECT count(*) FROM index1_sig) AS BIGINT)
+        UNION ALL
+        SELECT CAST(2 AS INT), CAST((SELECT count(*) FROM index2_sig) AS BIGINT)
+    )
+    SELECT c.round_id, c.n_arrived, c.n_dropped_index, c.n_dropped_batch,
+           CAST(coalesce(d.n_accepted, 0) AS BIGINT) AS n_accepted,
+           d.accepted_md5, i.index_size_after
+    FROM counts c
+    LEFT JOIN ({dg}) d ON d.round_id = c.round_id
+    JOIN idx i ON i.round_id = c.round_id
+    ORDER BY c.round_id
+    """
+
+
+@query(
+    "d181_lsh_arrival_loop",
+    tags=("D181", "A66", "D131", "D65", "D74"),
+    oracle=_d181_oracle(),
+)
+def d181_lsh_arrival_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed multi-round LSH dedup — the production arrival loop
+    (VERDICT r08 #6a) composing D65/a66/d131/d74's machinery: a curated
+    corpus bootstraps a persisted signature index (round 0); each
+    arriving batch signatures ONLY itself, probes the on-disk index for
+    near-dups (drop), applies the keep-first rule within its own batch
+    (drop vs any smaller-id same-batch arrival), then COMPACTS the
+    index — accepted signatures merge with the prior index into a new
+    on-disk generation the next round probes. Round 2's +4e6 docs are
+    near-dups of docs accepted in round 1, so a correct answer REQUIRES
+    the cross-round index growth; a loop that probes only the original
+    corpus mis-accepts them and hash-mismatches.
+
+    Per-round state on disk: status/round_id=r (arrival verdicts) and
+    index_r{{r}} (compacted signature generations) under a per-process
+    scratch root; the declared result is computed entirely from the
+    persisted state (one fold over status + one count per index
+    generation), so the hash also proves the state survived the loop.
+    Greedy-online semantics deliberately differ from d74's global batch
+    closure: a doc whose only match was itself dropped is still dropped
+    (conservative — transitively near the indexed survivor), and the
+    oracle simulates the SAME per-round chain in SQL CTEs rather than a
+    recursive closure.
+
+    At 100 TB/day: per-arrival work is O(batch) signatures + a band
+    equi-join against the index (shuffle keyed on (band_idx, bhash) —
+    never all-pairs, the corpus text never re-shingled); compaction is
+    one merge-write of O(corpus) fixed-width signature rows (12 longs
+    per doc, ~1% of corpus bytes), amortizable with generational
+    layouts; the accepted-id digest is the shared two-level bucketed
+    fold (functions/digest.py), so no reducer buffers a round's
+    accepted set."""
+    import os as _os
+
+    from ..functions.digest import two_level_digest
+    from ..streaming.harness import _scratch_root
+
+    root = (
+        f"{_scratch_root('CHARLOTTE_LOOP_TMP', 'charlotte_lsh_loop')}"
+        f"/{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
+    )
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    # round 0: bootstrap the persisted index + status ledger
+    _minhash_sig(d).write.mode("overwrite").parquet(f"{root}/index_r0")
+    d.select("doc_id", F.lit("accepted").alias("status")).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/status/round_id=0")
+
+    for r in (1, 2):
+        index_sig = spark.read.parquet(f"{root}/index_r{r - 1}")
+        batch = _arrival_batch(d, r)
+        # checkpointed: the signatures feed the index probe, the
+        # within-batch probe, the status join, and the index merge —
+        # one evaluation, no forked lineage (the a66 lesson)
+        new_sig = reliable_checkpoint(_minhash_sig(batch))
+        drop_idx = _lsh_match_ids(new_sig, index_sig).select(
+            "doc_id", F.lit(1).alias("_di")
+        )
+        drop_same = _lsh_match_ids(new_sig, new_sig, same_batch=True).select(
+            "doc_id", F.lit(1).alias("_db")
+        )
+        (
+            batch.select("doc_id")
+            .join(drop_idx, "doc_id", "left")
+            .join(drop_same, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("_di") == 1, "dropped_index")
+                .when(F.col("_db") == 1, "dropped_batch")
+                .otherwise("accepted")
+                .alias("status"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{root}/status/round_id={r}")
+        )
+        accepted = (
+            spark.read.parquet(f"{root}/status/round_id={r}")
+            .filter(F.col("status") == "accepted")
+            .select("doc_id")
+        )
+        # compaction: merge the accepted generation into one new index
+        index_sig.unionByName(new_sig.join(accepted, "doc_id", "semi")).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/index_r{r}")
+
+    status = spark.read.parquet(f"{root}/status")
+    counts = status.groupBy("round_id").agg(
+        F.count(F.lit(1)).alias("n_arrived"),
+        F.sum((F.col("status") == "dropped_index").cast("int"))
+        .cast("long")
+        .alias("n_dropped_index"),
+        F.sum((F.col("status") == "dropped_batch").cast("int"))
+        .cast("long")
+        .alias("n_dropped_batch"),
+    )
+    dg = two_level_digest(
+        status.filter(F.col("status") == "accepted"),
+        ["round_id"],
+        F.col("doc_id").cast("string"),
+        count_alias="n_accepted",
+        digest_alias="accepted_md5",
+    )
+    sizes = None
+    for r in (0, 1, 2):
+        one = (
+            spark.read.parquet(f"{root}/index_r{r}")
+            .groupBy()
+            .count()
+            .select(
+                F.lit(r).cast("int").alias("round_id"),
+                F.col("count").cast("long").alias("index_size_after"),
+            )
+        )
+        sizes = one if sizes is None else sizes.unionByName(one)
+    return (
+        # left join: a round whose arrivals ALL drop has no digest group
+        # — it must still report (n_accepted 0, digest NULL), not vanish
+        counts.join(dg, "round_id", "left")
+        .join(F.broadcast(sizes), "round_id")
+        .select(
+            "round_id",
+            "n_arrived",
+            "n_dropped_index",
+            "n_dropped_batch",
+            F.coalesce(F.col("n_accepted"), F.lit(0).cast("long")).alias("n_accepted"),
+            "accepted_md5",
+            "index_size_after",
+        )
+        .orderBy("round_id")
+    )

@@ -428,6 +428,23 @@ def test_incremental_dedup_probes_stored_index(spark, sf_dir):
     assert idx_scans, "no scan of the persisted signature index"
 
 
+def test_arrival_loop_result_reads_only_persisted_state(spark, sf_dir):
+    """d181: the declared result is computed FROM the on-disk loop state
+    — scans of the status ledger and the compacted index generations
+    only, never a re-run of the corpus/batch matching (no documents
+    scan in the result plan). This is what makes the hash proof a proof
+    about the PERSISTED state surviving the loop."""
+    from charlotte_spark.plans.audit import audit_plan
+
+    a = audit_plan(REG["d181_lsh_arrival_loop"].fn(spark, sf_dir))
+    doc_scans = [s for s in a["scans"] if "documents" in s["path"]]
+    state_scans = [s for s in a["scans"] if "lsh_loop" in s["path"]]
+    assert not doc_scans, f"{len(doc_scans)} documents scans in the result plan"
+    assert state_scans, "result plan must scan the persisted loop state"
+    assert a["partial_aggregate"]
+    assert not a["nested_loop_join"]
+
+
 def test_gapfill_is_join_free(audits):
     """d137: the gap-fill must be the lag-window + explode(sequence)
     formulation — NO join of any kind (the dense-spine left join is the
@@ -683,6 +700,39 @@ def test_url_curation_scan_stage_regexp_no_udf(audits):
     assert re.search(r"collect_set\(curl[^)]*\)[^\n]*bkt", a["plan"]) or (
         "collect_set" in a["plan"] and "bkt" in a["plan"]
     ), "URL set digest must stay at the bucketed grain"
+
+
+def test_orc_roundtrip_digest_is_two_level(audits):
+    """d99 (representative for the whole round-trip family after the
+    VERDICT r08 #2 refactor — d101/d127/d128/d180 and rt_digest share
+    functions/digest.py): the corpus digest MUST fold at TWO
+    aggregation levels — level 1 keyed by (lang, payload-bucket) so no
+    single collect_list buffer holds a per-lang corpus of md5s on one
+    reducer, level 2 keyed by lang over <= B bounded sub-digest rows."""
+    a = audits("d99_orc_roundtrip")
+    assert re.search(r"hashpartitioning\(lang#\d+, _bkt#\d+", a["plan"]), (
+        "level-1 digest fold must be keyed by (lang, bucket)"
+    )
+    assert re.search(r"hashpartitioning\(lang#\d+, \d+\)", a["plan"]), (
+        "level-2 fold must re-key by lang alone"
+    )
+    assert a["partial_aggregate"]
+
+
+def test_prefix_caches_never_accumulate(spark, sf_dir):
+    """ordered_prefix persists DISK_ONLY for fork consistency; without
+    eviction each call leaks blocks for the whole session (ADVICE r08
+    #1). Contract: at most ONE call's cache is live at any time — even
+    d142, which chains two prefixes — and release_prefix_caches()
+    drains it."""
+    from charlotte_spark.operators import prefix
+
+    REG["d139_ks_drift"].fn(spark, sf_dir).collect()
+    assert len(prefix._LIVE_CACHES) == 1
+    REG["d142_zorder_layout"].fn(spark, sf_dir).collect()
+    assert len(prefix._LIVE_CACHES) == 1
+    prefix.release_prefix_caches()
+    assert not prefix._LIVE_CACHES
 
 
 def test_boilerplate_join_is_unhinted_and_partial_aggs(audits):
