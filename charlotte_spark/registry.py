@@ -90,18 +90,90 @@ def query(
 
 # Explicit enumeration order for the driver contract. The driver's
 # correctness gate checks the FIRST 50 entries of ``queries()`` each
-# round (CORRECTNESS_r01-r07 keys == list(queries())[:50]), so insertion
-# order decides which SURVEY rows get driver evidence. Round-8 rotation
-# (VERDICT r07, Next-round #1): slots 1-8 are the only queries with NO
-# driver evidence yet (the r7 additions d157-d164 incl. a160) — green
-# rows here take driver-confirmed coverage to 187/187 SURVEY rows;
-# slots 9-50 backfill with the 42 queries holding the OLDEST evidence
-# (the r01 aggregate block, the r02 scan/source/join families incl.
-# d3/d5/d6 and the D7-D23 relational block, and the r02 scale joins
-# d84/d87) so no query's latest green ages past five rounds. The
-# r03-r07-confirmed queries follow after the boundary, newest evidence
-# last.
+# round (CORRECTNESS_r01-r08 keys == list(queries())[:50]), so insertion
+# order decides which SURVEY rows get driver evidence. Round-9 rotation
+# (VERDICT r08, Next-round #1): slots 1-16 are the 16 queries with NO
+# driver evidence yet (the r8 additions d165-d180 incl. a172) — green
+# rows here complete driver-confirmed coverage at 203/203 SURVEY rows;
+# slots 17-50 backfill with the 34 queries holding the OLDEST evidence
+# (all last green in r03) so no query's latest green ages past six
+# rounds. Later-confirmed queries follow after the boundary, newest
+# evidence last.
 DRIVER_ORDER: tuple[str, ...] = (
+    # ---- round-9 window slots 1-16: the only queries with NO driver
+    # evidence yet (the r8 additions D165-D180, incl. the streaming
+    # a172 sketch) — green rows here take driver-confirmed coverage to
+    # 203/203 SURVEY rows.
+    "d165_char_entropy",
+    "d166_containment_ratio",
+    "d167_grouped_split",
+    "d168_media_type_sniff",
+    "d169_json_field_inventory",
+    "d170_dedup_yield",
+    "d171_compaction_planner",
+    "a172_streaming_hll_window",
+    "d173_token_budget_waterfill",
+    "d174_mergeable_moments",
+    "d175_embedding_dim_profile",
+    "d176_minhash_calibration",
+    "d177_zipf_fit",
+    "d178_centroid_dispersion",
+    "d179_longest_prefix_match",
+    "d180_xml_roundtrip",
+    # ---- backfill slots 17-50: the 34 oldest-evidence queries (all
+    # r03-green; 44 exist, first 34 alphabetically — the other 10 sit
+    # just past the boundary as the round-10 rotation block).
+    "a66_minhash_lsh_neardup",
+    "a83_hll_sketch_union",
+    "d27_grouping_sets",
+    "d34_lag_lead",
+    "d36_range_frame",
+    "d40_hash_sample",
+    "d41_union_all_distinct",
+    "d42_intersect_all",
+    "d43_except_all",
+    "d47_conditional_null",
+    "d48_explode",
+    "d49_map_functions",
+    "d50_json_functions",
+    "d51_hash_encoding",
+    "d52_ip_str_to_long",
+    "d53_tumbling_window",
+    "d54_sliding_window",
+    "d55_session_window",
+    "d56_watermark_late_drop",
+    "d57_streaming_dedup",
+    "d59_stream_static_join",
+    "d61_scalar_pandas_udf",
+    "d62_apply_in_pandas",
+    "d63_grouped_agg_udaf",
+    "d64_udtf_explode",
+    "d65_exact_dedup",
+    "d67_cosine_pairwise",
+    "d68_ivf_topk",
+    "d69_normalize_tokenize",
+    "d70_tf_idf",
+    "d71_langid_heuristic",
+    "d72_binary_fingerprint",
+    "d73_doc_chunking",
+    "d74_neardup_clusters",
+    # ---- 50-slot window boundary ----
+    # Round-9 additions (D181/D182): never driver-checked — round-10
+    # window leads, ahead of the remaining r03-evidence block.
+    "d181_lsh_arrival_loop",
+    "d182_restart_exactly_once",
+    # Remaining r03-evidence block: round-10 window backfill.
+    "d76_quality_repetition",
+    "d77_stratified_sample",
+    "d78_train_val_test_split",
+    "d79_contamination_screen",
+    "d80_sequence_packing",
+    "d81_mixture_rebalance",
+    "d82_custom_stateful_sessions",
+    "d85_frame_sampling",
+    "d86_kmeans",
+    "q12_late_shipment_priority",
+    # Everything below holds r06-r08 evidence (newest last).
     "d157_url_curation",
     "d158_boilerplate_lines",
     "d159_curation_scorecard",
@@ -110,7 +182,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d162_streaming_psi_drift",
     "d163_bloom_semijoin_reduction",
     "d164_vocab_coverage_curve",
-    # ---- backfill: oldest driver evidence first (r01 block) ----
     "d25_global_agg",
     "d26_count_distinct",
     "d27_rollup",
@@ -121,7 +192,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "a31_approx_count_distinct",
     "a32_approx_quantiles",
     "d32x_exact_percentile",
-    # ---- r02 block: sources/sinks, scans, relational, joins ----
     "d3_jdbc_scan",
     "d5_jdbc_sink",
     "d6_file_stream_checkpoint",
@@ -154,24 +224,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q21_waiting_supplier",
-    # ---- 50-slot window boundary ----
-    # Round-8 additions (D165-D172): next round's window candidates.
-    "d165_char_entropy",
-    "d166_containment_ratio",
-    "d167_grouped_split",
-    "d168_media_type_sniff",
-    "d169_json_field_inventory",
-    "d170_dedup_yield",
-    "d171_compaction_planner",
-    "a172_streaming_hll_window",
-    "d173_token_budget_waterfill",
-    "d174_mergeable_moments",
-    "d175_embedding_dim_profile",
-    "d176_minhash_calibration",
-    "d177_zipf_fit",
-    "d178_centroid_dispersion",
-    "d179_longest_prefix_match",
-    "d180_xml_roundtrip",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",
@@ -272,50 +324,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d69_token_count",
     "d69_fingerprint",
     "d71_language_stats",
-    "q12_late_shipment_priority",
-    "d27_grouping_sets",
-    "d34_lag_lead",
-    "d36_range_frame",
-    "d40_hash_sample",
-    "d41_union_all_distinct",
-    "d42_intersect_all",
-    "d43_except_all",
-    "d47_conditional_null",
-    "d48_explode",
-    "d49_map_functions",
-    "d50_json_functions",
-    "d51_hash_encoding",
-    "d52_ip_str_to_long",
-    "d61_scalar_pandas_udf",
-    "d62_apply_in_pandas",
-    "d63_grouped_agg_udaf",
-    "d64_udtf_explode",
-    "d65_exact_dedup",
-    "a66_minhash_lsh_neardup",
-    "d74_neardup_clusters",
-    "d67_cosine_pairwise",
-    "d68_ivf_topk",
-    "d69_normalize_tokenize",
-    "d70_tf_idf",
-    "d71_langid_heuristic",
-    "d72_binary_fingerprint",
-    "d73_doc_chunking",
-    "d76_quality_repetition",
-    "d77_stratified_sample",
-    "d78_train_val_test_split",
-    "d79_contamination_screen",
-    "d80_sequence_packing",
-    "d81_mixture_rebalance",
-    "a83_hll_sketch_union",
-    "d85_frame_sampling",
-    "d86_kmeans",
-    "d53_tumbling_window",
-    "d54_sliding_window",
-    "d55_session_window",
-    "d56_watermark_late_drop",
-    "d57_streaming_dedup",
-    "d59_stream_static_join",
-    "d82_custom_stateful_sessions",
 )
 
 # How many leading entries of queries() the driver's correctness gate

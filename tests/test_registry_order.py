@@ -26,43 +26,55 @@ def test_enumeration_puts_driver_order_first():
 
 
 def test_window_covers_fixes_and_never_verified_rows():
-    """Round-8 rotation (VERDICT r07 #1): slots 1-8 are the only
-    queries with zero driver evidence (the r7 additions d157-d164);
-    slots 9-50 refresh the oldest evidence (r01/r02 block) so no
-    query's latest green ages past five rounds."""
+    """Round-9 rotation (VERDICT r08 #1): slots 1-16 are the only
+    queries with zero driver evidence (the r8 additions d165-d180,
+    incl. the streaming a172 sketch) — green rows complete coverage at
+    203/203 SURVEY rows; slots 17-50 refresh the 34 oldest-evidence
+    queries (the r03 block) so no query's latest green ages past six
+    rounds."""
     window = list(load_all_queries())[:DRIVER_WINDOW]
-    # The never-driver-checked r7 additions lead the window.
-    assert window[:8] == [
-        "d157_url_curation",
-        "d158_boilerplate_lines",
-        "d159_curation_scorecard",
-        "a160_hll_intersection",
-        "d161_incremental_rollup",
-        "d162_streaming_psi_drift",
-        "d163_bloom_semijoin_reduction",
-        "d164_vocab_coverage_curve",
+    # The never-driver-checked r8 additions lead the window.
+    assert window[:16] == [
+        "d165_char_entropy",
+        "d166_containment_ratio",
+        "d167_grouped_split",
+        "d168_media_type_sniff",
+        "d169_json_field_inventory",
+        "d170_dedup_yield",
+        "d171_compaction_planner",
+        "a172_streaming_hll_window",
+        "d173_token_budget_waterfill",
+        "d174_mergeable_moments",
+        "d175_embedding_dim_profile",
+        "d176_minhash_calibration",
+        "d177_zipf_fit",
+        "d178_centroid_dispersion",
+        "d179_longest_prefix_match",
+        "d180_xml_roundtrip",
     ]
-    # The stale r01/r02 refresh block must all be inside.
+    # A sample of the stale-r03 refresh block must all be inside.
     for must in (
-        "d25_global_agg",
-        "a31_approx_count_distinct",
-        "d3_jdbc_scan",
-        "d5_jdbc_sink",
-        "d6_file_stream_checkpoint",
-        "d14_inner_equijoin",
-        "d21_asof_join",
-        "d84_bucketed_colocated_join",
-        "d87_salted_skew_join",
-        "q1_pricing_summary",
+        "a66_minhash_lsh_neardup",
+        "a83_hll_sketch_union",
+        "d41_union_all_distinct",
+        "d47_conditional_null",
+        "d49_map_functions",
+        "d51_hash_encoding",
+        "d54_sliding_window",
+        "d56_watermark_late_drop",
+        "d59_stream_static_join",
+        "d62_apply_in_pandas",
+        "d65_exact_dedup",
+        "d74_neardup_clusters",
     ):
         assert must in window, f"{must} fell out of the driver window"
     # Every window slot must be hash-checkable: the whole rows-only
-    # class was retired in r7 (all 211 queries carry oracles).
+    # class was retired in r7 (all 227 queries carry oracles).
     reg = load_all_queries()
     rows_only = [n for n in window if reg[n].oracle is None]
     assert not rows_only, f"rows-only slots: {rows_only}"
-    # Nothing already driver-green in r06-r07 may occupy a slot.
-    for stale in ("d136_merge_upsert", "d116_dup_ngram_spans", "d97_pagerank"):
+    # Nothing already driver-green in r06-r08 may occupy a slot.
+    for stale in ("d157_url_curation", "d25_global_agg", "d15_broadcast_dim_join"):
         assert stale not in window, f"{stale} wastes a window slot"
 
 
