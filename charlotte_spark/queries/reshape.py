@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.digest import sql_two_level_digest, two_level_digest
 from ..functions.portable import pround, sql_round
 from ..registry import query
 
@@ -384,7 +385,7 @@ def d114_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d121_snapshot_diff",
     tags=("D121", "D98", "D14"),
-    oracle="""
+    oracle=f"""
     WITH snap_a AS (
         SELECT o_orderkey AS k,
                md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
@@ -406,13 +407,20 @@ def d114_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'unchanged' END AS op
         FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
     )
-    SELECT CAST(sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
-           CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
-           CAST(sum(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
-           CAST(sum(CASE WHEN op = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
-           md5(string_agg(CASE WHEN op = 'update' THEN CAST(k AS VARCHAR) END,
-                          ',' ORDER BY k)) AS upd_keys_md5
-    FROM classified
+    SELECT n_inserted, n_deleted, n_updated, n_unchanged, upd_keys_md5
+    FROM ({sql_two_level_digest(
+        "classified",
+        [],
+        "CASE WHEN op = 'update' THEN CAST(k AS VARCHAR) END",
+        count_alias="_n_rows",
+        digest_alias="upd_keys_md5",
+        sum_exprs={
+            "n_inserted": "CASE WHEN op = 'insert' THEN 1 ELSE 0 END",
+            "n_deleted": "CASE WHEN op = 'delete' THEN 1 ELSE 0 END",
+            "n_updated": "CASE WHEN op = 'update' THEN 1 ELSE 0 END",
+            "n_unchanged": "CASE WHEN op = 'unchanged' THEN 1 ELSE 0 END",
+        },
+    )})
     """,
 )
 def d121_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,20 +468,27 @@ def d121_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
     )
     classified = a.join(b, F.col("ak") == F.col("bk"), "full_outer").select(
-        F.coalesce("ak", "bk").alias("k"), op.alias("op")
+        F.coalesce("ak", "bk").alias("k"),
+        op.alias("op"),
     )
-    upd_keys = F.array_sort(
-        F.collect_list(F.when(F.col("op") == "update", F.col("k")))
+    # Two-level digest (functions/digest.py): the update-key roster is
+    # ~1/7 of the table — corpus-scale, never one reducer's buffer.
+    # Non-update rows carry a NULL payload: counted, not digested.
+    cls = classified.select(
+        F.when(F.col("op") == "update", F.col("k").cast("string")).alias("uk"),
+        (F.col("op") == "insert").cast("long").alias("i"),
+        (F.col("op") == "delete").cast("long").alias("d"),
+        (F.col("op") == "update").cast("long").alias("u"),
+        (F.col("op") == "unchanged").cast("long").alias("s"),
     )
-    return classified.agg(
-        F.sum((F.col("op") == "insert").cast("int")).cast("long").alias("n_inserted"),
-        F.sum((F.col("op") == "delete").cast("int")).cast("long").alias("n_deleted"),
-        F.sum((F.col("op") == "update").cast("int")).cast("long").alias("n_updated"),
-        F.sum((F.col("op") == "unchanged").cast("int")).cast("long").alias("n_unchanged"),
-        F.md5(
-            F.concat_ws(",", F.transform(upd_keys, lambda x: x.cast("string")))
-        ).alias("upd_keys_md5"),
-    )
+    return two_level_digest(
+        cls,
+        [],
+        F.col("uk"),
+        count_alias="_n_rows",
+        digest_alias="upd_keys_md5",
+        sum_cols={"n_inserted": "i", "n_deleted": "d", "n_updated": "u", "n_unchanged": "s"},
+    ).select("n_inserted", "n_deleted", "n_updated", "n_unchanged", "upd_keys_md5")
 
 
 # ---------------------------------------------------------------------------
@@ -592,19 +607,19 @@ def d133_equidepth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d136_merge_upsert",
     tags=("D136", "D121", "D98"),
-    oracle="""
-    WITH snap_b AS (
+    oracle=sql_two_level_digest(
+        """(
         SELECT o_orderkey AS k,
                md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
                    || CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority
                    || CASE WHEN o_orderkey % 7 = 0 THEN 'x' ELSE '' END) AS digest
         FROM orders WHERE o_orderkey % 11 <> 0
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           md5(string_agg(CAST(k AS VARCHAR) || '=' || digest, ',' ORDER BY k))
-               AS table_md5
-    FROM snap_b
-    """,
+    )""",
+        [],
+        "CAST(k AS VARCHAR) || '=' || digest",
+        count_alias="n_rows",
+        digest_alias="table_md5",
+    ),
 )
 def d136_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MERGE (upsert + delete) with round-trip-proven semantics:
@@ -685,16 +700,16 @@ def d136_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cd", "td").alias("digest"),
         )
     )
-    # sort structs (numeric key order, matching the oracle's ORDER BY k),
-    # THEN render strings — sorting the rendered strings would compare
-    # "10=…" < "2=…" lexicographically
-    pairs = F.transform(
-        F.array_sort(F.collect_list(F.struct("k", "digest"))),
-        lambda s: F.concat(s["k"].cast("string"), F.lit("="), s["digest"]),
-    )
-    return merged.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.md5(F.concat_ws(",", pairs)).alias("table_md5"),
+    # Two-level digest (functions/digest.py): the merged table is
+    # corpus-scale — the verification fold must never buffer it on one
+    # reducer. The key=digest payload binds each row to its key, so
+    # multiset (order-free) semantics lose nothing vs the old k-order.
+    return two_level_digest(
+        merged,
+        [],
+        F.concat(F.col("k").cast("string"), F.lit("="), F.col("digest")),
+        count_alias="n_rows",
+        digest_alias="table_md5",
     )
 
 
@@ -724,10 +739,14 @@ _PIT_TS = "1998-01-01 00:00:00"
                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         FROM chg WHERE o_orderdate <= TIMESTAMP '{_PIT_TS}'
     )
-    SELECT CAST(count(*) AS BIGINT) AS n_customers,
-           md5(string_agg(CAST(o_custkey AS VARCHAR) || '=' || o_orderstatus,
-                          ',' ORDER BY o_custkey)) AS state_md5
-    FROM pit WHERE rn = 1
+    SELECT n_customers, state_md5
+    FROM ({sql_two_level_digest(
+        "(SELECT o_custkey, o_orderstatus FROM pit WHERE rn = 1)",
+        [],
+        "CAST(o_custkey AS VARCHAR) || '=' || o_orderstatus",
+        count_alias="n_customers",
+        digest_alias="state_md5",
+    )})
     """,
 )
 def d153_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,15 +778,14 @@ def d153_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") <= t)
         & (F.col("valid_to_ts").isNull() | (F.col("valid_to_ts") > t))
     )
-    pairs = F.transform(
-        F.array_sort(F.collect_list(F.struct("o_custkey", "o_orderstatus"))),
-        lambda s: F.concat(
-            s["o_custkey"].cast("string"), F.lit("="), s["o_orderstatus"]
-        ),
-    )
-    return state.agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.md5(F.concat_ws(",", pairs)).alias("state_md5"),
+    # Two-level digest (functions/digest.py): the as-of state is one
+    # row per customer — corpus-scale, never one reducer's buffer.
+    return two_level_digest(
+        state,
+        [],
+        F.concat(F.col("o_custkey").cast("string"), F.lit("="), F.col("o_orderstatus")),
+        count_alias="n_customers",
+        digest_alias="state_md5",
     )
 
 

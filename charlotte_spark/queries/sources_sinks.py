@@ -464,18 +464,21 @@ def d129_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d149_corrupt_quarantine",
     tags=("D149", "D2", "R7"),
-    oracle="""
-    WITH cls AS (
-        SELECT lang, doc_id, n_chars, (doc_id % 37 = 0) AS bad FROM documents
-    )
-    SELECT lang,
-           CAST(sum(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
-           CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
-           CAST(sum(CASE WHEN NOT bad THEN n_chars ELSE 0 END) AS BIGINT)
-               AS chars_good,
-           md5(string_agg(CASE WHEN NOT bad THEN CAST(doc_id AS VARCHAR) END,
-                          ',' ORDER BY doc_id)) AS good_ids_md5
-    FROM cls GROUP BY lang ORDER BY lang
+    oracle=f"""
+    SELECT lang, n_good, n_quarantined, chars_good, good_ids_md5
+    FROM ({sql_two_level_digest(
+        "(SELECT lang, doc_id, n_chars, (doc_id % 37 = 0) AS bad FROM documents)",
+        ["lang"],
+        "CASE WHEN NOT bad THEN CAST(doc_id AS VARCHAR) END",
+        count_alias="_n_rows",
+        digest_alias="good_ids_md5",
+        sum_exprs={
+            "n_good": "CASE WHEN NOT bad THEN 1 ELSE 0 END",
+            "n_quarantined": "CASE WHEN bad THEN 1 ELSE 0 END",
+            "chars_good": "CASE WHEN NOT bad THEN n_chars ELSE 0 END",
+        },
+    )})
+    ORDER BY lang
     """,
 )
 def d149_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,26 +520,24 @@ def d149_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(out)
     )
     good = F.col("_quarantine").isNull()
-    return (
-        back.groupBy("lang")
-        .agg(
-            F.sum(good.cast("long")).alias("n_good"),
-            F.sum((~good).cast("long")).alias("n_quarantined"),
-            F.sum(F.when(good, F.col("n_chars")).otherwise(0)).alias("chars_good"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.when(good, F.col("doc_id")))
-                        ),
-                        lambda x: x.cast("string"),
-                    ),
-                )
-            ).alias("good_ids_md5"),
-        )
-        .orderBy("lang")
+    # Two-level digest (functions/digest.py): the good-id roster per
+    # lang is corpus-scale — never one reducer's buffer. Quarantined
+    # rows carry a NULL payload: counted, not digested (both engines).
+    cls = back.select(
+        "lang",
+        F.when(good, F.col("doc_id").cast("string")).alias("gid"),
+        good.cast("long").alias("g"),
+        (~good).cast("long").alias("b"),
+        F.when(good, F.col("n_chars")).otherwise(0).alias("cg"),
     )
+    return two_level_digest(
+        cls,
+        ["lang"],
+        F.col("gid"),
+        count_alias="_n_rows",
+        digest_alias="good_ids_md5",
+        sum_cols={"n_good": "g", "n_quarantined": "b", "chars_good": "cg"},
+    ).select("lang", "n_good", "n_quarantined", "chars_good", "good_ids_md5")
 
 
 # ---------------------------------------------------------------------------
