@@ -3,9 +3,17 @@ shape (Q3/Q5-like), exercising the D-rows *together* the way real
 workloads do: selective scans → broadcast dim joins → fact-fact join →
 partial+final aggregation → top-k.
 
-Scale notes: every dim join is broadcast; the lineitem⋈orders join is
-the only large shuffle and AQE picks its strategy; top-k compiles to
-TakeOrderedAndProject (no global sort materialization).
+Scale notes (r9 broadcast-hint discipline): ``F.broadcast`` hints ONLY
+on frames whose cardinality is bounded by CONSTRUCTION at every SF —
+nation (25), region (5), 1-row aggregates (max_rev/avg_bal/total).
+customer/supplier/part and any lineitem-derived subset scale with SF
+(supplier = 10k×SF rows: ~1 B rows at the 100 TB point — a forced
+broadcast OOMs the build side), so those joins are left to the
+planner: AQE broadcasts them while small and swaps to sort-merge /
+shuffled-hash from runtime stats at scale — the same swap-note
+doctrine as D21/D158. The lineitem⋈orders join is the only always-large
+shuffle; top-k compiles to TakeOrderedAndProject (no global sort
+materialization).
 """
 
 from __future__ import annotations
@@ -38,14 +46,15 @@ from ..registry import query
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: two selective scans, broadcast customer filter,
-    fact-fact join, grouped revenue, top-10."""
+    """TPC-H Q3 shape: two selective scans, an unhinted customer join
+    (AQE broadcasts while small, SMJ at scale), fact-fact join,
+    grouped revenue, top-10."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -83,8 +92,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: five joins (three broadcast dims), date-banded
-    fact scan, grouped revenue per nation."""
+    """TPC-H Q5 shape: five joins (nation/region broadcast, supplier
+    unhinted — SF-proportional), date-banded fact scan, grouped
+    revenue per nation."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
@@ -97,7 +107,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -234,7 +244,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -271,8 +281,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: national market share — conditional-sum ratio
-    over an 8-table join. Part/supplier/nation/region broadcast;
-    lineitem⋈orders is the only large shuffle."""
+    over an 8-table join. Nation/region broadcast; part and
+    supplier joins are unhinted (SF-proportional); lineitem⋈orders is
+    the only large shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     s = load_table(spark, sf_dir, "supplier")
@@ -286,8 +297,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -466,7 +477,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(max_rev), F.col("total_revenue") == F.col("max_rev")
     )
     return (
-        top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
+        top.join(s, top.supplier_no == s.s_suppkey)
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("name"),
@@ -507,7 +518,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("l_partkey")
     flt = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     )
@@ -588,11 +599,11 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs over a fact⋈dim join. Catalyst
     extracts the common p_brand/p_size disjunction for the part side so
-    the broadcast build set is pre-filtered; the residual evaluates
+    the (unhinted, AQE-sized) build set is pre-filtered; the residual evaluates
     post-join in codegen."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
          & F.col("l_quantity").between(1, 11))
@@ -688,7 +699,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     eligible = (
-        supply.join(F.broadcast(s), supply.sk == s.s_suppkey)
+        supply.join(s, supply.sk == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("pk", "unit_cost", "s_suppkey", "s_name", "s_acctbal", "n_name")
@@ -698,7 +709,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         eligible.join(min_cost, ["pk"])
         .filter(F.col("unit_cost") == F.col("mc"))
-        .join(F.broadcast(p), F.col("pk") == F.col("p_partkey"))
+        .join(p, F.col("pk") == F.col("p_partkey"))
         .select(
             F.col("s_acctbal").alias("acctbal"),
             F.col("s_name").alias("sname"),
@@ -739,8 +750,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
         .agg(pround(F.sum(profit), 2).alias("profit"))
@@ -776,7 +787,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     nat_value = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
@@ -854,8 +865,8 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("p_type").alias("type"),
@@ -896,14 +907,14 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
     shipped = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.col("l_suppkey").alias("sk"))
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50)
     )
     s = load_table(spark, sf_dir, "supplier")
     return (
-        s.join(F.broadcast(shipped), s.s_suppkey == shipped.sk, "left_semi")
+        s.join(shipped, s.s_suppkey == shipped.sk, "left_semi")
         .select(F.col("s_name").alias("sname"), F.col("s_acctbal").cast("double").alias("acctbal"))
         .orderBy("sname")
     )
@@ -970,7 +981,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     return (
-        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        sole_late.join(s, sole_late.l_suppkey == s.s_suppkey)
         .groupBy(F.col("s_name").alias("sname"))
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "sname")

@@ -84,15 +84,19 @@ def d69_normalize_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d70_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF (smoothed idf): explode → tf per (doc,term), df per term,
-    broadcast the term-df side. Projected for doc_id < 30 but computed
-    over the whole corpus (df is global)."""
+    term-keyed rejoin. Projected for doc_id < 30 but computed over the
+    whole corpus (df is global). The df join is deliberately UNHINTED
+    (the d158 doctrine): df is one row per vocabulary type, which grows
+    with the corpus (Heaps' law) — AQE broadcasts it while small and
+    sort-merges the term-keyed join at scale; a forced broadcast would
+    OOM the build side on a 100 TB vocabulary."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .filter(F.col("doc_id") < 30)
         .select(
             "doc_id",

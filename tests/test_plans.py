@@ -445,6 +445,28 @@ def test_arrival_loop_result_reads_only_persisted_state(spark, sf_dir):
     assert not a["nested_loop_join"]
 
 
+def test_composites_broadcast_hints_only_bounded_frames():
+    """r9 broadcast-hint discipline (the d158/d21 doctrine applied to
+    the TPC-H composites): ``F.broadcast`` may wrap only frames whose
+    cardinality is bounded by CONSTRUCTION at every SF — nation (25),
+    region (5), and 1-row scalar aggregates. customer/supplier/part and
+    lineitem-derived subsets scale with SF (supplier ~1 B rows at the
+    100 TB point) and must stay unhinted so AQE can swap the join
+    strategy from runtime stats. Same rule for d70's vocabulary-sized
+    term-df join in textstats."""
+    import pathlib
+    import re as _re
+
+    qdir = pathlib.Path(__file__).resolve().parent.parent / "charlotte_spark" / "queries"
+    src = (qdir / "composites.py").read_text()
+    allowed = {"n", "n1", "n2", "r", "max_rev", "avg_bal", "total"}
+    hinted = set(_re.findall(r"F\.broadcast\((\w+)\)", src))
+    assert hinted <= allowed, f"unbounded broadcast hints in composites: {hinted - allowed}"
+    # d70: the whole-vocab df join must stay unhinted.
+    ts = (qdir / "textstats.py").read_text()
+    assert "tf.join(F.broadcast(df)" not in ts, "d70 term-df join must stay unhinted"
+
+
 def test_gapfill_is_join_free(audits):
     """d137: the gap-fill must be the lag-window + explode(sequence)
     formulation — NO join of any kind (the dense-spine left join is the

@@ -333,3 +333,33 @@ def test_tws_session_processor_logic():
     assert out3["session_start"].tolist() == ["2024-01-01 01:00:00"]
     assert out3["n_events"].tolist() == [1]
     assert not handle.state.exists()
+
+
+def test_restart_audit_flag_has_teeth(spark):
+    """d182's exactly_once literal is only evidence if a ledgerless sink
+    actually changes the star: re-delivering an applied batch through
+    `_apply_batch_body` (what a foreachBatch sink WITHOUT the
+    applied-batch ledger does when Spark replays after a crash) must
+    add duplicate fact rows — so the d182 digest comparison flips its
+    flag and the driver hash goes red."""
+    from charlotte_spark.queries.charlotte_pipeline import (
+        _fresh_db,
+        _star_summary,
+        u2_fixture,
+    )
+    from charlotte_spark.sources.u2_spark import read_spools
+    from charlotte_spark.streaming.maps import load_maps
+    from charlotte_spark.streaming.snorby import _apply_batch_body, enrich
+
+    fx = u2_fixture()
+    db = _fresh_db(spark, "ledgerless")
+    alerts = read_spools(spark, fx["spools"], streaming=False)
+    sig_map, class_map = load_maps(
+        spark, fx["sig_map"], fx["gen_map"], fx["class_map"]
+    )
+    enriched = enrich(alerts, sig_map, class_map)
+    _apply_batch_body(db, enriched, 0)
+    once = _star_summary(spark, db).count()
+    _apply_batch_body(db, enriched, 0)  # ledgerless re-delivery
+    twice = _star_summary(spark, db).count()
+    assert twice > once, "ledgerless re-delivery must duplicate fact rows"
