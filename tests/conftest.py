@@ -17,12 +17,11 @@ import numpy as np
 import pytest
 
 # Namespace the round-trip digest scratch BEFORE any query module can
-# bake paths into oracle SQL strings: the default RT_DIR is shared, so
-# a pytest run interleaving with the driver (or a sweep) at another SF
-# would overwrite the materialized parquet between one engine's fold
-# and the other's (ADVICE r07). Per-process paths end the race; within
-# this process write and fold always agree because both read the same
-# module-level constant.
+# bake paths into oracle SQL strings. Since r9, RT_DIR itself appends a
+# per-process run token (ADVICE r07 #2), so this env override is belt
+# and braces: it also moves pytest scratch out of the production
+# default root entirely. Within this process write and fold always
+# agree because both read the same module-level constant.
 os.environ.setdefault("CHARLOTTE_RT_TMP", f"/tmp/charlotte_rt_pytest_{os.getpid()}")
 
 from charlotte_spark.catalog import TABLE_NAMES  # noqa: E402
