@@ -1455,7 +1455,9 @@ def d181_lsh_arrival_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     layouts; the accepted-id digest is the shared two-level bucketed
     fold (functions/digest.py), so no reducer buffers a round's
     accepted set."""
+    import atexit as _atexit
     import os as _os
+    import shutil as _shutil
 
     from ..functions.digest import two_level_digest
     from ..streaming.harness import _scratch_root
@@ -1464,6 +1466,9 @@ def d181_lsh_arrival_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_scratch_root('CHARLOTTE_LOOP_TMP', 'charlotte_lsh_loop')}"
         f"/{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
     )
+    # pid-scoped scratch accumulates across interpreters (tmpfs = RAM):
+    # reclaim our own at exit; re-registering per call is harmless.
+    _atexit.register(_shutil.rmtree, root, ignore_errors=True)
     d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
     # round 0: bootstrap the persisted index + status ledger

@@ -32,7 +32,9 @@ import-time token is consistent where it must be.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,6 +43,12 @@ from ..functions.digest import sql_two_level_digest, two_level_digest
 from ..streaming.harness import _scratch_root
 
 RT_DIR = f"{_scratch_root('CHARLOTTE_RT_TMP', 'charlotte_rt')}/run_{os.getpid()}"
+
+# The per-process token ends the cross-process race, but it also means
+# every interpreter leaves a fresh dir behind (tmpfs = RAM); reclaim our
+# own at exit — the digest comparison always completes within one
+# process lifetime, so nothing reads it afterwards.
+atexit.register(shutil.rmtree, RT_DIR, ignore_errors=True)
 
 
 def rt_path(name: str) -> str:
