@@ -79,3 +79,51 @@ def test_digest_is_order_and_partitioning_independent(spark):
     da = two_level_digest(a, ["g"], F.col("payload")).collect()[0]["digest"]
     db = two_level_digest(b, ["g"], F.col("payload")).collect()[0]["digest"]
     assert da == db
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _payloads = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet="xyz,|0123456789 ",  # incl. the fold separator
+                    min_size=0,
+                    max_size=8,
+                ),
+            ),
+        ),
+        min_size=0,
+        max_size=60,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(rows=_payloads)
+    def test_two_level_digest_property_matches_duckdb(spark, rows):
+        """Property: for ANY multiset of (group, payload-or-NULL) rows —
+        duplicates, empty strings, payloads containing the fold
+        separator — the Spark two-level fold and the DuckDB SQL twin
+        produce identical (group, count, digest) rows."""
+        df = spark.createDataFrame(rows, "g string, payload string") if rows else (
+            spark.createDataFrame([], "g string, payload string")
+        )
+        got = [
+            (r["g"], r["n_rows"], r["digest"])
+            for r in two_level_digest(df, ["g"], F.col("payload")).collect()
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (g VARCHAR, payload VARCHAR)")
+        if rows:
+            con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = con.execute(sql_two_level_digest("t", ["g"], "payload")).fetchall()
+        con.close()
+        assert got == want
