@@ -85,7 +85,10 @@ _LIVE_CACHES: list[DataFrame] = []
 def release_prefix_caches() -> None:
     """Unpersist every live prefix cache (harness/session teardown)."""
     while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass  # owning session already stopped — blocks died with it
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -103,11 +106,11 @@ def _materialize(df: DataFrame) -> DataFrame:
     for old in list(_LIVE_CACHES):
         _LIVE_CACHES.remove(old)
         try:
-            same = old._jdf.queryExecution().analyzed().sameResult(new_plan)
+            if not old._jdf.queryExecution().analyzed().sameResult(new_plan):
+                old.unpersist()
         except Exception:
-            same = True  # can't compare → keep the entry (leak one, stay correct)
-        if not same:
-            old.unpersist()
+            pass  # stale/stopped session or incomparable plan: keep the
+            # entry rather than risk evicting the one just persisted
     _LIVE_CACHES.append(cached)
     return cached
 
