@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load_table
+from ..functions.digest import sql_two_level_digest, two_level_digest
 from ..functions.portable import pround, sql_round
 from ..functions.shingles import explode_shingles
 from ..registry import query
@@ -202,43 +203,41 @@ def d106_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d107_inverted_index",
     tags=("D107", "D69"),
-    oracle="""
-    WITH posting AS (
-        SELECT DISTINCT unnest(string_split(text, ' ')) AS token, doc_id
-        FROM documents
-    ),
-    idx AS (
-        SELECT token,
-               CAST(count(*) AS BIGINT) AS df,
-               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-        FROM posting GROUP BY token
-    )
-    SELECT token, df, md5(postings) AS postings_md5
-    FROM idx ORDER BY df DESC, token LIMIT 20
+    oracle=f"""
+    SELECT token, df, postings_md5
+    FROM ({sql_two_level_digest(
+        "(SELECT DISTINCT unnest(string_split(text, ' ')) AS token, doc_id"
+        " FROM documents)",
+        ["token"],
+        "CAST(doc_id AS VARCHAR)",
+        count_alias="df",
+        digest_alias="postings_md5",
+    )})
+    ORDER BY df DESC, token LIMIT 20
     """,
 )
 def d107_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index build: token → sorted posting list of doc_ids,
-    reported for the 20 highest-document-frequency terms with the
-    posting lists verified by digest. ONE shuffle keyed on the token
-    builds every posting list (collect_list + array_sort per key);
-    at 100 TB posting lists for stop-word-class tokens are the skew
-    risk — production layouts split them into blocks, which is the
-    same groupBy with a (token, doc_id div B) key."""
+    """Inverted-index build: token → posting set of doc_ids, reported
+    for the 20 highest-document-frequency terms with the posting lists
+    verified by digest. The per-token fold is the shared TWO-LEVEL
+    bucketed digest (functions/digest.py) — level 1 keys on (token,
+    doc_id-bucket), level 2 folds <= B sub-digests per token — which IS
+    the blocked posting layout production indexes use for
+    stop-word-class tokens: at 100 TB a stop word's posting list is a
+    meaningful fraction of the corpus, and a single collect_list buffer
+    per token (the pre-r9 shape) put all of it on one reducer. df
+    counts ride the same fold exactly (bucket membership is a pure
+    function of doc_id)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     posting = docs.select(
         F.explode(F.split("text", " ")).alias("token"), "doc_id"
     ).distinct()
-    idx = posting.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
-                ),
-            )
-        ).alias("postings_md5"),
+    idx = two_level_digest(
+        posting,
+        ["token"],
+        F.col("doc_id").cast("string"),
+        count_alias="df",
+        digest_alias="postings_md5",
     )
     return idx.orderBy(F.desc("df"), "token").limit(20)
 
