@@ -56,6 +56,39 @@ def _median(xs: list[float]) -> float:
     return sorted(xs)[len(xs) // 2]
 
 
+def _host_noise_snapshot() -> dict:
+    """Host-noise evidence captured alongside the timings (VERDICT r09
+    #2): the bench VM has heavy uncontrolled CPU steal — same-code
+    timings swing up to 3x between windows — so every artifact carries
+    the loadavg and cumulative steal counters needed to adjudicate
+    movers without a manual same-host A/B."""
+    snap = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            snap["loadavg"] = [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        pass
+    try:
+        with open("/proc/stat") as fh:
+            cpu = fh.readline().split()  # cpu user nice sys idle iowait irq softirq steal
+        fields = [int(x) for x in cpu[1:9]]
+        snap["cpu_total_jiffies"] = sum(fields)
+        snap["cpu_steal_jiffies"] = fields[7]
+    except (OSError, IndexError, ValueError):
+        pass
+    return snap
+
+
+def _steal_pct(start: dict, end: dict) -> float | None:
+    """CPU-steal percentage over the benchmarked window."""
+    try:
+        dt = end["cpu_total_jiffies"] - start["cpu_total_jiffies"]
+        ds = end["cpu_steal_jiffies"] - start["cpu_steal_jiffies"]
+        return round(100.0 * ds / dt, 2) if dt > 0 else None
+    except KeyError:
+        return None
+
+
 def bench_ingest(spark) -> dict:
     """Charlotte streaming pipeline throughput on synthetic unified2
     spools: events/s through parse→decode→enrich→star (BASELINE.md).
@@ -75,7 +108,7 @@ def bench_ingest(spark) -> dict:
     fx = u2_fixture(n_files=3, events_per_file=2000)
     n_events = 3 * 2000 + 2 * 2000  # sensor_a: 3 files, sensor_b: 2 files
     secs = []
-    for i in range(RUNS):
+    for i in range(max(RUNS, 3)):  # ingest is always median-of->=3
         db = _fresh_db(spark, f"bench_ingest_{i}")
         ckpt = f"{db.path}_ckpt"
         if os.path.exists(ckpt):
@@ -85,7 +118,8 @@ def bench_ingest(spark) -> dict:
         secs.append(time.perf_counter() - t0)
     dt = _median(secs)
     return {"ingest_events": n_events, "ingest_sec": round(dt, 3),
-            "ingest_events_per_sec": round(n_events / dt, 1)}
+            "ingest_events_per_sec": round(n_events / dt, 1),
+            "ingest_runs_sec": [round(s, 3) for s in sorted(secs)]}
 
 
 def main() -> None:
@@ -96,23 +130,38 @@ def main() -> None:
         names = [n.strip() for n in subset.split(",") if n.strip() in reg]
 
     spark = get_spark("charlotte-spark-bench", cpus=CPUS)
+    noise_start = _host_noise_snapshot()
 
     warm0 = time.perf_counter()
     reg[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     warmup = time.perf_counter() - warm0
 
     times: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
         runs = [_run(lambda: reg[name].fn(spark, SF_DIR)) for _ in range(RUNS)]
+        all_runs[name] = sorted(runs)
         times[name] = round(_median(runs), 3)
     for name in HEADLINE:
         if name in reg and (subset is None or name in names):
-            runs = [times[name]] + [
+            runs = all_runs[name] + [
                 _run(lambda: reg[name].fn(spark, SF_DIR)) for _ in range(2)
             ]
+            all_runs[name] = sorted(runs)
             times[name] = round(_median(runs), 3)
 
     ingest = bench_ingest(spark) if subset is None else {}
+    noise_end = _host_noise_snapshot()
+
+    # Variance columns (VERDICT r09 #2): per-query relative spread
+    # ((max-min)/median across the RUNS repeats) so cross-round movers
+    # can be adjudicated against the in-run jitter, not just the
+    # documented ~1.5x cross-window noise band.
+    spread = {
+        n: round((rs[-1] - rs[0]) / max(times[n], 1e-9), 3)
+        for n, rs in all_runs.items()
+    }
+    spreads_sorted = sorted(spread.values())
 
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
@@ -121,6 +170,13 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "query_runs": {n: [round(x, 3) for x in rs] for n, rs in all_runs.items()},
+        "query_rel_spread": spread,
+        "rel_spread_median": spreads_sorted[len(spreads_sorted) // 2],
+        "rel_spread_p90": spreads_sorted[int(len(spreads_sorted) * 0.9)],
+        "host_noise_start": noise_start,
+        "host_noise_end": noise_end,
+        "cpu_steal_pct": _steal_pct(noise_start, noise_end),
         "sf": sf,
         "warmup_sec": round(warmup, 3),
         "n_queries": len(times),
@@ -138,7 +194,12 @@ def main() -> None:
     # stdout gets ONE short line (<1.5 KB): headline metric + the 10
     # slowest queries, so the driver can parse it whole.
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
-    summary = {k: v for k, v in detail.items() if k != "queries"}
+    summary = {
+        k: v
+        for k, v in detail.items()
+        if k not in ("queries", "query_runs", "query_rel_spread",
+                     "host_noise_start", "host_noise_end", "ingest_runs_sec")
+    }
     summary["queries"] = slowest
     summary["queries_detail"] = "BENCH_DETAIL.json"
     print(json.dumps(summary, separators=(",", ":")))

@@ -25,7 +25,11 @@ NULL symmetry: NULL payloads hash to a NULL bucket and are counted but
 never digested (both engines skip NULLs in the fold); a bucket or
 group with zero non-null payloads yields a NULL sub-digest/digest in
 BOTH engines (the explicit ``when(size=0)`` guard below mirrors
-DuckDB's ``md5(string_agg(...)) -> NULL`` on empty input).
+DuckDB's ``md5(string_agg(...)) -> NULL`` on empty input). The level-2
+row COUNT and carried sums are coalesced to 0, so a global
+(``group_cols=[]``) digest of an EMPTY input returns ``(0, NULL, 0...)``
+rather than all-NULL — consumers treat the count as an integer
+(ADVICE r09 #3).
 """
 
 from __future__ import annotations
@@ -82,10 +86,18 @@ def two_level_digest(
             *[F.col(f"_s_{alias}") for alias in sums],
         )
     )
+    # coalesce(..., 0): with group_cols=[] and an EMPTY input, level 2
+    # aggregates zero level-1 rows and a bare sum() returns NULL — the
+    # count of an empty multiset is 0, not NULL (and the carried sums
+    # here are always counts in practice). Mirrored in the SQL twin so
+    # hashes stay engine-identical.
     lvl2_aggs = [
-        F.sum("_n_b").alias(count_alias),
+        F.coalesce(F.sum("_n_b"), F.lit(0)).alias(count_alias),
         F.array_sort(F.collect_list("_sub")).alias("_subs"),
-    ] + [F.sum(f"_s_{alias}").alias(alias) for alias in sums]
+    ] + [
+        F.coalesce(F.sum(f"_s_{alias}"), F.lit(0)).alias(alias)
+        for alias in sums
+    ]
     out = (
         lvl1.groupBy(*group_cols)
         .agg(*lvl2_aggs)
@@ -115,7 +127,9 @@ def sql_two_level_digest(
     sums = dict(sum_exprs or {})
     gcols = ", ".join(group_cols)
     g_pre = f"{gcols}, " if group_cols else ""
-    lvl2_sums = "".join(f", CAST(sum(_s_{a}) AS BIGINT) AS {a}" for a in sums)
+    lvl2_sums = "".join(
+        f", CAST(coalesce(sum(_s_{a}), 0) AS BIGINT) AS {a}" for a in sums
+    )
     group1 = f"GROUP BY {g_pre}_bkt" if group_cols else "GROUP BY _bkt"
     group2 = f"GROUP BY {gcols} ORDER BY {gcols}" if group_cols else ""
     return f"""
@@ -130,7 +144,7 @@ def sql_two_level_digest(
                {"".join(f", sum(_in_{a}) AS _s_{a}" for a in sums)}
         FROM _pay {group1}
     )
-    SELECT {g_pre}CAST(sum(_n_b) AS BIGINT) AS {count_alias},
+    SELECT {g_pre}CAST(coalesce(sum(_n_b), 0) AS BIGINT) AS {count_alias},
            md5(string_agg(_sub, ',' ORDER BY _sub)) AS {digest_alias}
            {lvl2_sums}
     FROM _lvl1 {group2}

@@ -109,8 +109,11 @@ def _materialize(df: DataFrame) -> DataFrame:
             if not old._jdf.queryExecution().analyzed().sameResult(new_plan):
                 old.unpersist()
         except Exception:
-            pass  # stale/stopped session or incomparable plan: keep the
-            # entry rather than risk evicting the one just persisted
+            # Stale/stopped session or incomparable plan: keep the entry
+            # rather than risk evicting the one just persisted — but keep
+            # TRACKING it too, so release_prefix_caches() can still free
+            # its DISK_ONLY blocks if the session turns out to be alive.
+            _LIVE_CACHES.append(old)
     _LIVE_CACHES.append(cached)
     return cached
 

@@ -546,12 +546,19 @@ def d182_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    crashed = False
     try:
         q.awaitTermination()
-        raise AssertionError("injected crash did not fire")
     except Exception as e:  # StreamingQueryException wrapping the injection
         if "injected crash" not in str(e):
             raise
+        crashed = True
+    if not crashed:
+        # Raised OUTSIDE the try so the except above can never swallow it
+        # (its message would otherwise match the handler's substring): a
+        # non-firing injection must fail loudly, not degrade the audit to
+        # comparing two uninterrupted runs.
+        raise AssertionError("injected crash did not fire")
 
     # resume from the same checkpoint + db: batch 1 re-delivers, the
     # ledger skips it, the remaining spool files apply once each

@@ -92,77 +92,35 @@ def query(
 # correctness gate checks the FIRST 50 entries of ``queries()`` each
 # round (CORRECTNESS_r01-r08 keys == list(queries())[:50]), so insertion
 # order decides which SURVEY rows get driver evidence. Round-9 rotation
-# (VERDICT r08, Next-round #1): slots 1-16 are the 16 queries with NO
-# driver evidence yet (the r8 additions d165-d180 incl. a172) — green
-# rows here complete driver-confirmed coverage at 203/203 SURVEY rows;
-# slots 17-50 backfill with the 34 queries holding the OLDEST evidence
-# (all last green in r03) so no query's latest green ages past six
-# rounds. Later-confirmed queries follow after the boundary, newest
-# evidence last.
+# Round-10 rotation (VERDICT r09, Next-round #1): slots 1-2 are the r9
+# additions D181/D182 (the only queries with NO driver evidence);
+# slots 3-19 the 17 TPC-H q* composites whose latest green is r02 AND
+# whose broadcast-hint discipline changed in d936768 (r9) — a driver
+# re-confirmation closes VERDICT #7; slots 20-29 the r03-evidence
+# block; slots 30-50 backfill with the 21 oldest of the r06 block so
+# no query's latest green ages past ~four rounds. Post-boundary:
+# new round-10 operators first (the r11 window candidates), then the
+# rest by evidence age, newest last.
 DRIVER_ORDER: tuple[str, ...] = (
-    # ---- round-9 window slots 1-16: the only queries with NO driver
-    # evidence yet (the r8 additions D165-D180, incl. the streaming
-    # a172 sketch) — green rows here take driver-confirmed coverage to
-    # 203/203 SURVEY rows.
-    "d165_char_entropy",
-    "d166_containment_ratio",
-    "d167_grouped_split",
-    "d168_media_type_sniff",
-    "d169_json_field_inventory",
-    "d170_dedup_yield",
-    "d171_compaction_planner",
-    "a172_streaming_hll_window",
-    "d173_token_budget_waterfill",
-    "d174_mergeable_moments",
-    "d175_embedding_dim_profile",
-    "d176_minhash_calibration",
-    "d177_zipf_fit",
-    "d178_centroid_dispersion",
-    "d179_longest_prefix_match",
-    "d180_xml_roundtrip",
-    # ---- backfill slots 17-50: the 34 oldest-evidence queries (all
-    # r03-green; 44 exist, first 34 alphabetically — the other 10 sit
-    # just past the boundary as the round-10 rotation block).
-    "a66_minhash_lsh_neardup",
-    "a83_hll_sketch_union",
-    "d27_grouping_sets",
-    "d34_lag_lead",
-    "d36_range_frame",
-    "d40_hash_sample",
-    "d41_union_all_distinct",
-    "d42_intersect_all",
-    "d43_except_all",
-    "d47_conditional_null",
-    "d48_explode",
-    "d49_map_functions",
-    "d50_json_functions",
-    "d51_hash_encoding",
-    "d52_ip_str_to_long",
-    "d53_tumbling_window",
-    "d54_sliding_window",
-    "d55_session_window",
-    "d56_watermark_late_drop",
-    "d57_streaming_dedup",
-    "d59_stream_static_join",
-    "d61_scalar_pandas_udf",
-    "d62_apply_in_pandas",
-    "d63_grouped_agg_udaf",
-    "d64_udtf_explode",
-    "d65_exact_dedup",
-    "d67_cosine_pairwise",
-    "d68_ivf_topk",
-    "d69_normalize_tokenize",
-    "d70_tf_idf",
-    "d71_langid_heuristic",
-    "d72_binary_fingerprint",
-    "d73_doc_chunking",
-    "d74_neardup_clusters",
-    # ---- 50-slot window boundary ----
-    # Round-9 additions (D181/D182): never driver-checked — round-10
-    # window leads, ahead of the remaining r03-evidence block.
     "d181_lsh_arrival_loop",
     "d182_restart_exactly_once",
-    # Remaining r03-evidence block: round-10 window backfill.
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q22_idle_customers",
     "d76_quality_repetition",
     "d77_stratified_sample",
     "d78_train_val_test_split",
@@ -173,57 +131,57 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d85_frame_sampling",
     "d86_kmeans",
     "q12_late_shipment_priority",
-    # Everything below holds r06-r08 evidence (newest last).
-    "d157_url_curation",
-    "d158_boilerplate_lines",
-    "d159_curation_scorecard",
-    "a160_hll_intersection",
-    "d161_incremental_rollup",
-    "d162_streaming_psi_drift",
-    "d163_bloom_semijoin_reduction",
-    "d164_vocab_coverage_curve",
-    "d25_global_agg",
-    "d26_count_distinct",
-    "d27_rollup",
-    "d27_cube",
-    "d28_filtered_agg",
-    "d29_collect_list_set",
-    "d30_first_last_ordered",
-    "a31_approx_count_distinct",
-    "a32_approx_quantiles",
-    "d32x_exact_percentile",
-    "d3_jdbc_scan",
-    "d5_jdbc_sink",
-    "d6_file_stream_checkpoint",
-    "d1_scan_rowcounts",
-    "d1_scan_checksum_lineitem",
-    "d2_csv_json_scan",
-    "d4_partitioned_parquet_sink",
-    "d7_select_rename",
-    "d8_computed_projection",
-    "d9_predicates",
-    "d10_null_semantics",
-    "d11_in_list",
-    "d12_like_regexp",
-    "d13_distinct",
-    "d14_inner_equijoin",
-    "d15_broadcast_dim_join",
-    "d16_left_outer_join",
-    "d16_full_outer_join",
-    "d17_left_semi_join",
-    "d18_left_anti_join",
-    "d19_cross_join",
-    "d20_range_join",
-    "d21_asof_join",
-    "d22_interval_join",
-    "d23_self_join",
-    "d24_groupby_multi_agg",
-    "q1_pricing_summary",
-    "d84_bucketed_colocated_join",
-    "d87_salted_skew_join",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q21_waiting_supplier",
+    "d46_math_functions",
+    "d75_embedding_quantize",
+    "r_charlotte_graceful_drain",
+    "d88_pii_redaction",
+    "d89_intradoc_line_dedup",
+    "a90_heavy_hitters",
+    "d91_pivot",
+    "d91_unpivot",
+    "d92_stream_stream_join",
+    "d93_summary_stats",
+    "a94_bloom_contamination",
+    "d95_vocab_topk",
+    "a96_countmin_sketch",
+    "d97_pagerank",
+    "d98_scd2_history",
+    "d99_orc_roundtrip",
+    "d100_temperature_sampling",
+    "d101_shard_export",
+    "d102_pca_power",
+    "d103_conversion_funnel",
+    "d104_cohort_retention",
+    # ---- 50-slot window boundary ----
+    "d105_fuzzy_reconcile",
+    "d106_pmi_collocations",
+    "d107_inverted_index",
+    "d108_sql_text_surface",
+    "d109_recursive_cte",
+    "d110_python_udtf",
+    "d111_session_paths",
+    "d112_histogram",
+    "d113_chi_square",
+    "d114_grouped_regression",
+    "d115_ohlc_downsample",
+    "d33_ranking_functions",
+    "d35_running_aggregates",
+    "d37_topk_per_group",
+    "d38_multikey_sort",
+    "d39_topk_limit",
+    "d44_string_functions",
+    "d45_datetime_functions",
+    "d42_intersect",
+    "d43_except",
+    "d48_array_functions",
+    "d66_simhash",
+    "d66_ngram_jaccard",
+    "a68_lsh_ann_topk",
+    "d67_embedding_neardup",
+    "d69_quality_score",
+    "d69_token_count",
+    "d69_fingerprint",
+    "d71_language_stats",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",
@@ -274,56 +232,106 @@ DRIVER_ORDER: tuple[str, ...] = (
     "r_charlotte_ingest_decode",
     "r_charlotte_batch_pipeline",
     "r_charlotte_text_mode",
-    "d46_math_functions",
-    "d75_embedding_quantize",
-    "r_charlotte_graceful_drain",
-    "d88_pii_redaction",
-    "d89_intradoc_line_dedup",
-    "a90_heavy_hitters",
-    "d91_pivot",
-    "d91_unpivot",
-    "d92_stream_stream_join",
-    "d93_summary_stats",
-    "a94_bloom_contamination",
-    "d95_vocab_topk",
-    "a96_countmin_sketch",
-    "d97_pagerank",
-    "d98_scd2_history",
-    "d99_orc_roundtrip",
-    "d100_temperature_sampling",
-    "d101_shard_export",
-    "d102_pca_power",
-    "d103_conversion_funnel",
-    "d104_cohort_retention",
-    "d105_fuzzy_reconcile",
-    "d106_pmi_collocations",
-    "d107_inverted_index",
-    "d108_sql_text_surface",
-    "d109_recursive_cte",
-    "d110_python_udtf",
-    "d111_session_paths",
-    "d112_histogram",
-    "d113_chi_square",
-    "d114_grouped_regression",
-    "d115_ohlc_downsample",
-    "d33_ranking_functions",
-    "d35_running_aggregates",
-    "d37_topk_per_group",
-    "d38_multikey_sort",
-    "d39_topk_limit",
-    "d44_string_functions",
-    "d45_datetime_functions",
-    "d42_intersect",
-    "d43_except",
-    "d48_array_functions",
-    "d66_simhash",
-    "d66_ngram_jaccard",
-    "a68_lsh_ann_topk",
-    "d67_embedding_neardup",
-    "d69_quality_score",
-    "d69_token_count",
-    "d69_fingerprint",
-    "d71_language_stats",
+    "d157_url_curation",
+    "d158_boilerplate_lines",
+    "d159_curation_scorecard",
+    "a160_hll_intersection",
+    "d161_incremental_rollup",
+    "d162_streaming_psi_drift",
+    "d163_bloom_semijoin_reduction",
+    "d164_vocab_coverage_curve",
+    "d25_global_agg",
+    "d26_count_distinct",
+    "d27_rollup",
+    "d27_cube",
+    "d28_filtered_agg",
+    "d29_collect_list_set",
+    "d30_first_last_ordered",
+    "a31_approx_count_distinct",
+    "a32_approx_quantiles",
+    "d32x_exact_percentile",
+    "d3_jdbc_scan",
+    "d5_jdbc_sink",
+    "d6_file_stream_checkpoint",
+    "d1_scan_rowcounts",
+    "d1_scan_checksum_lineitem",
+    "d2_csv_json_scan",
+    "d4_partitioned_parquet_sink",
+    "d7_select_rename",
+    "d8_computed_projection",
+    "d9_predicates",
+    "d10_null_semantics",
+    "d11_in_list",
+    "d12_like_regexp",
+    "d13_distinct",
+    "d14_inner_equijoin",
+    "d15_broadcast_dim_join",
+    "d16_left_outer_join",
+    "d16_full_outer_join",
+    "d17_left_semi_join",
+    "d18_left_anti_join",
+    "d19_cross_join",
+    "d20_range_join",
+    "d21_asof_join",
+    "d22_interval_join",
+    "d23_self_join",
+    "d24_groupby_multi_agg",
+    "q1_pricing_summary",
+    "d84_bucketed_colocated_join",
+    "d87_salted_skew_join",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q21_waiting_supplier",
+    "d165_char_entropy",
+    "d166_containment_ratio",
+    "d167_grouped_split",
+    "d168_media_type_sniff",
+    "d169_json_field_inventory",
+    "d170_dedup_yield",
+    "d171_compaction_planner",
+    "a172_streaming_hll_window",
+    "d173_token_budget_waterfill",
+    "d174_mergeable_moments",
+    "d175_embedding_dim_profile",
+    "d176_minhash_calibration",
+    "d177_zipf_fit",
+    "d178_centroid_dispersion",
+    "d179_longest_prefix_match",
+    "d180_xml_roundtrip",
+    "a66_minhash_lsh_neardup",
+    "a83_hll_sketch_union",
+    "d27_grouping_sets",
+    "d34_lag_lead",
+    "d36_range_frame",
+    "d40_hash_sample",
+    "d41_union_all_distinct",
+    "d42_intersect_all",
+    "d43_except_all",
+    "d47_conditional_null",
+    "d48_explode",
+    "d49_map_functions",
+    "d50_json_functions",
+    "d51_hash_encoding",
+    "d52_ip_str_to_long",
+    "d53_tumbling_window",
+    "d54_sliding_window",
+    "d55_session_window",
+    "d56_watermark_late_drop",
+    "d57_streaming_dedup",
+    "d59_stream_static_join",
+    "d61_scalar_pandas_udf",
+    "d62_apply_in_pandas",
+    "d63_grouped_agg_udaf",
+    "d64_udtf_explode",
+    "d65_exact_dedup",
+    "d67_cosine_pairwise",
+    "d68_ivf_topk",
+    "d69_normalize_tokenize",
+    "d70_tf_idf",
+    "d71_langid_heuristic",
+    "d72_binary_fingerprint",
+    "d73_doc_chunking",
+    "d74_neardup_clusters",
 )
 
 # How many leading entries of queries() the driver's correctness gate

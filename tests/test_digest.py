@@ -72,6 +72,27 @@ def test_global_digest_and_sums_match_duckdb(spark, duck_mixed):
     assert [(r["n"], r["d"], r["tw"]) for r in got] == want
 
 
+def test_global_digest_on_empty_input_counts_zero(spark):
+    """ADVICE r09 #3: with group_cols=[] and an EMPTY input, the level-2
+    count and carried sums must come back 0 (not NULL) in BOTH engines —
+    consumers (d121/d127 accounting) treat the count as an integer. The
+    digest itself stays NULL (empty multiset)."""
+    df = spark.createDataFrame([], "g string, payload string, w int").filter(
+        F.lit(False)
+    )
+    got = two_level_digest(
+        df, [], F.col("payload"), count_alias="n", sum_cols={"tw": "w"}
+    ).collect()
+    assert [(r["n"], r["digest"], r["tw"]) for r in got] == [(0, None, 0)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (payload VARCHAR, w INT)")
+    sql = sql_two_level_digest(
+        "e", [], "payload", count_alias="n", sum_exprs={"tw": "w"}
+    )
+    assert con.execute(sql).fetchall() == [(0, None, 0)]
+    con.close()
+
+
 def test_digest_is_order_and_partitioning_independent(spark):
     rows = [("g", f"v{i}") for i in range(100)]
     a = spark.createDataFrame(rows, "g string, payload string").repartition(7)

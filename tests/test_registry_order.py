@@ -26,55 +26,41 @@ def test_enumeration_puts_driver_order_first():
 
 
 def test_window_covers_fixes_and_never_verified_rows():
-    """Round-9 rotation (VERDICT r08 #1): slots 1-16 are the only
-    queries with zero driver evidence (the r8 additions d165-d180,
-    incl. the streaming a172 sketch) — green rows complete coverage at
-    203/203 SURVEY rows; slots 17-50 refresh the 34 oldest-evidence
-    queries (the r03 block) so no query's latest green ages past six
-    rounds."""
+    """Round-10 rotation (VERDICT r09 #1): slots 1-2 are the r9
+    additions D181/D182 (the only zero-evidence queries) — green rows
+    take driver-confirmed coverage to 205/205 SURVEY rows; slots 3-19
+    the 17 TPC-H composites last green in r02 and re-planned by the
+    r9 broadcast-hint change; slots 20-29 the r03 block; slots 30-50
+    refresh the oldest 21 of the r06 block."""
     window = list(load_all_queries())[:DRIVER_WINDOW]
-    # The never-driver-checked r8 additions lead the window.
-    assert window[:16] == [
-        "d165_char_entropy",
-        "d166_containment_ratio",
-        "d167_grouped_split",
-        "d168_media_type_sniff",
-        "d169_json_field_inventory",
-        "d170_dedup_yield",
-        "d171_compaction_planner",
-        "a172_streaming_hll_window",
-        "d173_token_budget_waterfill",
-        "d174_mergeable_moments",
-        "d175_embedding_dim_profile",
-        "d176_minhash_calibration",
-        "d177_zipf_fit",
-        "d178_centroid_dispersion",
-        "d179_longest_prefix_match",
-        "d180_xml_roundtrip",
-    ]
-    # A sample of the stale-r03 refresh block must all be inside.
+    # The never-driver-checked r9 additions lead the window.
+    assert window[:2] == ["d181_lsh_arrival_loop", "d182_restart_exactly_once"]
+    # The r02-evidence TPC-H block (hint discipline changed in r9) and
+    # a sample of the r03/early-r06 refresh blocks must all be inside.
     for must in (
-        "a66_minhash_lsh_neardup",
-        "a83_hll_sketch_union",
-        "d41_union_all_distinct",
-        "d47_conditional_null",
-        "d49_map_functions",
-        "d51_hash_encoding",
-        "d54_sliding_window",
-        "d56_watermark_late_drop",
-        "d59_stream_static_join",
-        "d62_apply_in_pandas",
-        "d65_exact_dedup",
-        "d74_neardup_clusters",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q8_market_share",
+        "q18_large_volume_customer",
+        "q22_idle_customers",
+        "d76_quality_repetition",
+        "d79_contamination_screen",
+        "d82_custom_stateful_sessions",
+        "d86_kmeans",
+        "q12_late_shipment_priority",
+        "d88_pii_redaction",
+        "a94_bloom_contamination",
+        "d97_pagerank",
+        "d104_cohort_retention",
     ):
         assert must in window, f"{must} fell out of the driver window"
     # Every window slot must be hash-checkable: the whole rows-only
-    # class was retired in r7 (all 227 queries carry oracles).
+    # class was retired in r7 (all queries carry oracles).
     reg = load_all_queries()
     rows_only = [n for n in window if reg[n].oracle is None]
     assert not rows_only, f"rows-only slots: {rows_only}"
-    # Nothing already driver-green in r06-r08 may occupy a slot.
-    for stale in ("d157_url_curation", "d25_global_agg", "d15_broadcast_dim_join"):
+    # Nothing already driver-green in r07-r09 may occupy a slot.
+    for stale in ("d157_url_curation", "d25_global_agg", "d165_char_entropy"):
         assert stale not in window, f"{stale} wastes a window slot"
 
 
