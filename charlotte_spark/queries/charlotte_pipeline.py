@@ -38,6 +38,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.digest import two_level_digest
 from ..registry import query
 from .roundtrip import rt_digest, rt_oracle, rt_path
 from ..session import local_df
@@ -606,4 +607,183 @@ def d182_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exactly_once"),
         )
         .orderBy("hostname")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D185: spool-set evolution under checkpoint (R4 at day-2 ops)
+# ---------------------------------------------------------------------------
+
+
+def _evo_decoded(spark: SparkSession, parent: str, streaming: bool) -> DataFrame:
+    """ONE binaryFile source over a parent-directory glob, sensor
+    identity derived from the subdirectory name. This is the
+    evolution-safe R4 shape: Structured Streaming forbids changing the
+    NUMBER or type of sources across a checkpoint restart, so
+    read_spools' union-per-directory cannot grow at day 2 — but a new
+    subdirectory under one glob source is just new FILES to the same
+    source, which the file-source seen-files log admits incrementally."""
+    from ..sources.u2_spark import (
+        ALERT_FLAT_SCHEMA,
+        DECODED_SCHEMA,
+        _decode_frames,
+        _parse_files,
+    )
+
+    schema = "path string, modificationTime timestamp, length long, content binary"
+    if streaming:
+        src = (
+            spark.readStream.format("binaryFile")
+            .schema(schema)
+            .option("pathGlobFilter", "snort.u2*")
+            # 2 files/trigger: still multi-batch per phase (the resume
+            # crosses batch boundaries), half the fixed micro-batch cost
+            .option("maxFilesPerTrigger", "2")
+            .load(f"{parent}/*")
+        )
+    else:
+        src = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "snort.u2*")
+            .load(f"{parent}/*")
+        )
+    tagged = src.select(
+        F.regexp_extract("path", r"([^/]+)/snort\.u2", 1).alias("sensor_name"),
+        "content",
+    )
+    flat = tagged.mapInPandas(_parse_files, ALERT_FLAT_SCHEMA)
+    return flat.mapInPandas(_decode_frames, DECODED_SCHEMA)
+
+
+def _evo_payload(decoded: DataFrame) -> DataFrame:
+    return decoded.select(
+        "sensor_name",
+        F.concat_ws(
+            "|",
+            F.col("event_id"),
+            F.col("event_second"),
+            F.col("signature_id"),
+            F.coalesce(F.col("packet_pos").cast("string"), F.lit("-")),
+            F.coalesce(F.col("ip_src"), F.lit("-")),
+            F.coalesce(F.col("ip_dst"), F.lit("-")),
+        ).alias("payload"),
+    )
+
+
+def _stamp_spool_mtimes(directory: str) -> None:
+    """Stamp each spool file with the epoch embedded in its name (the
+    u2_fixture determinism rule: tmpfs lands a whole fixture in one
+    mtime millisecond, making file order nondeterministic)."""
+    for fname in os.listdir(directory):
+        epoch = int(fname.rsplit(".", 1)[-1])
+        os.utime(f"{directory}/{fname}", (epoch, epoch))
+
+
+@query(
+    "d185_spool_evolution",
+    tags=("D185", "R4", "R2", "R1"),
+    oracle=f"""
+    SELECT d.sensor_name, d.n_rows, d.digest, CAST(1 AS INT) AS no_reprocess
+    FROM ({rt_oracle("spool_evolution", "sensor_name")}) d
+    ORDER BY d.sensor_name
+    """,
+)
+def d185_spool_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spool-set evolution under checkpoint (VERDICT r09 #6): the
+    reference's most common day-2 operational change is adding a snort
+    instance's spool directory to a running deployment
+    (/root/reference/README.md:56-58 — N snort instances feed one
+    sensor). Prove the stream RESUMES from its checkpoint with a grown
+    spool set, picks up the new directory's files, and reprocesses or
+    drops nothing.
+
+    What Spark allows across a file-source checkpoint restart (and this
+    query relies on): new files appearing under the SAME source path
+    glob — the seen-files log admits them incrementally; option changes
+    like maxFilesPerTrigger are also legal. What it forbids: changing
+    the NUMBER or type of sources — so read_spools' one-union-branch-
+    per-directory shape (R4's literal translation) canNOT grow at day 2.
+    The evolution-safe deployment shape is therefore ONE binaryFile
+    source over the sensor PARENT glob (``spools/*``), sensor identity
+    derived from the subdirectory name; adding a sensor is mkdir + the
+    snort instance writing its first rollover — no plan change, no new
+    source (documented in _evo_decoded).
+
+    Phases: (1) stream sensor_a's 3-file spool to a parquet sink with
+    availableNow + checkpoint; (2) a NEW sensor_c directory appears
+    (2 files, different sensor id); (3) the SAME stream definition
+    resumes from the SAME checkpoint. Ground truth = one BATCH read of
+    the final spool layout (every file exactly once, by construction).
+    ``no_reprocess`` literal-pins digest AND count equality per sensor
+    (the d182 discipline): a replayed file doubles payload rows in the
+    multiset digest, a dropped file desyncs counts — either flips the
+    flag and fails the driver hash.
+
+    At 100 TB this is the recovery/elasticity drill for any file-fed
+    deployment: source-set growth must be a metadata event (new files
+    under a stable glob), never a topology change that invalidates the
+    checkpoint."""
+    root = (
+        f"{_scratch_root('CHARLOTTE_EVO_TMP', 'charlotte_evo')}"
+        f"/{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    )
+    import atexit as _atexit
+
+    _atexit.register(shutil.rmtree, root, ignore_errors=True)
+    parent, out, ckpt = f"{root}/spools", f"{root}/out", f"{root}/ckpt"
+
+    def run_stream() -> None:
+        q = (
+            _evo_payload(_evo_decoded(spark, parent, streaming=True))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: the original deployment — one sensor directory
+    write_spool(f"{parent}/sensor_a", n_files=3, events_per_file=40, sensor_id=1)
+    _stamp_spool_mtimes(f"{parent}/sensor_a")
+    run_stream()
+
+    # phase 2: day-2 change — a new snort instance's spool appears
+    write_spool(
+        f"{parent}/sensor_c",
+        n_files=2,
+        events_per_file=40,
+        sensor_id=2,
+        base_second=1_700_200_000,
+    )
+    _stamp_spool_mtimes(f"{parent}/sensor_c")
+    # phase 3: resume from the SAME checkpoint with the grown spool set
+    run_stream()
+
+    streamed = rt_digest(
+        spark.read.parquet(out), "spool_evolution", "sensor_name"
+    )
+    truth = two_level_digest(
+        _evo_payload(_evo_decoded(spark, parent, streaming=False)),
+        ["sensor_name"],
+        F.col("payload"),
+        count_alias="n_ref",
+        digest_alias="digest_ref",
+    )
+    return (
+        # full outer: a sensor lost (or invented) by the resume still
+        # surfaces as a row — which then count/oracle-mismatches
+        streamed.join(truth, "sensor_name", "full")
+        .select(
+            "sensor_name",
+            "n_rows",
+            "digest",
+            (
+                F.col("digest").eqNullSafe(F.col("digest_ref"))
+                & F.col("n_rows").eqNullSafe(F.col("n_ref"))
+            )
+            .cast("int")
+            .alias("no_reprocess"),
+        )
+        .orderBy("sensor_name")
     )

@@ -153,6 +153,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d103_conversion_funnel",
     "d104_cohort_retention",
     # ---- 50-slot window boundary ----
+    # Round-10 additions: never driver-checked — r11 window candidates.
+    "d183_curation_dag",
+    "d184_ann_index_arrival",
+    "d185_spool_evolution",
     "d105_fuzzy_reconcile",
     "d106_pmi_collocations",
     "d107_inverted_index",

@@ -1041,3 +1041,57 @@ def test_lpm_bounded_candidates_and_winner_fold(audits):
     assert "CartesianProduct" not in a["plan"]
     assert a["partial_aggregate"]
     assert not a["sort_merge_join"]
+
+
+def test_curation_dag_shares_one_materialization(spark, sf_dir):
+    """d183: stage flags are computed once and checkpointed; the
+    returned ledger plan must read ONLY the checkpointed flagged frame
+    (zero parquet scans — no per-stage rescan of documents), with
+    map-side partial aggregation on the stage ledger and no unbounded
+    join anywhere."""
+    from charlotte_spark.plans.audit import audit_plan
+
+    a = audit_plan(REG["d183_curation_dag"].fn(spark, sf_dir))
+    assert not a["scans"], (
+        f"ledger plan re-scans parquet: {[s['path'] for s in a['scans']]}"
+    )
+    assert "ExistingRDD" in a["plan"], "must read the checkpointed flags"
+    assert a["partial_aggregate"]
+    assert not a["nested_loop_join"]
+
+
+def test_ann_probe_touches_one_cell(spark, sf_dir):
+    """d184: (a) the in-cell probe is a cell-keyed EQUI join — hash or
+    sort-merge, never a nested-loop over the whole index; (b) the
+    declared result is computed from the persisted index state only
+    (no embeddings scan in the final plan — the d181 proof that the
+    state survived the loop)."""
+    from charlotte_spark.plans.audit import audit_plan
+    from charlotte_spark.queries.similarity import _probe_cells
+
+    a = audit_plan(REG["d184_ann_index_arrival"].fn(spark, sf_dir))
+    emb_scans = [s for s in a["scans"] if "embeddings" in s["path"]]
+    state_scans = [s for s in a["scans"] if "ann_loop" in s["path"]]
+    assert not emb_scans, f"{len(emb_scans)} embeddings scans in the result plan"
+    assert state_scans, "result plan must scan the persisted loop state"
+    assert not a["nested_loop_join"]
+
+    # probe plan in isolation: equi-join on the cell key
+    import os
+
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.catalog import load_table
+    from charlotte_spark.functions.vectors import to_double
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    postings = emb.withColumn("cell", (F.col("vec_id") % 8).cast("long"))
+    probes = postings.filter(F.col("vec_id") < 5)
+    p = audit_plan(_probe_cells(probes, postings))
+    assert not p["nested_loop_join"], "probe must never scan the whole index"
+    assert (
+        p["broadcast_hash_join"] or p["sort_merge_join"] or p["shuffled_hash_join"]
+    ), "probe must be an equi-join keyed on cell"
+    assert "cell" in p["plan"], "cell key must appear in the probe join"
