@@ -1,10 +1,15 @@
-"""Distributed prefix aggregation: global ordered running sums and row
-numbers WITHOUT a single-partition window.
+"""Distributed prefix aggregation: ordered running sums and row
+numbers WITHOUT a single-partition (or single-reducer-per-group) window.
 
 ``W.orderBy(...)`` with no partitionBy collapses the whole input onto
 one task — fine for bounded inputs (per-partition totals, ntile over 64
-buckets), a scale-killer over an unbounded row stream. This module is
-the two-phase swap the D35/D139/D142/D156 docstrings promise:
+buckets), a scale-killer over an unbounded row stream. The same hazard
+hides in LOW-CARDINALITY grouped windows: ``partitionBy(lang)`` over a
+5-language corpus serializes each language through one reducer chain at
+any corpus size — ``group_cols`` generalizes the two-phase swap to that
+case (range-partition on (group, order); per-group offsets over the
+bounded per-bucket partials). This module is the swap the
+D35/D139/D142/D156 (and grouped: D186) docstrings promise:
 
 1. ``repartitionByRange(n_parts, *order_cols)`` gives a total order
    ACROSS partitions (partition i's keys all sort before partition
@@ -122,22 +127,40 @@ def ordered_prefix(
     df: DataFrame,
     order_cols: Sequence[str],
     *,
+    group_cols: Sequence[str] = (),
     running: Mapping[str, str] | None = None,
     row_number: str | None = None,
     totals: Mapping[str, str] | None = None,
     count_total: str | None = None,
     n_parts: int = 32,
 ) -> DataFrame:
-    """Append globally-ordered prefix columns to ``df``.
+    """Append ordered prefix columns to ``df`` — globally, or per group.
 
     running:     {out_name: col} — running sum of ``col`` over the
                  total order (frame: unbounded preceding .. current row)
-    row_number:  out_name — global 1-based row number over the order
-    totals:      {out_name: col} — grand total of ``col`` (whole input)
-    count_total: out_name — grand row count
+    row_number:  out_name — 1-based row number over the order
+    totals:      {out_name: col} — total of ``col`` (whole input/group)
+    count_total: out_name — row count (whole input/group)
+    group_cols:  when non-empty, every prefix/total is computed WITHIN
+                 each group, ordered by ``order_cols`` — value-identical
+                 to ``Window.partitionBy(*group_cols).orderBy(...)`` but
+                 without its scale hazard: a per-group window serializes
+                 each group through ONE reducer chain (5 languages = 5
+                 tasks at any corpus size), while here the data range-
+                 partitions on (group, order) into n_parts buckets — a
+                 hot group spans many partitions — and only the O(groups
+                 x n_parts) per-bucket partials flow through a window.
+
+    Two-phase plan, one materialization: range-partition and pin _pid;
+    per-(group,)bucket partials; bounded offset window over the partials
+    (per group <= n_parts rows); rejoin offsets. The offset frame
+    broadcast is hinted only in the GLOBAL case (n_parts rows, bounded
+    by construction); grouped offsets are O(groups) — SF-proportional —
+    and stay unhinted so AQE picks the strategy (the d936768 rule).
     """
     running = dict(running or {})
     totals = dict(totals or {})
+    group_cols = list(group_cols)
     sum_cols = sorted({*running.values(), *totals.values()})
     need_count = row_number is not None or count_total is not None
 
@@ -145,22 +168,27 @@ def ordered_prefix(
     # assignments (see module docstring — forked repartitionByRange
     # lineage is a wrong-answer bug, not just a double scan).
     part = _materialize(
-        df.repartitionByRange(n_parts, *order_cols).withColumn(
+        df.repartitionByRange(n_parts, *group_cols, *order_cols).withColumn(
             "_pid", F.spark_partition_id()
         )
     )
 
-    # Phase 2 input: one row per non-empty range bucket — n_parts rows.
+    # Phase 2 input: one row per non-empty (group, range-bucket) pair —
+    # <= groups x n_parts rows (range partitioning on (group, order)
+    # keeps each group's order contiguous across bucket boundaries).
     aggs = [F.sum(c).alias(f"_t_{c}") for c in sum_cols]
     if need_count:
         aggs.append(F.count(F.lit(1)).alias("_t_rows"))
-    ptot = part.groupBy("_pid").agg(*aggs)
+    ptot = part.groupBy(*group_cols, "_pid").agg(*aggs)
 
-    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)  # bounded: n_parts rows
-    w_all = W.orderBy("_pid").rowsBetween(  # bounded: n_parts rows
+    w_base = W.partitionBy(*group_cols) if group_cols else W
+    w_off = w_base.orderBy("_pid").rowsBetween(  # bounded: n_parts rows/group
+        W.unboundedPreceding, -1
+    )
+    w_all = w_base.orderBy("_pid").rowsBetween(  # bounded: n_parts rows/group
         W.unboundedPreceding, W.unboundedFollowing
     )
-    sel = [F.col("_pid")]
+    sel = [F.col(c) for c in group_cols] + [F.col("_pid")]
     for c in sum_cols:
         sel.append(
             F.coalesce(F.sum(f"_t_{c}").over(w_off), F.lit(0)).alias(f"_o_{c}")
@@ -174,11 +202,12 @@ def ordered_prefix(
     off = ptot.select(*sel)
 
     w_run = (
-        W.partitionBy("_pid")
+        W.partitionBy(*group_cols, "_pid")
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    out = part.join(F.broadcast(off), "_pid")
+    join_keys = group_cols + ["_pid"]
+    out = part.join(off if group_cols else F.broadcast(off), join_keys)
     for name, c in running.items():
         out = out.withColumn(
             name,

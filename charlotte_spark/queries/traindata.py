@@ -27,6 +27,7 @@ from ..catalog import fan_out, load_table
 from ..functions.digest import sql_two_level_digest, two_level_digest
 from ..functions.portable import portable_hash_long, pround, sql_hash_long, sql_round
 from ..functions.shingles import explode_shingles
+from ..operators.prefix import ordered_prefix
 from ..registry import query
 from ..session import reliable_checkpoint
 
@@ -1456,3 +1457,84 @@ def d183_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_out",
         "digest",
     ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# D186: grouped distributed prefix (per-group running sums at scale)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d186_grouped_prefix_budget",
+    tags=("D186", "D35", "D81"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+        FROM documents
+    ),
+    pref AS (
+        SELECT lang, doc_id, n_toks,
+               sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk,
+               sum(n_toks) OVER (PARTITION BY lang) AS total_toks,
+               count(*) OVER (PARTITION BY lang) AS n_docs
+        FROM toks
+    )
+    SELECT lang,
+           CAST(max(n_docs) AS BIGINT) AS n_docs,
+           CAST(max(total_toks) AS BIGINT) AS total_toks,
+           CAST(min(doc_id) AS BIGINT) AS boundary_doc_id,
+           CAST(arg_min(running, doc_id) AS BIGINT) AS boundary_running,
+           CAST(arg_min(rk, doc_id) AS BIGINT) AS boundary_rank
+    FROM pref
+    WHERE running * 5 > total_toks * 4
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def d186_grouped_prefix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped distributed prefix (the operators/prefix.py two-phase
+    pass, generalized to per-group order): per-language running token
+    totals and ranks over ``documents``, folded to each language's 80%
+    token-budget boundary — the scale-correct form of D183's mixture
+    stage and D80's packing cursor.
+
+    Why it exists: ``Window.partitionBy(lang).orderBy(doc_id)`` is
+    value-correct but serializes each language through ONE reducer
+    chain — 5 languages = 5 tasks whether the corpus is 5 GB or 100 TB.
+    ``ordered_prefix(group_cols=['lang'])`` range-partitions on
+    (lang, doc_id) into n_parts buckets (a hot language spans many
+    buckets), computes per-(lang, bucket) partials, windows only the
+    O(groups x n_parts) partial rows for offsets, and shifts the
+    within-bucket running sums — identical arithmetic, no per-group
+    serial chain (pinned by test_grouped_prefix_parallelizes_groups;
+    value-identity vs the window formulation is this query's oracle,
+    which IS the naive window SQL).
+
+    Output: per language, the first document (doc_id order) whose
+    running total crosses 80% of the language's tokens — integer
+    arithmetic only (running*5 > total*4)."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    pref = ordered_prefix(
+        toks,
+        ["doc_id"],
+        group_cols=["lang"],
+        running={"running": "n_toks"},
+        row_number="rk",
+        totals={"total_toks": "n_toks"},
+        count_total="n_docs",
+    )
+    return (
+        pref.filter(F.col("running") * 5 > F.col("total_toks") * 4)
+        .groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("total_toks").alias("total_toks"),
+            F.min("doc_id").alias("boundary_doc_id"),
+            F.min_by("running", "doc_id").alias("boundary_running"),
+            F.min_by("rk", "doc_id").cast("long").alias("boundary_rank"),
+        )
+        .orderBy("lang")
+    )

@@ -157,6 +157,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d183_curation_dag",
     "d184_ann_index_arrival",
     "d185_spool_evolution",
+    "d186_grouped_prefix_budget",
     "d105_fuzzy_reconcile",
     "d106_pmi_collocations",
     "d107_inverted_index",

@@ -1095,3 +1095,33 @@ def test_ann_probe_touches_one_cell(spark, sf_dir):
         p["broadcast_hash_join"] or p["sort_merge_join"] or p["shuffled_hash_join"]
     ), "probe must be an equi-join keyed on cell"
     assert "cell" in p["plan"], "cell key must appear in the probe join"
+
+
+def test_grouped_prefix_parallelizes_groups(spark, sf_dir):
+    """d186: the grouped prefix must range-partition on (group, order)
+    into n_parts buckets and compute the per-row running sums in a
+    window partitioned by (group, _pid) — i.e. parallel across buckets,
+    never one reducer chain per group (the partitionBy(lang) hazard)."""
+    import re as _re
+
+    from charlotte_spark.plans.audit import formatted_plan
+
+    p = formatted_plan(REG["d186_grouped_prefix_budget"].fn(spark, sf_dir))
+    assert _re.search(
+        r"rangepartitioning\(lang#\d+ ASC NULLS FIRST, doc_id#\d+L? ASC NULLS FIRST, 32\)",
+        p,
+    ), "input must range-partition on (lang, doc_id) into 32 buckets"
+    assert _re.search(
+        r"windowspecdefinition\(lang#\d+, _pid#\d+, doc_id#\d+L? ASC",
+        p,
+    ), "per-row running sums must window by (lang, _pid), not lang alone"
+    # A lang-partitioned window is allowed only over the per-bucket
+    # PARTIALS (<= n_parts rows per group, ordered by _pid); a
+    # lang-partitioned doc_id-ordered window would be the per-group
+    # serial chain this operator exists to avoid.
+    lang_only = [
+        seg
+        for seg in p.splitlines()
+        if _re.search(r"windowspecdefinition\(lang#\d+, doc_id#\d+", seg)
+    ]
+    assert not lang_only, f"per-group serial window found: {lang_only[:1]}"

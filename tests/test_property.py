@@ -565,6 +565,59 @@ def test_ordered_prefix_equals_naive_global_window(spark, n_parts):
         assert a["n"] == r["n"]
 
 
+@pytest.mark.parametrize("n_parts", [1, 2, 5])
+def test_grouped_prefix_equals_naive_grouped_window(spark, n_parts):
+    """group_cols mode must be value-identical to
+    Window.partitionBy(grp).orderBy(k) at every bucket count — buckets
+    smaller than / equal to / larger than the group count, groups that
+    span bucket boundaries, a single-row group, and integer + float
+    running columns together."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.operators.prefix import ordered_prefix
+
+    # group 9 gets exactly one row (k=9); group sizes are uneven
+    rows = [(i, (i * i) % 10 if i != 9 else 9, float((i * 13) % 29), (i * 7) % 5)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, grp long, x double, w long")
+
+    got = ordered_prefix(
+        df,
+        ["k"],
+        group_cols=["grp"],
+        running={"run_x": "x", "run_w": "w"},
+        row_number="rn",
+        totals={"tot_w": "w"},
+        count_total="n",
+        n_parts=n_parts,
+    )
+    w = W.partitionBy("grp").orderBy("k").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wt = W.partitionBy("grp").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    want = df.select(
+        "k",
+        F.sum("x").over(w).alias("run_x"),
+        F.sum("w").over(w).alias("run_w"),
+        F.row_number().over(w).alias("rn"),
+        F.sum("w").over(wt).alias("tot_w"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    g = {r["k"]: r for r in
+         got.select("k", "run_x", "run_w", "rn", "tot_w", "n").collect()}
+    assert len(g) == 200
+    for r in want.collect():
+        a = g[r["k"]]
+        assert a["rn"] == r["rn"], (r["k"], a["rn"], r["rn"])
+        assert a["run_w"] == r["run_w"]
+        assert a["tot_w"] == r["tot_w"]
+        assert a["n"] == r["n"]
+        assert abs(a["run_x"] - r["run_x"]) < 1e-9
+
+
 @pytest.mark.parametrize("cut", ["1990-01-01", "2010-01-01"])
 def test_incremental_rollup_cut_invariant(spark, duck, sf_dir, monkeypatch, cut):
     """D161: the merged rollup must equal the full rollup for ANY
