@@ -1002,21 +1002,25 @@ def _probe_cells(probes: DataFrame, postings: DataFrame) -> DataFrame:
     """In-cell candidate scoring: an EQUI-join on the cell key — the
     probe touches one posting cell, never the whole index (pinned by
     test_ann_probe_touches_one_cell). Keeps top-3 per probe plus the
-    pre-filter candidate count."""
+    pre-filter candidate count. LEFT join so a probe whose cell has no
+    postings still yields one (NULL-neighbor, n_incell=0) row — the
+    in-cell table doubles as the per-round assignment ledger."""
     w = W.partitionBy("probe_id")
-    wr = w.orderBy(F.col("cs").desc(), F.col("neighbor_id").asc())
+    wr = w.orderBy(F.col("cs").desc_nulls_last(), F.col("neighbor_id").asc())
     return (
         probes.select(
             F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), "cell"
         )
-        .join(postings, "cell")
+        .join(postings, "cell", "left")
         .select(
             "probe_id",
             "cell",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("pv"), F.col("v")).alias("cs"),
+            F.when(
+                F.col("vec_id").isNotNull(), cosine(F.col("pv"), F.col("v"))
+            ).alias("cs"),
         )
-        .withColumn("n_incell", F.count(F.lit(1)).over(w))
+        .withColumn("n_incell", F.count("neighbor_id").over(w))
         .withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= 3)
     )
@@ -1059,7 +1063,6 @@ def d184_ann_index_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _shutil
 
-    from ..session import reliable_checkpoint
     from ..streaming.harness import _scratch_root
 
     root = (
@@ -1083,12 +1086,16 @@ def d184_ann_index_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in (1, 2):
         postings = spark.read.parquet(f"{root}/postings_r{r - 1}")
         batch = emb.filter(F.col("vec_id") % 8 == (3 if r == 1 else 7))
-        # checkpointed: the assignment feeds the probe, the exact-recall
-        # side, the persisted assignment, and the index merge
-        probes = reliable_checkpoint(_assign_cells(batch, cents))
-        probes.select(F.col("vec_id").alias("probe_id"), "cell").write.mode(
-            "overwrite"
-        ).parquet(f"{root}/assign/round_id={r}")
+        # the assignment WRITE is the lineage cut: the persisted batch
+        # feeds the probe, the exact-recall side, and the index merge
+        # as parquet reads (cheaper than a checkpoint's persist+count,
+        # and the assignment ledger is loop state anyway)
+        _assign_cells(batch, cents).write.mode("overwrite").parquet(
+            f"{root}/assign/round_id={r}"
+        )
+        probes = spark.read.parquet(f"{root}/assign/round_id={r}").select(
+            "vec_id", "v", "cell"
+        )
         _probe_cells(probes, postings).write.mode("overwrite").parquet(
             f"{root}/incell/round_id={r}"
         )
@@ -1115,12 +1122,13 @@ def d184_ann_index_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{root}/postings_r{r}"
         )
 
-    assign = spark.read.parquet(f"{root}/assign").select(
-        F.col("round_id").cast("int").alias("round_id"), "probe_id", "cell"
-    )
+    # incell doubles as the assignment ledger (left-join probe keeps
+    # empty-cell probes as NULL-neighbor rows), so the result is one
+    # aggregation over incell ⟕ exact — both persisted loop state.
     inc = spark.read.parquet(f"{root}/incell").select(
         F.col("round_id").cast("int").alias("round_id"),
         "probe_id",
+        "cell",
         "neighbor_id",
         "cs",
         "rk",
@@ -1132,30 +1140,25 @@ def d184_ann_index_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.lit(1).alias("_m"),
     )
-    agg = (
+    return (
         inc.join(ex, ["round_id", "probe_id", "neighbor_id"], "left")
-        .groupBy("round_id", "probe_id")
+        .groupBy("round_id", "probe_id", "cell")
         .agg(
-            F.max("n_incell").alias("_n"),
+            F.max("n_incell").alias("n_incell"),
             F.max(F.when(F.col("rk") == 1, F.col("neighbor_id"))).alias("top1_id"),
             pround(F.max(F.when(F.col("rk") == 1, F.col("cs"))), 4).alias(
                 "top1_cos"
             ),
-            F.sum("_m").alias("_matches"),
+            pround(F.coalesce(F.sum("_m"), F.lit(0)) / 3.0, 4).alias("recall3"),
         )
-    )
-    return (
-        assign.join(agg, ["round_id", "probe_id"], "left")
         .select(
             "round_id",
             "probe_id",
             "cell",
-            F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_incell"),
+            "n_incell",
             "top1_id",
             "top1_cos",
-            pround(F.coalesce(F.col("_matches"), F.lit(0)) / 3.0, 4).alias(
-                "recall3"
-            ),
+            "recall3",
         )
         .orderBy("round_id", "probe_id")
     )
