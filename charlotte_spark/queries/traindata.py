@@ -1538,3 +1538,364 @@ def d186_grouped_prefix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# D187: incremental curation arrival loop (the D183 chain at day 2)
+# ---------------------------------------------------------------------------
+
+
+def _d187_sql_batch(r: int) -> str:
+    """Round-r arrival batch, derived deterministically from documents."""
+    if r == 0:
+        return "SELECT 0 AS round_id, doc_id, text, lang FROM documents"
+    if r == 1:
+        return """
+        SELECT 1 AS round_id, doc_id + 2000000 AS doc_id,
+               text || ' nova' AS text, lang
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT 1, doc_id + 3000000, text, lang
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT 1, doc_id + 6000000, text || ' nova', lang
+        FROM documents WHERE doc_id % 5 = 0 AND doc_id % 13 = 0
+        """
+    return """
+        SELECT 2 AS round_id, doc_id + 4000000 AS doc_id,
+               text || ' nova' AS text, lang
+        FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
+        UNION ALL
+        SELECT 2, doc_id + 5000000, text || ' novb', lang
+        FROM documents WHERE doc_id % 11 = 0
+        """
+
+
+def _d187_sql_flags(b: str, idx: str) -> str:
+    """Status classification of one batch CTE against one index CTE."""
+    return f"""
+    SELECT x.round_id, x.doc_id, x.lang, x.toks, x.h,
+           CASE WHEN NOT x.q THEN 'quality_fail'
+                WHEN x.di THEN 'dup_index'
+                WHEN x.rn > 1 THEN 'dup_batch'
+                WHEN x.ct THEN 'contaminated'
+                ELSE 'accepted' END AS status
+    FROM (
+        SELECT b.round_id, b.doc_id, b.lang, b.toks, b.h, b.q, b.ct,
+               (i.h IS NOT NULL) AS di,
+               row_number() OVER (
+                   PARTITION BY b.h
+                   ORDER BY CAST(b.q AS INT) DESC, (i.h IS NOT NULL), b.doc_id
+               ) AS rn
+        FROM {b} b LEFT JOIN {idx} i ON i.h = b.h
+    ) x
+    """
+
+
+def _d187_oracle() -> str:
+    quality = (
+        f"(len(string_split(text, ' ')) >= {_D183_QUALITY_MIN_TOKS}"
+        f" AND len(list_distinct(string_split(text, ' '))) * 1000"
+        f" >= len(string_split(text, ' ')) * {_D183_QUALITY_UNIQ_PERMILLE})"
+    )
+    prep = (
+        "SELECT round_id, doc_id, lang,"
+        " len(string_split(text, ' ')) AS toks,"
+        f" md5(text) AS h, {quality} AS q,"
+        " (md5(array_to_string((string_split(text, ' '))[1:8], ' '))"
+        "  IN (SELECT pfx8 FROM evalset)) AS ct"
+    )
+    dg = sql_two_level_digest(
+        "allacc",
+        ["round_id", "lang"],
+        "CAST(doc_id AS VARCHAR) || '|' || h",
+        count_alias="_n_dg",
+        digest_alias="accepted_md5",
+    )
+    return f"""
+    WITH evalset AS (
+        SELECT DISTINCT
+               md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS pfx8
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    b0 AS ({prep} FROM ({_d187_sql_batch(0)})),
+    b1 AS ({prep} FROM ({_d187_sql_batch(1)})),
+    b2 AS ({prep} FROM ({_d187_sql_batch(2)})),
+    idx_empty AS (SELECT CAST(NULL AS VARCHAR) AS h WHERE 1 = 0),
+    f0 AS ({_d187_sql_flags("b0", "idx_empty")}),
+    idx0 AS (SELECT DISTINCT h FROM f0 WHERE status = 'accepted'),
+    f1 AS ({_d187_sql_flags("b1", "idx0")}),
+    idx1 AS (SELECT h FROM idx0 UNION
+             SELECT DISTINCT h FROM f1 WHERE status = 'accepted'),
+    f2 AS ({_d187_sql_flags("b2", "idx1")}),
+    allstat AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1
+                UNION ALL SELECT * FROM f2),
+    allacc AS (SELECT * FROM allstat WHERE status = 'accepted'),
+    pref AS (
+        SELECT round_id, lang, doc_id, toks,
+               sum(toks) OVER (PARTITION BY lang ORDER BY round_id, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - toks AS gstart
+        FROM allacc
+    ),
+    bins AS (
+        SELECT round_id, lang,
+               CAST(min(CAST(floor(gstart / {_D183_SHARD_TOKENS}.0) AS BIGINT)) AS BIGINT) AS bin_first,
+               CAST(max(CAST(floor(gstart / {_D183_SHARD_TOKENS}.0) AS BIGINT)) AS BIGINT) AS bin_last,
+               CAST(sum(toks) AS BIGINT) AS tokens_packed
+        FROM pref GROUP BY round_id, lang
+    ),
+    counts AS (
+        SELECT round_id, lang,
+               CAST(count(*) AS BIGINT) AS n_arrived,
+               CAST(sum(CASE WHEN status = 'quality_fail' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+               CAST(sum(CASE WHEN status = 'dup_index' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_index,
+               CAST(sum(CASE WHEN status = 'dup_batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+               CAST(sum(CASE WHEN status = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               CAST(sum(CASE WHEN status = 'accepted' THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+        FROM allstat GROUP BY round_id, lang
+    ),
+    dg AS ({dg})
+    SELECT c.round_id, c.lang, c.n_arrived, c.n_quality_fail, c.n_dup_index,
+           c.n_dup_batch, c.n_contaminated, c.n_accepted,
+           coalesce(b.tokens_packed, 0) AS tokens_packed,
+           CAST(sum(coalesce(b.tokens_packed, 0)) OVER (
+               PARTITION BY c.lang ORDER BY c.round_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cursor_after,
+           b.bin_first, b.bin_last, d.accepted_md5
+    FROM counts c
+    LEFT JOIN bins b ON b.round_id = c.round_id AND b.lang = c.lang
+    LEFT JOIN dg d ON d.round_id = c.round_id AND d.lang = c.lang
+    ORDER BY c.round_id, c.lang
+    """
+
+
+def _d187_batch(d: DataFrame, r: int) -> DataFrame:
+    """Spark twin of :func:`_d187_sql_batch` (d = documents)."""
+    def shifted(flt, offset: int, suffix: str | None) -> DataFrame:
+        text = F.concat(F.col("text"), F.lit(suffix)) if suffix else F.col("text")
+        return d.filter(flt).select(
+            F.lit(r).alias("round_id"),
+            (F.col("doc_id") + offset).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+        )
+
+    did = F.col("doc_id")
+    if r == 0:
+        return d.select(
+            F.lit(0).alias("round_id"), "doc_id", "text", "lang"
+        )
+    if r == 1:
+        return (
+            shifted(did % 5 == 0, 2_000_000, " nova")
+            .unionByName(shifted(did % 7 == 0, 3_000_000, None))
+            .unionByName(
+                shifted((did % 5 == 0) & (did % 13 == 0), 6_000_000, " nova")
+            )
+        )
+    return shifted((did % 5 == 0) & (did % 3 == 0), 4_000_000, " nova").unionByName(
+        shifted(did % 11 == 0, 5_000_000, " novb")
+    )
+
+
+def _d187_flags(batch: DataFrame, idx: DataFrame, eval_pfx: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_d187_sql_flags`: classify one arrival batch
+    against the persisted accepted-hash index — quality first (pure),
+    then index dup (one h-keyed join), then within-batch keep-first
+    (one h-keyed window), then contamination (prefix join)."""
+    toks = F.split("text", " ")
+    b = batch.select(
+        "round_id",
+        "doc_id",
+        "lang",
+        F.size(toks).alias("toks"),
+        F.md5("text").alias("h"),
+        (
+            (F.size(toks) >= _D183_QUALITY_MIN_TOKS)
+            & (
+                F.size(F.array_distinct(toks)) * 1000
+                >= F.size(toks) * _D183_QUALITY_UNIQ_PERMILLE
+            )
+        ).alias("q"),
+        F.md5(F.array_join(F.slice(toks, 1, 8), " ")).alias("pfx8"),
+    )
+    b = (
+        b.join(eval_pfx.withColumn("_ct", F.lit(True)), "pfx8", "left")
+        .join(idx.withColumn("_di", F.lit(True)), "h", "left")
+        .withColumn("di", F.coalesce(F.col("_di"), F.lit(False)))
+        .withColumn("ct", F.coalesce(F.col("_ct"), F.lit(False)))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy(
+            F.col("q").cast("int").desc(), F.col("di").asc(), F.col("doc_id").asc()
+        )
+    )
+    return b.withColumn("rn", rn).select(
+        "round_id",
+        "doc_id",
+        "lang",
+        "toks",
+        "h",
+        F.when(~F.col("q"), "quality_fail")
+        .when(F.col("di"), "dup_index")
+        .when(F.col("rn") > 1, "dup_batch")
+        .when(F.col("ct"), "contaminated")
+        .otherwise("accepted")
+        .alias("status"),
+    )
+
+
+@query(
+    "d187_curation_arrival_loop",
+    tags=("D187", "D183", "D181", "D65", "D79", "D80"),
+    oracle=_d187_oracle(),
+)
+def d187_curation_arrival_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D183 curation chain at day 2 — continuous ingestion into a
+    packed training corpus with PERSISTED decisions (the d181 loop
+    discipline applied to the whole DAG): a bootstrap round curates
+    ``documents`` from an empty index; each later arrival batch is
+    classified quality → dup-vs-index → within-batch keep-first →
+    decontaminate against the SAME rules, accepted docs extend the
+    on-disk accepted-hash index, and packing CONTINUES each language's
+    shard cursor — earlier rounds' shard placement is frozen, arrivals
+    only ever append (bin_first of round r >= bin_last of round r-1 per
+    lang; the ledger's cumulative cursor makes it visible).
+
+    Greedy-online semantics (deliberate, the d181 contrast with d74's
+    global closure): round-2 arrivals include exact copies of texts
+    FIRST ACCEPTED in round 1 ('nova' suffixed) — they drop as
+    dup_index only if the round-1 acceptances actually reached the
+    persisted index, so the hash proves cross-round state growth.
+    Rejected texts (quality/contam) are NOT indexed: a re-arrival of a
+    rejected text is re-screened and re-rejected by the same pure
+    rules — deterministic without remembering rejections (at 100 TB
+    the index carries only what the corpus carries).
+
+    Per-round work: O(batch) hashing/flagging + ONE h-keyed equi-join
+    against the persisted index (never all-pairs, never a corpus
+    rescan) + one h-keyed window within the batch; the index update is
+    a distinct-union merge-write (the d181 compaction shape). The
+    declared 15-row ledger (round x lang: arrival accounting, packed
+    tokens, cursor, bin span, accepted-membership digest) is computed
+    entirely FROM the persisted status/index state; the global packing
+    offsets ride the GROUPED distributed prefix (d186's operator —
+    no per-language reducer chain even in the final fold)."""
+    import atexit as _atexit
+    import os as _os
+    import shutil as _shutil
+
+    from ..streaming.harness import _scratch_root
+
+    root = (
+        f"{_scratch_root('CHARLOTTE_CUR_TMP', 'charlotte_curation_loop')}"
+        f"/{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
+    )
+    _atexit.register(_shutil.rmtree, root, ignore_errors=True)
+
+    d = fan_out(_docs(spark, sf_dir).select("doc_id", "text", "lang"))
+    eval_pfx = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " ")).alias(
+                "pfx8"
+            )
+        )
+        .distinct()
+    )
+
+    empty_idx = spark.createDataFrame([], "h string")
+    for r in (0, 1, 2):
+        idx = (
+            empty_idx if r == 0 else spark.read.parquet(f"{root}/index_r{r - 1}")
+        )
+        _d187_flags(_d187_batch(d, r), idx, eval_pfx).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/status/round_id={r}")
+        accepted_h = (
+            spark.read.parquet(f"{root}/status/round_id={r}")
+            .filter(F.col("status") == "accepted")
+            .select("h")
+            .distinct()
+        )
+        idx.unionByName(accepted_h).distinct().write.mode("overwrite").parquet(
+            f"{root}/index_r{r}"
+        )
+
+    status = spark.read.parquet(f"{root}/status").select(
+        F.col("round_id").cast("int").alias("round_id"),
+        "lang",
+        "doc_id",
+        "toks",
+        "h",
+        "status",
+    )
+    acc = status.filter(F.col("status") == "accepted")
+    # global packing offsets: grouped distributed prefix (d186) — the
+    # per-lang cursor with no per-language serial reducer chain
+    pre = ordered_prefix(
+        acc.select("round_id", "lang", "doc_id", "toks", "h"),
+        ["round_id", "doc_id"],
+        group_cols=["lang"],
+        running={"cum": "toks"},
+    )
+    bins = (
+        pre.withColumn(
+            "bin",
+            F.floor((F.col("cum") - F.col("toks")) / float(_D183_SHARD_TOKENS)),
+        )
+        .groupBy("round_id", "lang")
+        .agg(
+            F.min("bin").alias("bin_first"),
+            F.max("bin").alias("bin_last"),
+            F.sum("toks").alias("tokens_packed"),
+        )
+    )
+    counts = status.groupBy("round_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_arrived"),
+        *[
+            F.sum((F.col("status") == s).cast("int")).cast("long").alias(a)
+            for s, a in (
+                ("quality_fail", "n_quality_fail"),
+                ("dup_index", "n_dup_index"),
+                ("dup_batch", "n_dup_batch"),
+                ("contaminated", "n_contaminated"),
+                ("accepted", "n_accepted"),
+            )
+        ],
+    )
+    dg = two_level_digest(
+        acc,
+        ["round_id", "lang"],
+        F.concat_ws("|", F.col("doc_id"), F.col("h")),
+        count_alias="_n_dg",
+        digest_alias="accepted_md5",
+    ).select("round_id", "lang", "accepted_md5")
+    w_cur = Window.partitionBy("lang").orderBy("round_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        counts.join(bins, ["round_id", "lang"], "left")
+        .join(dg, ["round_id", "lang"], "left")
+        .withColumn("tokens_packed", F.coalesce(F.col("tokens_packed"), F.lit(0)))
+        .withColumn("cursor_after", F.sum("tokens_packed").over(w_cur))
+        .select(
+            "round_id",
+            "lang",
+            "n_arrived",
+            "n_quality_fail",
+            "n_dup_index",
+            "n_dup_batch",
+            "n_contaminated",
+            "n_accepted",
+            "tokens_packed",
+            "cursor_after",
+            "bin_first",
+            "bin_last",
+            "accepted_md5",
+        )
+        .orderBy("round_id", "lang")
+    )

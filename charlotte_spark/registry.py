@@ -158,6 +158,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d184_ann_index_arrival",
     "d185_spool_evolution",
     "d186_grouped_prefix_budget",
+    "d187_curation_arrival_loop",
     "d105_fuzzy_reconcile",
     "d106_pmi_collocations",
     "d107_inverted_index",

@@ -1125,3 +1125,26 @@ def test_grouped_prefix_parallelizes_groups(spark, sf_dir):
         if _re.search(r"windowspecdefinition\(lang#\d+, doc_id#\d+", seg)
     ]
     assert not lang_only, f"per-group serial window found: {lang_only[:1]}"
+
+
+def test_curation_loop_result_reads_only_persisted_state(spark, sf_dir):
+    """d187: the 15-row ledger is computed FROM the persisted
+    status/index state (no documents scan in the result plan — the
+    d181 proof), and the packing offsets ride the grouped distributed
+    prefix (range partitioning on (lang, round_id, doc_id)), never a
+    per-language serial window."""
+    import re as _re
+
+    from charlotte_spark.plans.audit import audit_plan
+
+    a = audit_plan(REG["d187_curation_arrival_loop"].fn(spark, sf_dir))
+    doc_scans = [s for s in a["scans"] if "documents" in s["path"]]
+    state_scans = [s for s in a["scans"] if "curation_loop" in s["path"]]
+    assert not doc_scans, f"{len(doc_scans)} documents scans in the result plan"
+    assert state_scans, "result plan must scan the persisted loop state"
+    assert not a["nested_loop_join"]
+    assert _re.search(
+        r"rangepartitioning\(lang#\d+ ASC NULLS FIRST, round_id#\d+ ASC NULLS"
+        r" FIRST, doc_id#\d+L? ASC NULLS FIRST, 32\)",
+        a["plan"],
+    ), "packing offsets must ride the grouped distributed prefix"
