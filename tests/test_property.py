@@ -679,3 +679,33 @@ def test_waterfill_predicate_equals_iterative(caps, ws, frac):
 
     assert sat == sat_true
     assert abs(alloc - B) < 1e-6 * max(B, 1)
+
+
+def test_curation_loop_placement_is_append_only(duck):
+    """d187: packing must never move or revisit earlier rounds' shards —
+    per language, cursor_after is strictly cumulative and a later
+    round's first bin is never BELOW an earlier round's last bin (an
+    arrival may top off the current open shard, never an earlier one).
+    Checked on the oracle's own output so the invariant is pinned at
+    the semantics level, independent of either engine."""
+    from charlotte_spark.queries.traindata import _d187_oracle
+
+    rows = duck.execute(_d187_oracle()).fetchall()
+    assert rows, "ledger is empty"
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r[1], []).append(r)
+    cols = [d[0] for d in duck.description]
+    i = {c: j for j, c in enumerate(cols)}
+    for lang, lrows in by_lang.items():
+        lrows.sort(key=lambda r: r[i["round_id"]])
+        prev_cursor, prev_last_bin = 0, -1
+        for r in lrows:
+            assert r[i["cursor_after"]] == prev_cursor + r[i["tokens_packed"]], (
+                lang, r[i["round_id"]], "cursor not cumulative")
+            if r[i["n_accepted"]] > 0:
+                assert r[i["bin_first"]] >= prev_last_bin, (
+                    lang, r[i["round_id"]], "round packed into a frozen shard")
+                assert r[i["bin_first"]] <= r[i["bin_last"]]
+                prev_last_bin = r[i["bin_last"]]
+            prev_cursor = r[i["cursor_after"]]
