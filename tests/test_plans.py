@@ -753,6 +753,9 @@ def test_prefix_caches_never_accumulate(spark, sf_dir):
     assert len(prefix._LIVE_CACHES) == 1
     REG["d142_zorder_layout"].fn(spark, sf_dir).collect()
     assert len(prefix._LIVE_CACHES) == 1
+    # grouped mode shares the same lifecycle (d186/d187 call sites)
+    REG["d186_grouped_prefix_budget"].fn(spark, sf_dir).collect()
+    assert len(prefix._LIVE_CACHES) == 1
     prefix.release_prefix_caches()
     assert not prefix._LIVE_CACHES
 

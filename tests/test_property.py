@@ -709,3 +709,47 @@ def test_curation_loop_placement_is_append_only(duck):
                 assert r[i["bin_first"]] <= r[i["bin_last"]]
                 prev_last_bin = r[i["bin_last"]]
             prev_cursor = r[i["cursor_after"]]
+
+
+def test_chained_grouped_prefixes_are_consistent(spark):
+    """Two grouped ordered_prefix calls where the second CONSUMES the
+    first's output (the d183-mixture-then-pack shape): the chained
+    values must equal the naive double-window formulation, and the
+    second call's materialization must not corrupt the first's (the
+    cache-eviction contract covers chained calls by construction —
+    the new cache's count() reads the previous one)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.operators.prefix import ordered_prefix
+
+    rows = [(i, (i * 3) % 4, 1 + (i * 7) % 9) for i in range(120)]
+    df = spark.createDataFrame(rows, "k long, grp long, w long")
+
+    first = ordered_prefix(
+        df, ["k"], group_cols=["grp"], running={"r1": "w"},
+        totals={"t1": "w"}, n_parts=3,
+    )
+    # second prefix over the first's SURVIVORS (a data-dependent subset)
+    kept = first.filter(F.col("r1") * 2 <= F.col("t1"))
+    second = ordered_prefix(
+        kept, ["k"], group_cols=["grp"], running={"r2": "w"}, n_parts=3,
+    )
+    got = {r["k"]: (r["r1"], r["r2"]) for r in second.collect()}
+
+    w1 = W.partitionBy("grp").orderBy("k").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wt = W.partitionBy("grp").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    naive1 = df.select(
+        "k", "grp", "w",
+        F.sum("w").over(w1).alias("r1"),
+        F.sum("w").over(wt).alias("t1"),
+    )
+    naive2 = naive1.filter(F.col("r1") * 2 <= F.col("t1")).select(
+        "k", "r1", F.sum("w").over(w1).alias("r2")
+    )
+    want = {r["k"]: (r["r1"], r["r2"]) for r in naive2.collect()}
+    assert got == want
