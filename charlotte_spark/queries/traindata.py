@@ -338,7 +338,11 @@ def d80_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The window is PARTITIONED (by lang ≡ the shard key at scale) — a
     global unsharded cumsum would serialize the corpus through one
-    partition, exactly the anti-pattern packing-by-shard avoids."""
+    partition, exactly the anti-pattern packing-by-shard avoids. When
+    the group count is small relative to the cluster, the per-group
+    chain itself becomes the bottleneck; the drop-in swap is the
+    grouped distributed prefix (operators/prefix.py group_cols,
+    registered as d186)."""
     toks = _docs(spark, sf_dir).select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
     )
@@ -1315,10 +1319,13 @@ def d183_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded buffers).
 
     Scale: per-lang running prefixes partition by the shard key (lang)
-    — the d80 justification; the eval-prefix join is unhinted (eval
-    sets are SF-proportional; AQE broadcasts at bench scale and
-    sort-merges at 100 TB, the d936768 discipline); everything else is
-    keyed shuffles. Nothing reaches the driver."""
+    — the d80 justification; when language count is small relative to
+    the cluster, the drop-in swap is the grouped distributed prefix
+    (operators/prefix.py group_cols — registered as d186, and used by
+    d187's incremental form of this DAG). The eval-prefix join is
+    unhinted (eval sets are SF-proportional; AQE broadcasts at bench
+    scale and sort-merges at 100 TB, the d936768 discipline);
+    everything else is keyed shuffles. Nothing reaches the driver."""
     docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
     dups = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
