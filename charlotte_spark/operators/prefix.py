@@ -132,7 +132,7 @@ def ordered_prefix(
     row_number: str | None = None,
     totals: Mapping[str, str] | None = None,
     count_total: str | None = None,
-    n_parts: int = 32,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Append ordered prefix columns to ``df`` — globally, or per group.
 
@@ -157,7 +157,17 @@ def ordered_prefix(
     broadcast is hinted only in the GLOBAL case (n_parts rows, bounded
     by construction); grouped offsets are O(groups) — SF-proportional —
     and stay unhinted so AQE picks the strategy (the d936768 rule).
+
+    ``n_parts`` defaults to the cluster's ``defaultParallelism``
+    (floor 32): a fixed 32 would cap the prefix pass at 32 tasks on a
+    1000-core cluster (VERDICT r10 #4). It stays a knob because the
+    offset window is O(groups x n_parts) rows — a caller with millions
+    of groups may want it small. Values are n_parts-invariant (pinned
+    by the naive-window equality property tests), so the default only
+    moves the physical plan, never a hash.
     """
+    if n_parts is None:
+        n_parts = max(32, df.sparkSession.sparkContext.defaultParallelism)
     running = dict(running or {})
     totals = dict(totals or {})
     group_cols = list(group_cols)

@@ -336,22 +336,24 @@ def d80_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary belongs to the sequence where it starts (the tokenizer
     truncates/continues downstream).
 
-    The window is PARTITIONED (by lang ≡ the shard key at scale) — a
-    global unsharded cumsum would serialize the corpus through one
-    partition, exactly the anti-pattern packing-by-shard avoids. When
-    the group count is small relative to the cluster, the per-group
-    chain itself becomes the bottleneck; the drop-in swap is the
-    grouped distributed prefix (operators/prefix.py group_cols,
-    registered as d186)."""
+    The running token cursor rides the GROUPED DISTRIBUTED PREFIX
+    (operators/prefix.py group_cols — the d186 operator), not a
+    ``Window.partitionBy(lang)``: the per-lang window is value-
+    identical (the oracle below IS that window SQL) but serializes
+    each language through one reducer chain — 5 languages = 5 tasks
+    whether the corpus is 5 GB or 100 TB. The grouped prefix range-
+    partitions on (lang, doc_id) so a hot language spans many buckets
+    (VERDICT r10 #2; value identity pinned by the d186 oracle and
+    test_grouped_prefix_equals_naive_grouped_window)."""
     toks = _docs(spark, sf_dir).select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
     )
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    pref = ordered_prefix(
+        toks, ["doc_id"], group_cols=["lang"], running={"_run_toks": "n_toks"}
     )
-    packed = toks.withColumn(
+    packed = pref.withColumn(
         "seq_id",
-        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / float(_PACK_BUDGET)),
+        F.floor((F.col("_run_toks") - F.col("n_toks")) / float(_PACK_BUDGET)),
     )
     per_seq = packed.groupBy("lang", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("seq_tokens")
@@ -1318,11 +1320,12 @@ def d183_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one keyed aggregation over <= 7x|corpus| rows, two-level-digested
     (bounded buffers).
 
-    Scale: per-lang running prefixes partition by the shard key (lang)
-    — the d80 justification; when language count is small relative to
-    the cluster, the drop-in swap is the grouped distributed prefix
-    (operators/prefix.py group_cols — registered as d186, and used by
-    d187's incremental form of this DAG). The eval-prefix join is
+    Scale: per-lang running token cursors ride the grouped distributed
+    prefix (operators/prefix.py group_cols — registered as d186, also
+    used by d80 and d187's incremental form of this DAG; VERDICT r10
+    #2): two chained calls, because the pack cursor depends on the
+    mixture cursor's outcome — never a per-language serial window
+    (5 languages = 5 reducer chains at any SF). The eval-prefix join is
     unhinted (eval sets are SF-proportional; AQE broadcasts at bench
     scale and sort-merges at 100 TB, the d936768 discipline);
     everything else is keyed shuffles. Nothing reaches the driver."""
@@ -1354,14 +1357,14 @@ def d183_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_dup = Window.partitionBy("h").orderBy(
         F.col("s1k").cast("int").desc(), "doc_id"
     )
-    w_lang = Window.partitionBy("lang")
-    w_run = w_lang.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    s3_tok = F.when(F.col("s3k"), F.col("tok_cnt")).otherwise(F.lit(0))
-    s5_tok = F.when(F.col("s5k"), F.col("tok_cnt")).otherwise(F.lit(0))
 
-    flagged = (
+    # Per-lang running token cursors ride the grouped distributed
+    # prefix (VERDICT r10 #2 — the scale-correct form d186 proves and
+    # d187 already uses): two CHAINED calls because the pack cursor
+    # (_s5_run) depends on s4k/s5k, which depend on the mixture cursor
+    # (_s3_run) — the d142 chained-prefix pattern; value-identical to
+    # the per-lang window SQL the oracle keeps.
+    staged = (
         base.join(eval_pfx, "pfx8", "left")
         .withColumn(
             "s1k",
@@ -1371,9 +1374,20 @@ def d183_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("s2k", F.col("s1k") & (F.row_number().over(w_dup) == 1))
         .withColumn("s3k", F.col("s2k") & F.col("contaminated").isNull())
         .withColumn(
+            "_s3_tok", F.when(F.col("s3k"), F.col("tok_cnt")).otherwise(F.lit(0))
+        )
+    )
+    staged = ordered_prefix(
+        staged,
+        ["doc_id"],
+        group_cols=["lang"],
+        running={"_s3_run": "_s3_tok"},
+        totals={"_s3_tot": "_s3_tok"},
+    )
+    staged = (
+        staged.withColumn(
             "s4k",
-            F.col("s3k")
-            & (F.sum(s3_tok).over(w_run) * 5 <= F.sum(s3_tok).over(w_lang) * 4),
+            F.col("s3k") & (F.col("_s3_run") * 5 <= F.col("_s3_tot") * 4),
         )
         .withColumn(
             "s5k",
@@ -1381,18 +1395,26 @@ def d183_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (portable_hash_long(F.col("doc_id"), "d183|split|") % 10 < 8),
         )
         .withColumn(
-            "shard",
-            F.concat_ws(
-                "#",
-                F.col("lang"),
-                F.floor(
-                    (F.sum(s5_tok).over(w_run) - s5_tok) / float(_D183_SHARD_TOKENS)
-                ).cast("string"),
-            ),
+            "_s5_tok", F.when(F.col("s5k"), F.col("tok_cnt")).otherwise(F.lit(0))
         )
-        .select("doc_id", "lang", "tok_cnt", "h", "shard",
-                "s1k", "s2k", "s3k", "s4k", "s5k")
     )
+    staged = ordered_prefix(
+        staged,
+        ["doc_id"],
+        group_cols=["lang"],
+        running={"_s5_run": "_s5_tok"},
+    )
+    flagged = staged.withColumn(
+        "shard",
+        F.concat_ws(
+            "#",
+            F.col("lang"),
+            F.floor(
+                (F.col("_s5_run") - F.col("_s5_tok")) / float(_D183_SHARD_TOKENS)
+            ).cast("string"),
+        ),
+    ).select("doc_id", "lang", "tok_cnt", "h", "shard",
+             "s1k", "s2k", "s3k", "s4k", "s5k")
     # ONE materialization shared by the doc-stage ledger and the shard
     # manifest (no subtree reuse across union branches otherwise).
     flagged = reliable_checkpoint(flagged)

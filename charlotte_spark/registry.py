@@ -90,75 +90,39 @@ def query(
 
 # Explicit enumeration order for the driver contract. The driver's
 # correctness gate checks the FIRST 50 entries of ``queries()`` each
-# round (CORRECTNESS_r01-r08 keys == list(queries())[:50]), so insertion
-# order decides which SURVEY rows get driver evidence. Round-9 rotation
-# Round-10 rotation (VERDICT r09, Next-round #1): slots 1-2 are the r9
-# additions D181/D182 (the only queries with NO driver evidence);
-# slots 3-19 the 17 TPC-H q* composites whose latest green is r02 AND
-# whose broadcast-hint discipline changed in d936768 (r9) — a driver
-# re-confirmation closes VERDICT #7; slots 20-29 the r03-evidence
-# block; slots 30-50 backfill with the 21 oldest of the r06 block so
-# no query's latest green ages past ~four rounds. Post-boundary:
-# new round-10 operators first (the r11 window candidates), then the
-# rest by evidence age, newest last.
+# round (CORRECTNESS_r01-r10 keys == list(queries())[:50]), so insertion
+# order decides which SURVEY rows get driver evidence. Round-11 rotation
+# (VERDICT r10, Next-round #1): slots 1-5 are the round-10 composites
+# D183-D187 (the only queries with NO driver evidence — green rows take
+# driver-confirmed coverage to 210/210 SURVEY rows); slots 6-34 the 29
+# r06-evidence rows named by the verdict (the d33-d48 window/sort/
+# scalar block, the r3-added d105-d115 block, and the d66/d67/d69/d71/
+# a68 text-dedup block); slots 35-50 backfill with 16 of the oldest
+# r07-evidence rows so no query's latest green ages past r7.
 DRIVER_ORDER: tuple[str, ...] = (
-    "d181_lsh_arrival_loop",
-    "d182_restart_exactly_once",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion",
-    "q22_idle_customers",
-    "d76_quality_repetition",
-    "d77_stratified_sample",
-    "d78_train_val_test_split",
-    "d79_contamination_screen",
-    "d80_sequence_packing",
-    "d81_mixture_rebalance",
-    "d82_custom_stateful_sessions",
-    "d85_frame_sampling",
-    "d86_kmeans",
-    "q12_late_shipment_priority",
-    "d46_math_functions",
-    "d75_embedding_quantize",
-    "r_charlotte_graceful_drain",
-    "d88_pii_redaction",
-    "d89_intradoc_line_dedup",
-    "a90_heavy_hitters",
-    "d91_pivot",
-    "d91_unpivot",
-    "d92_stream_stream_join",
-    "d93_summary_stats",
-    "a94_bloom_contamination",
-    "d95_vocab_topk",
-    "a96_countmin_sketch",
-    "d97_pagerank",
-    "d98_scd2_history",
-    "d99_orc_roundtrip",
-    "d100_temperature_sampling",
-    "d101_shard_export",
-    "d102_pca_power",
-    "d103_conversion_funnel",
-    "d104_cohort_retention",
-    # ---- 50-slot window boundary ----
-    # Round-10 additions: never driver-checked — r11 window candidates.
     "d183_curation_dag",
     "d184_ann_index_arrival",
     "d185_spool_evolution",
     "d186_grouped_prefix_budget",
     "d187_curation_arrival_loop",
+    "d33_ranking_functions",
+    "d35_running_aggregates",
+    "d37_topk_per_group",
+    "d38_multikey_sort",
+    "d39_topk_limit",
+    "d42_intersect",
+    "d43_except",
+    "d44_string_functions",
+    "d45_datetime_functions",
+    "d48_array_functions",
+    "d66_ngram_jaccard",
+    "d66_simhash",
+    "d67_embedding_neardup",
+    "d69_fingerprint",
+    "d69_quality_score",
+    "d69_token_count",
+    "d71_language_stats",
+    "a68_lsh_ann_topk",
     "d105_fuzzy_reconcile",
     "d106_pmi_collocations",
     "d107_inverted_index",
@@ -170,34 +134,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d113_chi_square",
     "d114_grouped_regression",
     "d115_ohlc_downsample",
-    "d33_ranking_functions",
-    "d35_running_aggregates",
-    "d37_topk_per_group",
-    "d38_multikey_sort",
-    "d39_topk_limit",
-    "d44_string_functions",
-    "d45_datetime_functions",
-    "d42_intersect",
-    "d43_except",
-    "d48_array_functions",
-    "d66_simhash",
-    "d66_ngram_jaccard",
-    "a68_lsh_ann_topk",
-    "d67_embedding_neardup",
-    "d69_quality_score",
-    "d69_token_count",
-    "d69_fingerprint",
-    "d71_language_stats",
-    "d136_merge_upsert",
-    "d139_ks_drift",
-    "d142_zorder_layout",
-    "d154_bounce_dwell",
-    "d156_revenue_concentration",
-    "d138_triangle_count",
-    "d141_constraint_audit",
-    "d117_bm25_retrieval",
-    "d68_topk_bruteforce",
     "d116_dup_ngram_spans",
+    "d117_bm25_retrieval",
     "d118_semantic_dedup",
     "d119_ewma_smoothing",
     "d120_robust_anomalies",
@@ -206,13 +144,25 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d123_bigram_lm_score",
     "d124_span_removal",
     "d125_quantile_calibration",
-    "d126_transform_with_state",
     "d127_text_binary_roundtrip",
     "d128_jsonl_roundtrip",
     "d129_schema_evolution",
     "d130_cidr_enrichment",
     "d131_incremental_dedup",
     "d132_skew_profile",
+    # ---- 50-slot window boundary ----
+    # Post-boundary: r12 window candidates first (remaining r7 rows,
+    # then r8/r9 evidence blocks); the 45 rows displaced from the r10
+    # window (all re-greened at r10) go last, newest evidence last.
+    "d136_merge_upsert",
+    "d139_ks_drift",
+    "d142_zorder_layout",
+    "d154_bounce_dwell",
+    "d156_revenue_concentration",
+    "d138_triangle_count",
+    "d141_constraint_audit",
+    "d68_topk_bruteforce",
+    "d126_transform_with_state",
     "d133_equidepth_stats",
     "a134_selfjoin_size",
     "d135_distribution_windows",
@@ -338,6 +288,56 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d72_binary_fingerprint",
     "d73_doc_chunking",
     "d74_neardup_clusters",
+    "d181_lsh_arrival_loop",
+    "d182_restart_exactly_once",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q22_idle_customers",
+    "d76_quality_repetition",
+    "d77_stratified_sample",
+    "d78_train_val_test_split",
+    "d79_contamination_screen",
+    "d80_sequence_packing",
+    "d81_mixture_rebalance",
+    "d82_custom_stateful_sessions",
+    "d85_frame_sampling",
+    "d86_kmeans",
+    "q12_late_shipment_priority",
+    "d46_math_functions",
+    "d75_embedding_quantize",
+    "r_charlotte_graceful_drain",
+    "d88_pii_redaction",
+    "d89_intradoc_line_dedup",
+    "a90_heavy_hitters",
+    "d91_pivot",
+    "d91_unpivot",
+    "d92_stream_stream_join",
+    "d93_summary_stats",
+    "a94_bloom_contamination",
+    "d95_vocab_topk",
+    "a96_countmin_sketch",
+    "d97_pagerank",
+    "d98_scd2_history",
+    "d99_orc_roundtrip",
+    "d100_temperature_sampling",
+    "d101_shard_export",
+    "d102_pca_power",
+    "d103_conversion_funnel",
+    "d104_cohort_retention",
 )
 
 # How many leading entries of queries() the driver's correctness gate

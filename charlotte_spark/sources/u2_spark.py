@@ -193,6 +193,72 @@ class RolloverListener:
             self._impl = None
 
 
+def shared_parent_layout(spools: dict[str, dict]) -> tuple[str, str] | None:
+    """Detect the evolution-safe deployment layout (VERDICT r10 #7).
+
+    Returns ``(parent, prefix)`` when the WHOLE config is expressible
+    as ONE binaryFile source over ``parent/*``: every spool directory
+    sits directly under one common parent, every spool shares one file
+    prefix, and each directory's basename IS its spool name — so
+    sensor identity is recoverable from the file path. This is the
+    layout d185 proves evolution-safe: Structured Streaming forbids
+    changing the NUMBER of sources across a checkpoint restart, so the
+    union-per-directory shape can never grow at day 2, while a new
+    sensor subdirectory under one parent glob is just new FILES to the
+    same source's seen-files log. Returns ``None`` when the config
+    doesn't fit (different parents, prefix mismatch, or directory
+    names that don't carry the sensor identity).
+    """
+    import os as _os
+
+    parents: set[str] = set()
+    prefixes: set[str] = set()
+    for name, cfg in spools.items():
+        prefixes.add(cfg.get("prefix", ""))
+        for d in cfg["directories"]:
+            d = d.rstrip("/")
+            if _os.path.basename(d) != name:
+                return None  # path can't carry the sensor identity
+            parents.add(_os.path.dirname(d))
+    if len(parents) != 1 or len(prefixes) != 1:
+        return None
+    return parents.pop(), prefixes.pop()
+
+
+def _parent_glob_source(
+    spark: SparkSession,
+    parent: str,
+    prefix: str,
+    streaming: bool,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    """ONE source over ``parent/*`` with sensor identity derived from
+    the subdirectory name (the d185 `_evo_decoded` shape, promoted to
+    the default read_spools path for shared-parent configs)."""
+    glob = f"{prefix}*" if prefix else "*"
+    if streaming:
+        reader = (
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, length long, content binary"
+            )
+            .option("pathGlobFilter", glob)
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        df = reader.load(f"{parent}/*")
+    else:
+        df = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", glob)
+            .load(f"{parent}/*")
+        )
+    return df.select(
+        F.regexp_extract("path", r"([^/]+)/[^/]*$", 1).alias("sensor_name"),
+        "content",
+    )
+
+
 def read_spools(
     spark: SparkSession,
     spools: dict[str, dict],
@@ -204,17 +270,46 @@ def read_spools(
     ``spools`` mirrors charlotte's config section
     (charlotte/__init__.py:141-150): name -> {"directories": [...],
     "prefix": "snort.u2"}.
+
+    When the config fits the shared-parent layout
+    (:func:`shared_parent_layout`), the plan is ONE parent-glob source
+    with path-derived sensor identity — the evolution-safe default
+    (VERDICT r10 #7): adding a sensor at day 2 is mkdir + first
+    rollover, no topology change, same checkpoint. Otherwise the
+    literal R4 union-per-directory shape is kept (sensor identity from
+    the config), and a streaming caller gets a warning that growing
+    the spool set later will need a NEW checkpoint (d185 documents the
+    restart rule).
     """
-    parts = []
-    for name, cfg in sorted(spools.items()):
-        for d in cfg["directories"]:
-            parts.append(
-                _tagged_binary_source(
-                    spark, d, name, cfg.get("prefix", ""), streaming, max_files_per_trigger
+    layout = shared_parent_layout(spools)
+    if layout is not None:
+        src = _parent_glob_source(
+            spark, layout[0], layout[1], streaming, max_files_per_trigger
+        )
+    else:
+        parts = []
+        for name, cfg in sorted(spools.items()):
+            for d in cfg["directories"]:
+                parts.append(
+                    _tagged_binary_source(
+                        spark, d, name, cfg.get("prefix", ""), streaming,
+                        max_files_per_trigger,
+                    )
                 )
+        if streaming and len(parts) > 1:
+            import warnings
+
+            warnings.warn(
+                "spool config is not shared-parent-shaped: the stream plan "
+                "unions one source per directory, and Structured Streaming "
+                "forbids changing the source count across a checkpoint "
+                "restart — day-2 spool growth will need a NEW checkpoint. "
+                "Lay spools out as <parent>/<sensor_name>/ with one common "
+                "prefix to get the evolution-safe single-source plan.",
+                stacklevel=2,
             )
-    src = parts[0]
-    for p in parts[1:]:
-        src = src.unionByName(p)  # R4: one logical stream per deployment
+        src = parts[0]
+        for p in parts[1:]:
+            src = src.unionByName(p)  # R4: one logical stream per deployment
     flat = src.mapInPandas(_parse_files, ALERT_FLAT_SCHEMA)
     return flat.mapInPandas(_decode_frames, DECODED_SCHEMA)

@@ -103,6 +103,109 @@ def test_cli_db_mode_writes_star(spark, tmp_path):
     assert n == 270
 
 
+def _shared_parent_spools(parent):
+    """A config in the evolution-safe layout: <parent>/<sensor_name>/
+    with one common prefix (VERDICT r10 #7)."""
+    from charlotte_spark.queries.charlotte_pipeline import write_spool
+
+    write_spool(f"{parent}/sensor_a", n_files=2, events_per_file=10, sensor_id=1)
+    write_spool(
+        f"{parent}/sensor_b", n_files=1, events_per_file=10, sensor_id=2,
+        base_second=1_700_100_000,
+    )
+    return {
+        "sensor_a": {"directories": [f"{parent}/sensor_a"], "prefix": "snort.u2"},
+        "sensor_b": {"directories": [f"{parent}/sensor_b"], "prefix": "snort.u2"},
+    }
+
+
+def test_shared_parent_config_gets_single_source_plan(spark, tmp_path):
+    """Evolution-safe default (VERDICT r10 #7): a shared-parent config
+    must compile to ONE streaming source over the parent glob — no
+    per-directory union (which can never grow across a checkpoint
+    restart) — with sensor identity derived from the subdirectory."""
+    from charlotte_spark.sources.u2_spark import read_spools, shared_parent_layout
+
+    parent = str(tmp_path / "spools")
+    spools = _shared_parent_spools(parent)
+    assert shared_parent_layout(spools) == (parent, "snort.u2")
+
+    stream = read_spools(spark, spools, streaming=True)
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert plan.count("StreamingRelation") == 1, "must be ONE source"
+    assert "Union" not in plan, "per-directory union is not evolution-safe"
+
+    # batch side mirrors the shape; identity comes from the path
+    counts = {
+        r["sensor_name"]: r["n"]
+        for r in read_spools(spark, spools, streaming=False)
+        .groupBy("sensor_name")
+        .agg(__import__("pyspark").sql.functions.count("*").alias("n"))
+        .collect()
+    }
+    assert set(counts) == {"sensor_a", "sensor_b"}
+    assert counts["sensor_a"] > counts["sensor_b"] > 0
+
+
+def test_non_shared_config_unions_and_warns(spark):
+    """A config whose directory names don't carry the sensor identity
+    keeps the literal R4 union shape, and a streaming caller is warned
+    that day-2 spool growth needs a new checkpoint."""
+    from charlotte_spark.sources.u2_spark import read_spools, shared_parent_layout
+
+    fx = u2_fixture()
+    assert shared_parent_layout(fx["spools"]) is None
+    with pytest.warns(UserWarning, match="NEW checkpoint"):
+        stream = read_spools(spark, fx["spools"], streaming=True)
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert plan.count("StreamingRelation") == 2
+
+
+def test_cli_day2_sensor_growth_same_checkpoint(spark, tmp_path):
+    """End-to-end through the CLI: run the pipeline on a shared-parent
+    config, then a NEW sensor directory appears (not in the config —
+    mkdir + first rollover is the whole day-2 change), and the SAME
+    run definition resumes from the SAME checkpoint: the new sensor's
+    events land, already-applied sensors don't reprocess."""
+    from charlotte_spark.queries.charlotte_pipeline import write_spool
+
+    fx = u2_fixture()  # only for the map files
+    parent = str(tmp_path / "spools")
+    conf = {
+        "spools": _shared_parent_spools(parent),
+        "global": {
+            "signature_map": fx["sig_map"],
+            "generator_map": fx["gen_map"],
+            "classification_map": fx["class_map"],
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        },
+        "plugin_snorby_parquet": {"path": str(tmp_path / "star")},
+    }
+    star = conf["plugin_snorby_parquet"]["path"]
+
+    def per_sensor_events():
+        ev = spark.read.parquet(os.path.join(star, "event"))
+        se = spark.read.parquet(os.path.join(star, "sensor"))
+        rows = ev.join(se, "sid").groupBy("hostname").count().collect()
+        return {r["hostname"]: r["count"] for r in rows}
+
+    assert run(conf, test_mode=False, follow=False, spark=spark) == 0
+    day1 = per_sensor_events()
+    assert set(day1) == {"sensor_a", "sensor_b"} and all(day1.values())
+
+    write_spool(
+        f"{parent}/sensor_c", n_files=1, events_per_file=10, sensor_id=3,
+        base_second=1_700_200_000,
+    )
+    assert run(conf, test_mode=False, follow=False, spark=spark) == 0
+    day2 = per_sensor_events()
+    assert set(day2) == {"sensor_a", "sensor_b", "sensor_c"}
+    assert day2["sensor_c"] > 0, "day-2 sensor must flow in"
+    # nothing replayed for the already-applied sensors
+    assert day2["sensor_a"] == day1["sensor_a"]
+    assert day2["sensor_b"] == day1["sensor_b"]
+
+
 def test_reference_conf_example_loads_unchanged():
     """Drop-in parity: the reference repo's OWN charlotte.conf.example
     must load and validate byte-for-byte unchanged — a reference user

@@ -1100,6 +1100,52 @@ def test_ann_probe_touches_one_cell(spark, sf_dir):
     assert "cell" in p["plan"], "cell key must appear in the probe join"
 
 
+def test_ann_recall_audit_is_sampled(spark):
+    """d184 (VERDICT r10 #3): the exact-recall side — the loop's only
+    O(batch x corpus) piece — must run on the deterministic hash-sampled
+    probe subset: (a) source pin that the crossJoin input is the
+    filtered probes_audit frame; (b) unaudited probes report recall3
+    NULL + recall_audited 0; (c) the full-exact knob
+    (recall_sample_mod=1) agrees with the sampled run on every audited
+    probe, so sampling only shrinks coverage, never changes values."""
+    import inspect
+
+    from charlotte_spark.queries.similarity import d184_ann_index_arrival
+
+    src = inspect.getsource(d184_ann_index_arrival)
+    assert "probes_audit.select" in src and ".crossJoin(postings)" in src, (
+        "exact side must crossJoin from the SAMPLED probes_audit frame"
+    )
+    assert src.index("probes_audit = probes.filter") < src.index(
+        ".crossJoin(postings)"
+    ), "the sample filter must precede the exact crossJoin"
+
+    sampled = {
+        (r["round_id"], r["probe_id"]): r
+        for r in d184_ann_index_arrival(spark, "/root/testdata/sf0.001").collect()
+    }
+    full = {
+        (r["round_id"], r["probe_id"]): r
+        for r in d184_ann_index_arrival(
+            spark, "/root/testdata/sf0.001", recall_sample_mod=1
+        ).collect()
+    }
+    assert sampled.keys() == full.keys()
+    unaudited = [k for k, r in sampled.items() if r["recall_audited"] == 0]
+    assert unaudited, "sf0.001 must contain unaudited probes at mod=4"
+    assert len(unaudited) < len(sampled), "some probes must still be audited"
+    for k, r in sampled.items():
+        if r["recall_audited"]:
+            assert r["recall3"] == full[k]["recall3"], k
+        else:
+            assert r["recall3"] is None, k
+        # sampling must not perturb the probe path itself
+        assert (r["top1_id"], r["top1_cos"], r["n_incell"]) == (
+            full[k]["top1_id"], full[k]["top1_cos"], full[k]["n_incell"]
+        ), k
+    assert all(r["recall_audited"] == 1 for r in full.values())
+
+
 def test_grouped_prefix_parallelizes_groups(spark, sf_dir):
     """d186: the grouped prefix must range-partition on (group, order)
     into n_parts buckets and compute the per-row running sums in a
@@ -1110,10 +1156,15 @@ def test_grouped_prefix_parallelizes_groups(spark, sf_dir):
     from charlotte_spark.plans.audit import formatted_plan
 
     p = formatted_plan(REG["d186_grouped_prefix_budget"].fn(spark, sf_dir))
+    # Default bucket count is cluster-derived (VERDICT r10 #4): a fixed
+    # 32 would cap the pass at 32 tasks on a 1000-core cluster.
+    n_default = max(32, spark.sparkContext.defaultParallelism)
     assert _re.search(
-        r"rangepartitioning\(lang#\d+ ASC NULLS FIRST, doc_id#\d+L? ASC NULLS FIRST, 32\)",
+        r"rangepartitioning\(lang#\d+ ASC NULLS FIRST, doc_id#\d+L? ASC NULLS FIRST, "
+        + str(n_default)
+        + r"\)",
         p,
-    ), "input must range-partition on (lang, doc_id) into 32 buckets"
+    ), f"input must range-partition on (lang, doc_id) into {n_default} buckets"
     assert _re.search(
         r"windowspecdefinition\(lang#\d+, _pid#\d+, doc_id#\d+L? ASC",
         p,
@@ -1128,6 +1179,116 @@ def test_grouped_prefix_parallelizes_groups(spark, sf_dir):
         if _re.search(r"windowspecdefinition\(lang#\d+, doc_id#\d+", seg)
     ]
     assert not lang_only, f"per-group serial window found: {lang_only[:1]}"
+
+
+def test_sequence_packing_rides_grouped_prefix(spark, sf_dir):
+    """d80 (VERDICT r10 #2): the packing cursor must ride the grouped
+    distributed prefix — range-partitioned on (lang, doc_id), running
+    sums windowed by (lang, _pid) — never a per-language serial window
+    (windowspecdefinition(lang, doc_id ...) with no bucket column)."""
+    import re as _re
+
+    from charlotte_spark.plans.audit import formatted_plan
+
+    p = formatted_plan(REG["d80_sequence_packing"].fn(spark, sf_dir))
+    assert _re.search(
+        r"rangepartitioning\(lang#\d+ ASC NULLS FIRST, doc_id#\d+L? ASC NULLS FIRST",
+        p,
+    ), "d80 must range-partition on (lang, doc_id)"
+    serial = [
+        seg
+        for seg in p.splitlines()
+        if _re.search(r"windowspecdefinition\(lang#\d+, doc_id#\d+", seg)
+    ]
+    assert not serial, f"per-language serial window found: {serial[:1]}"
+
+
+def test_curation_dag_source_has_no_perlang_serial_window():
+    """d183 (VERDICT r10 #2): the returned plan only reads the
+    checkpoint, so the swap is pinned at the source level — the flag
+    chain must call ordered_prefix(group_cols=['lang']) twice (mixture
+    cursor, pack cursor) and keep no per-lang ordered Window."""
+    import inspect
+
+    from charlotte_spark.queries.traindata import d183_curation_dag
+
+    src = inspect.getsource(d183_curation_dag)
+    assert src.count("ordered_prefix(") == 2, "d183 must chain two grouped prefixes"
+    assert 'group_cols=["lang"]' in src
+    assert 'Window.partitionBy("lang")' not in src, (
+        "per-lang serial window resurfaced in d183"
+    )
+
+
+def test_prefix_explicit_n_parts_overrides_default(spark, sf_dir):
+    """The n_parts knob still wins over the cluster-derived default
+    (VERDICT r10 #4): an explicit 48 must show up as the range-partition
+    bucket count even though defaultParallelism here is 32."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.operators.prefix import (
+        ordered_prefix,
+        release_prefix_caches,
+    )
+    from charlotte_spark.plans.audit import formatted_plan
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("grp"),
+        (F.col("id") % 7).alias("x"),
+    )
+    out = ordered_prefix(df, ["k"], group_cols=["grp"],
+                         running={"run_x": "x"}, n_parts=48)
+    try:
+        p = formatted_plan(out)
+        assert _re.search(
+            r"rangepartitioning\(grp#\d+L? ASC NULLS FIRST, k#\d+L? ASC NULLS FIRST, 48\)",
+            p,
+        ), "explicit n_parts=48 must drive the range partitioning"
+    finally:
+        release_prefix_caches()
+
+
+def test_prefix_exception_path_keeps_and_retries(spark, sf_dir):
+    """ADVICE r10 #4: when an old cache's plan comparison THROWS
+    (stale session / incomparable plan), _materialize must keep the
+    entry tracked — never unpersist it (it might be the plan the new
+    call just reused) — and release_prefix_caches() must still be able
+    to drain it later."""
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.operators import prefix
+
+    calls = {"unpersist": 0}
+
+    class _Boom:
+        """Stub cache entry whose plan access always raises."""
+
+        @property
+        def _jdf(self):
+            raise RuntimeError("session stopped")
+
+        def unpersist(self):
+            calls["unpersist"] += 1
+            return self
+
+    prefix.release_prefix_caches()
+    boom = _Boom()
+    prefix._LIVE_CACHES.append(boom)
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("x")
+    )
+    out = prefix.ordered_prefix(df, ["k"], running={"run_x": "x"})
+    out.collect()
+    # keep-and-retry: the incomparable entry stays tracked, unpersist
+    # was NOT attempted on it during materialization...
+    assert boom in prefix._LIVE_CACHES, "exception path must keep tracking"
+    assert calls["unpersist"] == 0
+    # ...and the drain path still frees it (plus the live cache).
+    prefix.release_prefix_caches()
+    assert calls["unpersist"] == 1
+    assert not prefix._LIVE_CACHES
 
 
 def test_curation_loop_result_reads_only_persisted_state(spark, sf_dir):

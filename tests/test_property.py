@@ -577,8 +577,10 @@ def test_grouped_prefix_equals_naive_grouped_window(spark, n_parts):
 
     from charlotte_spark.operators.prefix import ordered_prefix
 
-    # group 9 gets exactly one row (k=9); group sizes are uneven
-    rows = [(i, (i * i) % 10 if i != 9 else 9, float((i * 13) % 29), (i * 7) % 5)
+    # (i*i)%10 only ever hits {0,1,4,5,6,9}, so sending the i==9 row to
+    # grp=3 makes group 3 a guaranteed SINGLE-ROW group (the edge case
+    # the grouped prefix must not mangle); group sizes stay uneven.
+    rows = [(i, (i * i) % 10 if i != 9 else 3, float((i * 13) % 29), (i * 7) % 5)
             for i in range(200)]
     df = spark.createDataFrame(rows, "k long, grp long, x double, w long")
 

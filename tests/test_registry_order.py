@@ -26,32 +26,36 @@ def test_enumeration_puts_driver_order_first():
 
 
 def test_window_covers_fixes_and_never_verified_rows():
-    """Round-10 rotation (VERDICT r09 #1): slots 1-2 are the r9
-    additions D181/D182 (the only zero-evidence queries) — green rows
-    take driver-confirmed coverage to 205/205 SURVEY rows; slots 3-19
-    the 17 TPC-H composites last green in r02 and re-planned by the
-    r9 broadcast-hint change; slots 20-29 the r03 block; slots 30-50
-    refresh the oldest 21 of the r06 block."""
+    """Round-11 rotation (VERDICT r10 #1): slots 1-5 are the r10
+    composites D183-D187 (the only zero-driver-evidence queries) —
+    green rows take driver-confirmed coverage to 210/210 SURVEY rows;
+    slots 6-34 the 29 r06-evidence rows the verdict names; slots 35-50
+    backfill with 16 of the oldest r07-evidence rows."""
     window = list(load_all_queries())[:DRIVER_WINDOW]
-    # The never-driver-checked r9 additions lead the window.
-    assert window[:2] == ["d181_lsh_arrival_loop", "d182_restart_exactly_once"]
-    # The r02-evidence TPC-H block (hint discipline changed in r9) and
-    # a sample of the r03/early-r06 refresh blocks must all be inside.
+    # The never-driver-checked r10 composites lead the window.
+    assert window[:5] == [
+        "d183_curation_dag",
+        "d184_ann_index_arrival",
+        "d185_spool_evolution",
+        "d186_grouped_prefix_budget",
+        "d187_curation_arrival_loop",
+    ]
+    # A sample of the verdict-named r06 block and the r07 backfill.
     for must in (
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "q8_market_share",
-        "q18_large_volume_customer",
-        "q22_idle_customers",
-        "d76_quality_repetition",
-        "d79_contamination_screen",
-        "d82_custom_stateful_sessions",
-        "d86_kmeans",
-        "q12_late_shipment_priority",
-        "d88_pii_redaction",
-        "a94_bloom_contamination",
-        "d97_pagerank",
-        "d104_cohort_retention",
+        "d33_ranking_functions",
+        "d39_topk_limit",
+        "d42_intersect",
+        "d48_array_functions",
+        "d66_simhash",
+        "a68_lsh_ann_topk",
+        "d69_quality_score",
+        "d71_language_stats",
+        "d105_fuzzy_reconcile",
+        "d109_recursive_cte",
+        "d115_ohlc_downsample",
+        "d116_dup_ngram_spans",
+        "d124_span_removal",
+        "d132_skew_profile",
     ):
         assert must in window, f"{must} fell out of the driver window"
     # Every window slot must be hash-checkable: the whole rows-only
@@ -59,8 +63,10 @@ def test_window_covers_fixes_and_never_verified_rows():
     reg = load_all_queries()
     rows_only = [n for n in window if reg[n].oracle is None]
     assert not rows_only, f"rows-only slots: {rows_only}"
-    # Nothing already driver-green in r07-r09 may occupy a slot.
-    for stale in ("d157_url_curation", "d25_global_agg", "d165_char_entropy"):
+    # Nothing already driver-green in r08-r10 may occupy a slot.
+    for stale in ("d157_url_curation", "d25_global_agg", "d165_char_entropy",
+                  "d181_lsh_arrival_loop", "d88_pii_redaction",
+                  "q3_shipping_priority"):
         assert stale not in window, f"{stale} wastes a window slot"
 
 
