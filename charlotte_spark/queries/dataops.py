@@ -932,3 +932,169 @@ def d169_json_field_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("field")
     )
+
+
+# ---------------------------------------------------------------------------
+# D190: zone-map pruning audit (min/max manifests vs layout correlation)
+# ---------------------------------------------------------------------------
+
+_D190_SHARDS = 16
+# probe windows as fractions of each key's [min, max] span — pure data
+# functions, so the audit is SF-independent and hash-checkable
+_D190_LO, _D190_HI = 40, 45  # percent of span
+
+
+@query(
+    "d190_zonemap_pruning",
+    tags=("D190", "D142", "D1"),
+    oracle=f"""
+    WITH ext AS (
+        SELECT min(l_orderkey) AS ko, max(l_orderkey) AS k1,
+               epoch(min(l_shipdate)) AS so, epoch(max(l_shipdate)) AS s1
+        FROM lineitem
+    ),
+    sharded AS (
+        SELECT l.*,
+               CAST(floor((l_orderkey - e.ko) * {_D190_SHARDS} * 1.0
+                          / (e.k1 - e.ko + 1)) AS BIGINT) AS shard,
+               e.ko, e.k1, e.so, e.s1
+        FROM lineitem l, ext e
+    ),
+    zones AS (
+        SELECT shard,
+               min(l_orderkey) AS zk_min, max(l_orderkey) AS zk_max,
+               min(epoch(l_shipdate)) AS zs_min, max(epoch(l_shipdate)) AS zs_max,
+               count(*) AS n_rows,
+               max(ko) AS ko, max(k1) AS k1, max(so) AS so, max(s1) AS s1
+        FROM sharded GROUP BY shard
+    ),
+    probes AS (
+        SELECT 'layout_key' AS probe,
+               ko + (k1 - ko) * {_D190_LO} / 100.0 AS lo,
+               ko + (k1 - ko) * {_D190_HI} / 100.0 AS hi,
+               zk_min AS zmin, zk_max AS zmax, shard, n_rows
+        FROM zones
+        UNION ALL
+        SELECT 'unsorted_key' AS probe,
+               so + (s1 - so) * {_D190_LO} / 100.0 AS lo,
+               so + (s1 - so) * {_D190_HI} / 100.0 AS hi,
+               zs_min AS zmin, zs_max AS zmax, shard, n_rows
+        FROM zones
+    ),
+    hits AS (
+        SELECT probe, shard, n_rows,
+               CAST(zmax >= lo AND zmin <= hi AS INT) AS touched
+        FROM probes
+    ),
+    matched AS (
+        SELECT 'layout_key' AS probe, count(*) AS n_matched
+        FROM sharded
+        WHERE l_orderkey >= ko + (k1 - ko) * {_D190_LO} / 100.0
+          AND l_orderkey <= ko + (k1 - ko) * {_D190_HI} / 100.0
+        UNION ALL
+        SELECT 'unsorted_key', count(*)
+        FROM sharded
+        WHERE epoch(l_shipdate) >= so + (s1 - so) * {_D190_LO} / 100.0
+          AND epoch(l_shipdate) <= so + (s1 - so) * {_D190_HI} / 100.0
+    )
+    SELECT h.probe,
+           CAST({_D190_SHARDS} AS INT) AS shards_total,
+           CAST(sum(h.touched) AS INT) AS shards_touched,
+           CAST(sum(h.touched * h.n_rows) AS BIGINT) AS rows_scanned,
+           CAST(max(m.n_matched) AS BIGINT) AS rows_matched
+    FROM hits h JOIN matched m ON m.probe = h.probe
+    GROUP BY h.probe
+    ORDER BY h.probe
+    """,
+)
+def d190_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit — quantifies WHY layout matters before
+    paying for it (the decision input to d142's z-order and d171's
+    compaction): lay `lineitem` out in {_D190_SHARDS} equal-width
+    orderkey shards, build the per-shard min/max manifest (the
+    parquet-footer/Delta-stats model), then answer the same 5%-of-span
+    range probe twice — once on the layout key, once on an
+    uncorrelated key — and report shards touched + rows scanned vs
+    rows actually matched.
+
+    On the layout key the manifest prunes to ~1 shard; on the
+    uncorrelated key every zone's [min,max] spans the whole domain and
+    NOTHING prunes even though the selectivity is identical — the
+    false-positive scan cost is exactly what a sort/z-order removes at
+    100 TB. All thresholds are pure functions of the key extents
+    (integer arithmetic over min/max), so the audit is deterministic
+    and hash-checked, not a planner-dependent estimate.
+
+    Plan shape: extents are a 1-row aggregate broadcast back (the d81
+    two-pass discipline); shard id is a pure projection; zones are ONE
+    keyed aggregation ({_D190_SHARDS} rows); probe evaluation runs on
+    the bounded zone manifest, with the matched-row counts folded in
+    the same pass over the sharded frame — no per-probe rescan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.unix_timestamp("l_shipdate").alias("s_ep")
+    )
+    ext = li.agg(
+        F.min("l_orderkey").alias("ko"), F.max("l_orderkey").alias("k1"),
+        F.min("s_ep").alias("so"), F.max("s_ep").alias("s1"),
+    )
+    sharded = li.crossJoin(F.broadcast(ext)).withColumn(
+        "shard",
+        F.floor(
+            (F.col("l_orderkey") - F.col("ko"))
+            * _D190_SHARDS
+            / (F.col("k1") - F.col("ko") + 1)
+        ),
+    )
+    k_lo = F.col("ko") + (F.col("k1") - F.col("ko")) * _D190_LO / 100
+    k_hi = F.col("ko") + (F.col("k1") - F.col("ko")) * _D190_HI / 100
+    s_lo = F.col("so") + (F.col("s1") - F.col("so")) * _D190_LO / 100
+    s_hi = F.col("so") + (F.col("s1") - F.col("so")) * _D190_HI / 100
+    zones = sharded.groupBy("shard").agg(
+        F.min("l_orderkey").alias("zk_min"), F.max("l_orderkey").alias("zk_max"),
+        F.min("s_ep").alias("zs_min"), F.max("s_ep").alias("zs_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+        # row-level matched counts folded in the SAME pass (no rescan)
+        F.sum(
+            ((F.col("l_orderkey") >= k_lo) & (F.col("l_orderkey") <= k_hi))
+            .cast("long")
+        ).alias("m_key"),
+        F.sum(((F.col("s_ep") >= s_lo) & (F.col("s_ep") <= s_hi)).cast("long"))
+        .alias("m_date"),
+        F.max("ko").alias("ko"), F.max("k1").alias("k1"),
+        F.max("so").alias("so"), F.max("s1").alias("s1"),
+    )
+    # the two probe branches below UNION over zones — materialize the
+    # 16-row manifest once or each branch re-executes the corpus pass
+    # (Catalyst reuses no subtrees across union branches)
+    zones = reliable_checkpoint(zones)
+    probes = zones.select(
+        F.lit("layout_key").alias("probe"),
+        k_lo.alias("lo"), k_hi.alias("hi"),
+        F.col("zk_min").cast("double").alias("zmin"),
+        F.col("zk_max").cast("double").alias("zmax"),
+        "n_rows", F.col("m_key").alias("m"),
+    ).unionByName(
+        zones.select(
+            F.lit("unsorted_key").alias("probe"),
+            s_lo.alias("lo"), s_hi.alias("hi"),
+            F.col("zs_min").cast("double").alias("zmin"),
+            F.col("zs_max").cast("double").alias("zmax"),
+            "n_rows", F.col("m_date").alias("m"),
+        )
+    )
+    touched = ((F.col("zmax") >= F.col("lo")) & (F.col("zmin") <= F.col("hi"))).cast(
+        "int"
+    )
+    return (
+        probes.withColumn("touched", touched)
+        .groupBy("probe")
+        .agg(
+            F.lit(_D190_SHARDS).cast("int").alias("shards_total"),
+            F.sum("touched").cast("int").alias("shards_touched"),
+            F.sum(F.col("touched") * F.col("n_rows")).cast("long").alias(
+                "rows_scanned"
+            ),
+            F.sum("m").cast("long").alias("rows_matched"),
+        )
+        .orderBy("probe")
+    )

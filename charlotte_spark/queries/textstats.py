@@ -19,6 +19,7 @@ from ..functions.portable import pround, sql_round
 from ..functions.shingles import with_shingles
 from ..operators.prefix import ordered_prefix
 from ..registry import query
+from ..session import reliable_checkpoint
 
 # tiny function-word dictionaries for the langid heuristic
 _LANG_MARKERS = {
@@ -723,3 +724,152 @@ def d177_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.regr_intercept(lnc, lnr), 4).alias("zipf_intercept"),
         pround(F.regr_r2(lnc, lnr), 4).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D188: distributed BPE merge induction (tokenizer training)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    """Same merge loop unrolled in SQL CTEs: per round, pair counts over
+    the weighted vocab, deterministic argmax (count desc, pair asc),
+    double-space literal merge application, post-merge symbol ledger."""
+    ctes = [
+        """w AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    v0 AS (
+        SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq,
+               count(*) AS freq
+        FROM w WHERE length(w) > 0 GROUP BY 1
+    )"""
+    ]
+    finals = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(f"""p{r} AS (
+        SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                      i -> s[i] || ' ' || s[i+1])) AS pair, freq
+        FROM (SELECT string_split(seq, ' ') AS s, freq FROM v{p})
+    ),
+    c{r} AS (SELECT pair, sum(freq) AS n FROM p{r} GROUP BY 1),
+    b{r} AS (
+        SELECT string_split(pair, ' ')[1] AS l,
+               string_split(pair, ' ')[2] AS r, n
+        FROM (SELECT pair, n FROM c{r} ORDER BY n DESC, pair ASC LIMIT 1)
+    ),
+    v{r} AS (
+        SELECT trim(regexp_replace(
+                 replace(' ' || replace(seq, ' ', '  ') || ' ',
+                         ' ' || b.l || '  ' || b.r || ' ',
+                         ' ' || b.l || b.r || ' '),
+                 ' +', ' ', 'g')) AS seq, freq
+        FROM v{p}, b{r} b
+    )""")
+        finals.append(f"""
+        SELECT {r} AS round_id, b.l AS merge_l, b.r AS merge_r,
+               CAST(b.n AS BIGINT) AS pair_n,
+               (SELECT CAST(count(*) AS BIGINT) FROM v{r}) AS n_words,
+               (SELECT CAST(sum(freq * len(string_split(seq, ' '))) AS BIGINT)
+                FROM v{r}) AS corpus_symbols
+        FROM b{r} b""")
+    body = " UNION ALL ".join(f"({q})" for q in finals)
+    return f"WITH {', '.join(ctes)} SELECT * FROM ({body}) ORDER BY round_id"
+
+
+@query("d188_bpe_merges", tags=("D188", "D95", "D69"), oracle=_bpe_oracle())
+def d188_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge induction — the tokenizer-training
+    primitive every LLM data pipeline runs before anything else. Three
+    merge rounds over ``documents``: each round counts adjacent symbol
+    pairs (weighted by word frequency), picks the global argmax pair
+    (deterministic tie-break: count desc, pair asc), applies the merge
+    corpus-wide, and ledgers the post-merge symbol totals.
+
+    Scale shape: the corpus is touched ONCE — one word-explode +
+    groupBy folds 100 TB of text into the weighted type vocabulary
+    (Zipf-bounded, orders of magnitude smaller), which is checkpointed
+    and carries all subsequent rounds. Per round the distributed work
+    is one pair-explode + one keyed count over the vocab; the merge
+    RULE is a 1-row argmax — the one legitimately driver-bounded value
+    (like d184's K centroids) — and merge application is a pure
+    codegen'd projection (no shuffle). A per-round full-corpus rescan
+    (the naive formulation) would cost rounds x corpus; this costs
+    corpus + rounds x vocab.
+
+    Merge application uses the double-space trick so ONE literal
+    replace implements BPE's greedy left-to-right non-overlapping
+    semantics identically in Spark and DuckDB: double every gap, then
+    ``' l  r ' -> ' lr '`` — each replacement consumes one space per
+    side, so adjacent merge sites keep their boundaries (a plain
+    single-space replace silently skips every second site; pinned by
+    test_bpe_merge_application_is_greedy)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.lower("text"), " ")).alias("w")).filter(
+        F.length("w") > 0
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"), "freq")
+    )
+    # ONE corpus pass; every merge round reads this vocab-sized frame.
+    cur = reliable_checkpoint(vocab)
+
+    rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        syms = F.split("seq", " ")
+        # guard: Spark sequence(1, 0) DESCENDS instead of being empty
+        bigrams = F.when(
+            F.size(syms) >= 2,
+            F.expr(
+                "transform(sequence(1, size(split(seq, ' ')) - 1), "
+                "i -> concat(element_at(split(seq, ' '), i), ' ', "
+                "element_at(split(seq, ' '), i + 1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pairs = cur.select("freq", F.explode(bigrams).alias("pair"))
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()[0]  # bounded: the ONE merge rule of this round
+        )
+        lsym, rsym = best["pair"].split(" ")
+        merged = F.trim(
+            F.regexp_replace(
+                F.replace(
+                    F.concat(
+                        F.lit(" "), F.regexp_replace("seq", " ", "  "), F.lit(" ")
+                    ),
+                    F.lit(f" {lsym}  {rsym} "),
+                    F.lit(f" {lsym}{rsym} "),
+                ),
+                " +",
+                " ",
+            )
+        )
+        cur = reliable_checkpoint(cur.select(merged.alias("seq"), "freq"))
+        rows.append(
+            cur.agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum(F.col("freq") * F.size(F.split("seq", " "))).alias(
+                    "corpus_symbols"
+                ),
+            ).select(
+                F.lit(r).alias("round_id"),
+                F.lit(lsym).alias("merge_l"),
+                F.lit(rsym).alias("merge_r"),
+                F.lit(int(best["n"])).cast("long").alias("pair_n"),
+                F.col("n_words").cast("long").alias("n_words"),
+                F.col("corpus_symbols").cast("long").alias("corpus_symbols"),
+            )
+        )
+    out = rows[0]
+    for frame in rows[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("round_id")

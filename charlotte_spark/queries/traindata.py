@@ -1928,3 +1928,210 @@ def d187_curation_arrival_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# D189: deterministic epoch shuffle (global training order without a sort)
+# ---------------------------------------------------------------------------
+
+_D189_SHARDS = 8
+_D189_EPOCH_SALT = "epoch1|"
+
+
+@query(
+    "d189_training_shuffle",
+    tags=("D189", "D78", "D40"),
+    oracle=sql_two_level_digest(
+        f"""(
+        WITH ranked AS (
+            SELECT doc_id,
+                   {sql_hash_long("doc_id", _D189_EPOCH_SALT)} AS rk
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY rk, doc_id) AS pos,
+                   count(*) OVER () AS n
+            FROM ranked
+        )
+        SELECT CAST(floor((pos - 1) * {_D189_SHARDS} * 1.0 / n) AS BIGINT)
+                   AS shard,
+               pos, doc_id
+        FROM pos)""",
+        ["shard"],
+        "pos || '|' || doc_id",
+        count_alias="n_docs",
+        digest_alias="order_digest",
+        sum_exprs={"pos_sum": "pos"},
+    ),
+)
+def d189_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: the training-order primitive — each
+    epoch permutes the corpus by a salted portable hash, splits the
+    permuted order into equi-count shards, and pins per-shard
+    membership AND position with the two-level digest (a trainer
+    streaming shard k resumes mid-epoch from (shard, pos)).
+
+    Scale shape: the global permutation position rides the distributed
+    prefix operator (range-partition on the hash rank, per-bucket row
+    numbers + bounded offset window) — NEVER a single-reducer
+    ``row_number() OVER (ORDER BY ...)``, which is exactly the hazard
+    operators/prefix.py exists for; the oracle keeps the naive window
+    SQL, so value-identity of the two formulations is what the hash
+    checks. Shard assignment is a pure function of (pos, n) — no
+    second shuffle — and the ledger folds with the two-level digest
+    (no corpus-scale aggregation buffer). ``pos_sum`` cross-checks
+    contiguity: shard boundaries are consecutive integers, so a
+    dropped or doubled position desyncs the sum even if counts match.
+
+    Epoch 2 is the same query with a different salt — the permutation
+    changes, the machinery doesn't (salt pinned as a module constant
+    so the oracle agrees)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    ranked = d.withColumn(
+        "rk", portable_hash_long("doc_id", _D189_EPOCH_SALT)
+    )
+    pref = ordered_prefix(
+        ranked, ["rk", "doc_id"], row_number="pos", count_total="n"
+    )
+    sharded = pref.select(
+        F.floor((F.col("pos") - 1) * _D189_SHARDS / F.col("n")).alias("shard"),
+        "pos",
+        "doc_id",
+    )
+    return two_level_digest(
+        sharded,
+        ["shard"],
+        F.concat_ws("|", "pos", "doc_id"),
+        count_alias="n_docs",
+        digest_alias="order_digest",
+        sum_cols={"pos_sum": "pos"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# D191: point-in-time feature backfill (leakage-free training features)
+# ---------------------------------------------------------------------------
+
+_D191_HORIZON_S = 7 * 86400  # staleness horizon: 7 days
+
+
+@query(
+    "d191_point_in_time_features",
+    tags=("D191", "D21", "D35"),
+    oracle=f"""
+    WITH snaps AS (
+        SELECT user_id, ts, event_id,
+               count(*) OVER w AS n_hist,
+               sum(value) OVER w AS val_hist
+        FROM events
+        WHERE event_type <> 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    probes AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    backfill AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               s.ts AS snap_ts, s.n_hist, s.val_hist,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY s.ts DESC, s.event_id DESC
+               ) AS rn
+        FROM probes p
+        JOIN snaps s ON s.user_id = p.user_id AND s.ts <= p.ts
+    ),
+    feat AS (
+        SELECT p.event_id, p.user_id,
+               a.snap_ts, a.n_hist, a.val_hist,
+               (a.snap_ts IS NOT NULL) AS matched,
+               (a.snap_ts IS NOT NULL AND
+                epoch(p.ts) - epoch(a.snap_ts) <= {_D191_HORIZON_S}) AS fresh
+        FROM probes p
+        LEFT JOIN (SELECT * FROM backfill WHERE rn = 1) a
+               ON a.event_id = p.event_id
+    )
+    SELECT user_id % 8 AS user_bucket,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CAST(matched AS INT)) AS BIGINT) AS n_matched,
+           CAST(sum(CAST(fresh AS INT)) AS BIGINT) AS n_fresh,
+           CAST(sum(CASE WHEN fresh THEN n_hist END) AS BIGINT) AS hist_events,
+           {sql_round("sum(CASE WHEN fresh THEN val_hist END)", 2)} AS hist_value
+    FROM feat
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def d191_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature backfill — the leakage-free training join
+    every feature store exists for: each purchase (prediction point)
+    gets the user's activity features AS OF its timestamp, never after
+    (temporal leakage), and a feature older than the 7-day staleness
+    horizon is masked to missing rather than silently served (training
+    must see what ONLINE inference would see).
+
+    Construction: snapshots = running activity history per user (one
+    high-cardinality keyed window — user_id partitions scale out);
+    backfill = the union+window as-of operator (operators/asof.py):
+    ONE linear shuffle of |snapshots|+|probes| rows, never the
+    |probes| x |history| range-join blowup. Freshness is a pure
+    projection; the declared output folds per user-bucket with counts
+    + fresh-feature sums so coverage (n_fresh/n_probes) — the number a
+    feature-store SLA tracks — is literal-pinned in the hash.
+
+    The oracle keeps the portable row_number formulation (the D21
+    discipline), so value-identity of the as-of operator vs the naive
+    formulation is part of the check."""
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    snaps = (
+        e.filter(F.col("event_type") != "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("n_hist", F.count(F.lit(1)).over(w))
+        .withColumn("val_hist", F.sum("value").over(w))
+        .select(
+            "user_id", "event_id",
+            F.col("ts").alias("snap_ts"), "n_hist", "val_hist",
+        )
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    bf = asof_join(
+        probes,
+        snaps,
+        on="user_id",
+        time_probe="ts",
+        time_quote="snap_ts",
+        attach={"snap_ts": "snap_ts", "n_hist": "n_hist", "val_hist": "val_hist"},
+        tiebreak_quote="event_id",
+    )
+    matched = F.col("snap_ts").isNotNull()
+    fresh = matched & (
+        (F.unix_timestamp("ts") - F.unix_timestamp("snap_ts")) <= _D191_HORIZON_S
+    )
+    return (
+        bf.select(
+            (F.col("user_id") % 8).alias("user_bucket"),
+            matched.cast("int").alias("m"),
+            fresh.cast("int").alias("f"),
+            F.when(fresh, F.col("n_hist")).alias("nh"),
+            F.when(fresh, F.col("val_hist")).alias("vh"),
+        )
+        .groupBy("user_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum("m").cast("long").alias("n_matched"),
+            F.sum("f").cast("long").alias("n_fresh"),
+            F.sum("nh").cast("long").alias("hist_events"),
+            pround(F.sum("vh"), 2).alias("hist_value"),
+        )
+        .orderBy("user_bucket")
+    )

@@ -377,6 +377,7 @@ def test_every_collect_site_is_bounded():
         "similarity.py": 3,   # k seeds, k×dim centroids, dim-length PCA vec
         "sketches.py": 1,     # ≤m bloom bit positions
         "joins.py": 1,        # d163: ≤m bloom bit positions (same class)
+        "textstats.py": 1,    # d188: the ONE argmax merge rule per BPE round
     }
     found: dict[str, int] = {}
     for p in root.rglob("*.py"):
@@ -1312,3 +1313,71 @@ def test_curation_loop_result_reads_only_persisted_state(spark, sf_dir):
         r" FIRST, doc_id#\d+L? ASC NULLS FIRST, 32\)",
         a["plan"],
     ), "packing offsets must ride the grouped distributed prefix"
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions (D188-D191)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_result_reads_only_vocab_checkpoint(spark, sf_dir):
+    """d188: the merge rounds run over the checkpointed VOCAB — the
+    returned ledger plan must contain zero parquet scans (the corpus
+    was folded exactly once, at vocab build time), and the per-round
+    stats partial-aggregate."""
+    from charlotte_spark.plans.audit import audit_plan
+
+    a = audit_plan(REG["d188_bpe_merges"].fn(spark, sf_dir))
+    assert not a["scans"], (
+        f"d188 ledger re-scans parquet: {[s['path'] for s in a['scans']]}"
+    )
+    assert a["partial_aggregate"]
+    assert not a["nested_loop_join"]
+
+
+def test_training_shuffle_rides_global_prefix(spark, sf_dir):
+    """d189: the epoch position must come from the two-phase prefix —
+    range-partitioned on (rk, doc_id) with per-bucket row numbers —
+    never a single-reducer row_number() OVER (ORDER BY rk, doc_id);
+    the ledger folds with the two-level (shard, bucket) digest."""
+    import re as _re
+
+    from charlotte_spark.plans.audit import formatted_plan
+
+    p = formatted_plan(REG["d189_training_shuffle"].fn(spark, sf_dir))
+    assert _re.search(
+        r"rangepartitioning\(rk#\d+L? ASC NULLS FIRST, doc_id#\d+L? ASC NULLS FIRST",
+        p,
+    ), "position must range-partition on (rk, doc_id)"
+    serial = [
+        seg
+        for seg in p.splitlines()
+        if _re.search(r"windowspecdefinition\(rk#\d+L?, doc_id#\d+", seg)
+    ]
+    assert not serial, f"single-reducer global window found: {serial[:1]}"
+    assert _re.search(r"hashpartitioning\(shard#\d+L?, _bkt#\d+", p), (
+        "ledger must fold with the two-level (shard, bucket) digest"
+    )
+
+
+def test_zonemap_audit_is_two_pass(audits):
+    """d190: extents pass + one sharded aggregation pass (the d81
+    two-pass discipline) — at most 2 lineitem scans, matched counts
+    folded into the zones aggregation (no per-probe rescan), no
+    sort-merge join anywhere (the only join is the 1-row extent
+    broadcast)."""
+    a = audits("d190_zonemap_pruning")
+    li_scans = [s for s in a["scans"] if "lineitem" in s["path"]]
+    assert len(li_scans) <= 2, f"{len(li_scans)} lineitem scans"
+    assert a["partial_aggregate"]
+    assert not a["sort_merge_join"]
+
+
+def test_point_in_time_features_is_linear(audits):
+    """d191: the backfill must be the union+window as-of operator —
+    one keyed sort per user timeline, NO range join (nested-loop /
+    cartesian) whose intermediate is |probes| x |history|."""
+    a = audits("d191_point_in_time_features")
+    assert not a["nested_loop_join"]
+    assert "CartesianProduct" not in a["plan"]
+    assert a["partial_aggregate"]

@@ -755,3 +755,46 @@ def test_chained_grouped_prefixes_are_consistent(spark):
     )
     want = {r["k"]: (r["r1"], r["r2"]) for r in naive2.collect()}
     assert got == want
+
+
+def test_bpe_merge_application_is_greedy(spark):
+    """d188's double-space merge trick must implement BPE's greedy
+    left-to-right non-overlapping semantics — including the adjacent
+    chain a plain single-space replace silently half-misses — and must
+    never merge across token boundaries (substring corruption)."""
+    from pyspark.sql import functions as F
+
+    def greedy_merge(seq: str, l: str, r: str) -> str:
+        """Reference BPE merge (the get_stats/merge_vocab semantics)."""
+        syms = seq.split(" ")
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return " ".join(out)
+
+    cases = [
+        ("a b a b a b", "a", "b"),      # adjacent chain: all three merge
+        ("a a a", "a", "a"),            # overlap: greedy-left -> "aa a"
+        ("x c a b", "a", "b"),          # plain interior merge
+        ("c a b", "ca", "b"),           # 'ca b': NO ' a b' boundary bleed
+        ("ab a b ab", "a", "b"),        # merged symbol already present
+        ("q", "a", "b"),                # single symbol, no pairs
+        ("a b", "a", "b"),              # whole seq merges
+        ("b a b a", "a", "b"),          # chain offset by one
+    ]
+    df = spark.createDataFrame(
+        [(s, l, r) for s, l, r in cases], "seq string, l string, r string"
+    )
+    # the exact column recipe d188 uses, parameterized by columns
+    doubled = F.concat(F.lit(" "), F.regexp_replace("seq", " ", "  "), F.lit(" "))
+    pat = F.concat(F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" "))
+    rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" "))
+    merged = F.trim(F.regexp_replace(F.replace(doubled, pat, rep), " +", " "))
+    got = {r["seq"]: r["m"] for r in df.select("seq", merged.alias("m")).collect()}
+    for seq, l, r in cases:
+        assert got[seq] == greedy_merge(seq, l, r), (seq, l, r, got[seq])
