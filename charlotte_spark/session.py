@@ -87,6 +87,19 @@ def get_spark(app_name: str = "charlotte-spark", cpus: str | int | None = None) 
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # --- local-mode only ---
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        # Whole-stage codegen emits a fresh JIT-compiled class per plan;
+        # a few hundred distinct queries in ONE JVM (the bench sweep)
+        # fill the default 240 MB code cache, after which HotSpot stops
+        # compiling and every late query runs interpreted (observed r11:
+        # the bench tail degraded 2-12x — d102 6s->38s across its own
+        # three runs — while the same queries ran at full speed in a
+        # fresh process). On a real cluster executors are long-lived
+        # too, so the bigger cache is the production setting, not a
+        # bench hack.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/charlotte_spark_warehouse")
     )

@@ -206,9 +206,11 @@ def main() -> int:
 
     wt = f"/tmp/bench_ab_{sha}"
     if not os.path.isdir(wt):
+        # capture: git prints "HEAD is now at ..." on stdout, which would
+        # corrupt the JSON report when the tool's output is redirected
         subprocess.run(
             ["git", "worktree", "add", "--detach", wt, args.ref],
-            cwd=REPO, check=True,
+            cwd=REPO, check=True, capture_output=True,
         )
 
     sides = {"head": REPO, "ref": wt}
