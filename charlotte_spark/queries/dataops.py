@@ -1098,3 +1098,184 @@ def d190_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe")
     )
+
+
+# ---------------------------------------------------------------------------
+# D192: incremental layout maintenance loop (manifest + compaction at day 2)
+# ---------------------------------------------------------------------------
+
+_D192_SHARDS = 8
+_D192_MAX_FILES = 4  # compact a shard once it exceeds this many files
+
+
+def _d192_oracle() -> str:
+    """Recompute all three manifest generations from lineitem with the
+    same deterministic rules (bootstrap one file/shard; arrivals land 2
+    small files/shard; a shard over the file threshold compacts to one
+    file; round-2 arrivals touch odd shards only)."""
+    mk_files = """
+        SELECT {gen} AS gen, shard,
+               'g{gen}-' || shard || '-' || sub AS file_id,
+               count(*) AS n_rows, min(k) AS zmin, max(k) AS zmax
+        FROM base WHERE grp = {gen} {extra}
+        GROUP BY shard, sub"""
+
+    def compact(u: str, r: int) -> str:
+        return f"""
+    f{r} AS (SELECT shard, count(*) AS nf FROM {u} GROUP BY shard),
+    m{r} AS (
+        SELECT u.gen, u.shard, u.file_id, u.n_rows, u.zmin, u.zmax
+        FROM {u} u JOIN f{r} USING (shard) WHERE f{r}.nf <= {_D192_MAX_FILES}
+        UNION ALL
+        SELECT {r} AS gen, u.shard, 'c{r}-' || u.shard AS file_id,
+               sum(u.n_rows) AS n_rows, min(u.zmin) AS zmin, max(u.zmax) AS zmax
+        FROM {u} u JOIN f{r} USING (shard) WHERE f{r}.nf > {_D192_MAX_FILES}
+        GROUP BY u.shard
+    )"""
+
+    return f"""
+    WITH ext AS (
+        SELECT min(l_orderkey) AS ko, max(l_orderkey) AS k1 FROM lineitem
+    ),
+    base AS (
+        SELECT l_orderkey AS k,
+               CAST(floor((l_orderkey - e.ko) * {_D192_SHARDS} * 1.0
+                          / (e.k1 - e.ko + 1)) AS BIGINT) AS shard,
+               l_orderkey % 3 AS grp,
+               CASE WHEN l_orderkey % 3 = 0 THEN 0
+                    ELSE l_linenumber % 2 END AS sub
+        FROM lineitem l, ext e
+    ),
+    m0 AS ({mk_files.format(gen=0, extra="")}),
+    a1 AS ({mk_files.format(gen=1, extra="")}),
+    u1 AS (SELECT * FROM m0 UNION ALL SELECT * FROM a1),
+    {compact("u1", 1).lstrip()},
+    a2 AS ({mk_files.format(gen=2, extra="AND shard % 2 = 1")}),
+    u2 AS (SELECT * FROM m1 UNION ALL SELECT * FROM a2),
+    {compact("u2", 2).lstrip()}
+    SELECT * FROM (
+        SELECT 0 AS round_id, shard, CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(min(zmin) AS BIGINT) AS zmin, CAST(max(zmax) AS BIGINT) AS zmax
+        FROM m0 GROUP BY shard
+        UNION ALL
+        SELECT 1, shard, CAST(count(*) AS BIGINT), CAST(sum(n_rows) AS BIGINT),
+               CAST(min(zmin) AS BIGINT), CAST(max(zmax) AS BIGINT)
+        FROM m1 GROUP BY shard
+        UNION ALL
+        SELECT 2, shard, CAST(count(*) AS BIGINT), CAST(sum(n_rows) AS BIGINT),
+               CAST(min(zmin) AS BIGINT), CAST(max(zmax) AS BIGINT)
+        FROM m2 GROUP BY shard
+    ) ORDER BY round_id, shard
+    """
+
+
+@query("d192_layout_maintenance_loop", tags=("D192", "D171", "D190", "D142"),
+       oracle=_d192_oracle())
+def d192_layout_maintenance_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental layout maintenance under arrivals — the table-service
+    loop every long-lived 100 TB table needs (the stateful form of
+    d171's one-shot planner, carrying d190's zone manifest): a persisted
+    file MANIFEST (file_id, shard, n_rows, zone min/max) is bootstrapped
+    from the base load, each arrival round appends small-file entries,
+    zones refresh by MERGEABLE stats (min/max/count fold over manifest
+    rows — the old data is never rescanned), and any shard whose file
+    count exceeds the threshold compacts to one entry. Round-2 arrivals
+    touch odd shards only, so compaction is selective — the ledger shows
+    grow → threshold → compact per shard.
+
+    Loop state discipline (the d181/d184/d187 shape): each generation's
+    manifest is WRITTEN to parquet and the next round reads it back —
+    per-round work is O(arrival batch) + O(manifest), and the declared
+    result is computed entirely FROM the persisted manifests (zero
+    lineitem scans in the final plan, pinned by
+    test_layout_loop_result_reads_only_manifest). At 100 TB the
+    manifest is O(files) rows — KBs per shard — while the data itself
+    is only ever touched by the arrival writes and the (out-of-scope
+    here) physical rewrite the compaction ledger schedules."""
+    import atexit as _atexit
+    import os as _os
+    import shutil as _shutil
+
+    from ..streaming.harness import _scratch_root
+
+    root = (
+        f"{_scratch_root('CHARLOTTE_LAYOUT_TMP', 'charlotte_layout_loop')}"
+        f"/{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
+    )
+    _atexit.register(_shutil.rmtree, root, ignore_errors=True)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    ext = li.agg(
+        F.min("l_orderkey").alias("ko"), F.max("l_orderkey").alias("k1")
+    )
+    base = li.crossJoin(F.broadcast(ext)).select(
+        F.col("l_orderkey").alias("k"),
+        F.floor(
+            (F.col("l_orderkey") - F.col("ko"))
+            * _D192_SHARDS
+            / (F.col("k1") - F.col("ko") + 1)
+        ).alias("shard"),
+        (F.col("l_orderkey") % 3).alias("grp"),
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(0))
+        .otherwise(F.col("l_linenumber") % 2)
+        .alias("sub"),
+    )
+
+    def files_of(gen: int, extra=None):
+        src = base.filter(F.col("grp") == gen)
+        if extra is not None:
+            src = src.filter(extra)
+        return src.groupBy("shard", "sub").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("zmin"),
+            F.max("k").alias("zmax"),
+        ).select(
+            F.lit(gen).alias("gen"),
+            "shard",
+            F.concat_ws("-", F.lit(f"g{gen}"), "shard", "sub").alias("file_id"),
+            "n_rows", "zmin", "zmax",
+        )
+
+    files_of(0).write.mode("overwrite").parquet(f"{root}/manifest_r0")
+
+    for r, extra in ((1, None), (2, F.col("shard") % 2 == 1)):
+        prev = spark.read.parquet(f"{root}/manifest_r{r - 1}")
+        unioned = prev.unionByName(files_of(r, extra))
+        counts = unioned.groupBy("shard").agg(F.count(F.lit(1)).alias("nf"))
+        keep = unioned.join(counts, "shard").filter(
+            F.col("nf") <= _D192_MAX_FILES
+        ).drop("nf")
+        merged = (
+            unioned.join(counts, "shard")
+            .filter(F.col("nf") > _D192_MAX_FILES)
+            .groupBy("shard")
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.min("zmin").alias("zmin"),
+                F.max("zmax").alias("zmax"),
+            )
+            .select(
+                F.lit(r).alias("gen"), "shard",
+                F.concat_ws("-", F.lit(f"c{r}"), "shard").alias("file_id"),
+                "n_rows", "zmin", "zmax",
+            )
+        )
+        keep.unionByName(merged).write.mode("overwrite").parquet(
+            f"{root}/manifest_r{r}"
+        )
+
+    out = None
+    for r in (0, 1, 2):
+        m = spark.read.parquet(f"{root}/manifest_r{r}")
+        row = m.groupBy("shard").agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("zmin").cast("long").alias("zmin"),
+            F.max("zmax").cast("long").alias("zmax"),
+        ).select(F.lit(r).alias("round_id"), "shard", "n_files", "n_rows",
+                 "zmin", "zmax")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round_id", "shard")

@@ -511,11 +511,12 @@ def test_triangle_count_broadcasts_and_never_cartesian(audits):
         for line in src.splitlines()
         if "F.broadcast(" in line.split("#")[0]
     ]
-    # Allowed hints: the O(V) degree tables (du/dv) and d169's 1-row
-    # denominator (total) — never the O(E) edge list or a fact side.
-    assert all("du" in h or "dv" in h or "total" in h for h in hints), (
-        f"fact-side broadcast hint crept back into dataops.py: {hints}"
-    )
+    # Allowed hints: the O(V) degree tables (du/dv), d169's 1-row
+    # denominator (total), and the d190/d192 1-row key-extent aggregates
+    # (ext) — never the O(E) edge list or a fact side.
+    assert all(
+        "du" in h or "dv" in h or "total" in h or "(ext)" in h for h in hints
+    ), f"fact-side broadcast hint crept back into dataops.py: {hints}"
 
 
 def test_ks_drift_single_scan(audits):
@@ -1381,3 +1382,18 @@ def test_point_in_time_features_is_linear(audits):
     assert not a["nested_loop_join"]
     assert "CartesianProduct" not in a["plan"]
     assert a["partial_aggregate"]
+
+
+def test_layout_loop_result_reads_only_manifest(spark, sf_dir):
+    """d192: the declared result must be computed FROM the persisted
+    manifest generations (the d181 loop-state proof) — zero lineitem
+    scans in the final plan, only manifest parquet reads."""
+    from charlotte_spark.plans.audit import audit_plan
+
+    a = audit_plan(REG["d192_layout_maintenance_loop"].fn(spark, sf_dir))
+    li = [s for s in a["scans"] if "lineitem" in s["path"]]
+    state = [s for s in a["scans"] if "layout_loop" in s["path"]]
+    assert not li, f"{len(li)} lineitem scans in the result plan"
+    assert len(state) == 3, "result must read all three manifest generations"
+    assert a["partial_aggregate"]
+    assert not a["nested_loop_join"]
