@@ -733,6 +733,53 @@ def d177_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 
+def _bpe_best_pair(cur: DataFrame) -> tuple[str, str, int]:
+    """One merge-round rule: weighted adjacent-pair counts over the
+    vocab (pair-explode + keyed sum), deterministic global argmax
+    (count desc, pair asc). The 1-row collect is the d184-centroid
+    bounded class — the rule itself is the only thing that ever
+    reaches the driver."""
+    syms = F.split("seq", " ")
+    # guard: Spark sequence(1, 0) DESCENDS instead of being empty
+    bigrams = F.when(
+        F.size(syms) >= 2,
+        F.expr(
+            "transform(sequence(1, size(split(seq, ' ')) - 1), "
+            "i -> concat(element_at(split(seq, ' '), i), ' ', "
+            "element_at(split(seq, ' '), i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    best = (
+        cur.select("freq", F.explode(bigrams).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(1)
+        .collect()[0]  # bounded: the ONE merge rule of this round
+    )
+    lsym, rsym = best["pair"].split(" ")
+    return lsym, rsym, int(best["n"])
+
+
+def _bpe_apply(seq_col: F.Column, lsym: str, rsym: str) -> F.Column:
+    """Greedy left-to-right non-overlapping merge via the double-space
+    trick (see d188 docstring; pinned by
+    test_bpe_merge_application_is_greedy)."""
+    return F.trim(
+        F.regexp_replace(
+            F.replace(
+                F.concat(
+                    F.lit(" "), F.regexp_replace(seq_col, " ", "  "), F.lit(" ")
+                ),
+                F.lit(f" {lsym}  {rsym} "),
+                F.lit(f" {lsym}{rsym} "),
+            ),
+            " +",
+            " ",
+        )
+    )
+
+
 def _bpe_oracle() -> str:
     """Same merge loop unrolled in SQL CTEs: per round, pair counts over
     the weighted vocab, deterministic argmax (count desc, pair asc),
@@ -821,39 +868,10 @@ def d188_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = []
     for r in range(1, _BPE_ROUNDS + 1):
-        syms = F.split("seq", " ")
-        # guard: Spark sequence(1, 0) DESCENDS instead of being empty
-        bigrams = F.when(
-            F.size(syms) >= 2,
-            F.expr(
-                "transform(sequence(1, size(split(seq, ' ')) - 1), "
-                "i -> concat(element_at(split(seq, ' '), i), ' ', "
-                "element_at(split(seq, ' '), i + 1)))"
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        pairs = cur.select("freq", F.explode(bigrams).alias("pair"))
-        best = (
-            pairs.groupBy("pair")
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("pair").asc())
-            .limit(1)
-            .collect()[0]  # bounded: the ONE merge rule of this round
+        lsym, rsym, pair_n = _bpe_best_pair(cur)
+        cur = reliable_checkpoint(
+            cur.select(_bpe_apply(F.col("seq"), lsym, rsym).alias("seq"), "freq")
         )
-        lsym, rsym = best["pair"].split(" ")
-        merged = F.trim(
-            F.regexp_replace(
-                F.replace(
-                    F.concat(
-                        F.lit(" "), F.regexp_replace("seq", " ", "  "), F.lit(" ")
-                    ),
-                    F.lit(f" {lsym}  {rsym} "),
-                    F.lit(f" {lsym}{rsym} "),
-                ),
-                " +",
-                " ",
-            )
-        )
-        cur = reliable_checkpoint(cur.select(merged.alias("seq"), "freq"))
         rows.append(
             cur.agg(
                 F.count(F.lit(1)).alias("n_words"),
@@ -864,7 +882,7 @@ def d188_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(r).alias("round_id"),
                 F.lit(lsym).alias("merge_l"),
                 F.lit(rsym).alias("merge_r"),
-                F.lit(int(best["n"])).cast("long").alias("pair_n"),
+                F.lit(pair_n).cast("long").alias("pair_n"),
                 F.col("n_words").cast("long").alias("n_words"),
                 F.col("corpus_symbols").cast("long").alias("corpus_symbols"),
             )
@@ -873,3 +891,128 @@ def d188_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in rows[1:]:
         out = out.unionByName(frame)
     return out.orderBy("round_id")
+
+
+# ---------------------------------------------------------------------------
+# D193: BPE tokenizer application (the apply half of D188's learn)
+# ---------------------------------------------------------------------------
+
+
+def _d193_oracle() -> str:
+    """Recompute the 3 learned merges (d188's CTE chain, with the word
+    carried through so application is a vocab JOIN), then tokenize the
+    corpus by joining word occurrences to the final vocab."""
+    ctes = [
+        """w0 AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    v0 AS (
+        SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq,
+               count(*) AS freq,
+               len(string_split(trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' '))
+                   AS n_chars_sym
+        FROM w0 WHERE length(w) > 0 GROUP BY 1, 2
+    )"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(f"""p{r} AS (
+        SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                      i -> s[i] || ' ' || s[i+1])) AS pair, freq
+        FROM (SELECT string_split(seq, ' ') AS s, freq FROM v{p})
+    ),
+    b{r} AS (
+        SELECT string_split(pair, ' ')[1] AS l,
+               string_split(pair, ' ')[2] AS r
+        FROM (SELECT pair, sum(freq) AS n FROM p{r} GROUP BY 1
+              ORDER BY n DESC, pair ASC LIMIT 1)
+    ),
+    v{r} AS (
+        SELECT w, trim(regexp_replace(
+                 replace(' ' || replace(seq, ' ', '  ') || ' ',
+                         ' ' || b.l || '  ' || b.r || ' ',
+                         ' ' || b.l || b.r || ' '),
+                 ' +', ' ', 'g')) AS seq, freq, n_chars_sym
+        FROM v{p}, b{r} b
+    )""")
+    return f"""
+    WITH {', '.join(ctes)},
+    vf AS (
+        SELECT w, len(string_split(seq, ' ')) AS n_tok, n_chars_sym
+        FROM v{_BPE_ROUNDS}
+    ),
+    occ AS (
+        SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    )
+    SELECT o.lang,
+           CAST(count(*) AS BIGINT) AS n_word_occurrences,
+           CAST(sum(v.n_chars_sym) AS BIGINT) AS char_tokens,
+           CAST(sum(v.n_tok) AS BIGINT) AS bpe_tokens,
+           {sql_round("sum(v.n_tok) * 1.0 / sum(v.n_chars_sym)", 4)}
+               AS compression
+    FROM occ o JOIN vf v ON v.w = o.w
+    WHERE length(o.w) > 0
+    GROUP BY o.lang ORDER BY o.lang
+    """
+
+
+@query("d193_bpe_tokenize", tags=("D193", "D188", "D69"),
+       oracle=_d193_oracle())
+def d193_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the other half of d188: learn the 3
+    merge rules over the weighted type vocabulary (same loop, word
+    carried through), then tokenize the whole corpus and ledger
+    per-language char-tokens vs BPE-tokens (the compression a tokenizer
+    buys is THE number that sets a training run's effective corpus
+    size).
+
+    Scale shape — apply by VOCAB JOIN, never by re-merging per
+    occurrence: the merge loop runs over the checkpointed Zipf-bounded
+    vocab exactly as d188 (1-row argmax per round); application is one
+    word-explode of the corpus joined to the final ``(word → n_tokens)``
+    vocab — the join stays UNHINTED (vocabulary grows with the corpus,
+    Heaps' law: the d70 doctrine — AQE broadcasts it while small,
+    sort-merges at 100 TB). Re-running the char-split + 3 replaces on
+    every one of 100 TB of word OCCURRENCES would do the same work
+    |corpus|/|vocab| times over; the join does it once per TYPE."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    seq0 = F.trim(F.regexp_replace("w", "(.)", "$1 "))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "w",
+            seq0.alias("seq"),
+            "freq",
+            F.size(F.split(seq0, " ")).alias("n_chars_sym"),
+        )
+    )
+    cur = reliable_checkpoint(vocab)
+    for _ in range(_BPE_ROUNDS):
+        lsym, rsym, _n = _bpe_best_pair(cur)
+        cur = reliable_checkpoint(
+            cur.withColumn("seq", _bpe_apply(F.col("seq"), lsym, rsym))
+        )
+    vf = cur.select(
+        "w", F.size(F.split("seq", " ")).alias("n_tok"), "n_chars_sym"
+    )
+    occ = d.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        occ.join(vf, "w")  # unhinted: vocab is SF-proportional (Heaps)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_word_occurrences"),
+            F.sum("n_chars_sym").cast("long").alias("char_tokens"),
+            F.sum("n_tok").cast("long").alias("bpe_tokens"),
+            pround(
+                F.sum("n_tok") * 1.0 / F.sum("n_chars_sym"), 4
+            ).alias("compression"),
+        )
+        .orderBy("lang")
+    )

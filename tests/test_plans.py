@@ -1397,3 +1397,22 @@ def test_layout_loop_result_reads_only_manifest(spark, sf_dir):
     assert len(state) == 3, "result must read all three manifest generations"
     assert a["partial_aggregate"]
     assert not a["nested_loop_join"]
+
+
+def test_bpe_tokenize_applies_by_vocab_join(spark, sf_dir):
+    """d193: application must be ONE corpus word-explode joined to the
+    vocab — exactly one documents scan in the final plan (the vocab
+    side reads the checkpoint), an equi-join on the word, and NO
+    broadcast hint on the SF-proportional vocab side (source pin)."""
+    import inspect
+
+    from charlotte_spark.plans.audit import audit_plan
+    from charlotte_spark.queries.textstats import d193_bpe_tokenize
+
+    a = audit_plan(REG["d193_bpe_tokenize"].fn(spark, sf_dir))
+    doc_scans = [s for s in a["scans"] if "documents" in s["path"]]
+    assert len(doc_scans) == 1, f"{len(doc_scans)} documents scans (want 1)"
+    assert not a["nested_loop_join"]
+    assert a["partial_aggregate"]
+    src = inspect.getsource(d193_bpe_tokenize)
+    assert "F.broadcast(" not in src, "vocab join must stay unhinted (Heaps)"
