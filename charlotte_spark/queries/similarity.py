@@ -1208,3 +1208,101 @@ def d184_ann_index_arrival(
         )
         .orderBy("round_id", "probe_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D194: embedding index migration audit (centroid refresh / re-assignment)
+# ---------------------------------------------------------------------------
+
+_D194_K = 8  # centroids per generation (gen A seeds vec_id<8, gen B 8..15)
+
+
+def _d194_oracle() -> str:
+    cos = sql_cosine("e.v", "c.cv")
+
+    def assign(cents: str, out: str) -> str:
+        return f"""{out} AS (
+        SELECT vec_id, cell, cs FROM (
+            SELECT e.vec_id, c.cell, {cos} AS cs,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cos} DESC, c.cell) AS rn
+            FROM (SELECT vec_id, embedding AS v FROM embeddings) e
+            CROSS JOIN {cents} c
+        ) WHERE rn = 1
+    )"""
+
+    return f"""
+    WITH ca AS (
+        SELECT vec_id AS cell, embedding AS cv FROM embeddings
+        WHERE vec_id < {_D194_K}
+    ),
+    cb AS (
+        SELECT vec_id - {_D194_K} AS cell, embedding AS cv FROM embeddings
+        WHERE vec_id >= {_D194_K} AND vec_id < {2 * _D194_K}
+    ),
+    {assign("ca", "aa")},
+    {assign("cb", "ab")}
+    SELECT aa.cell AS cell_a, ab.cell AS cell_b,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           {sql_round("avg(aa.cs)", 4)} AS mean_cos_a,
+           {sql_round("avg(ab.cs)", 4)} AS mean_cos_b,
+           {sql_round("avg(ab.cs - aa.cs)", 4)} AS mean_gain
+    FROM aa JOIN ab USING (vec_id)
+    GROUP BY aa.cell, ab.cell
+    ORDER BY cell_a, cell_b
+    """
+
+
+@query("d194_index_migration_audit", tags=("D194", "D184", "D68"),
+       oracle=_d194_oracle())
+def d194_index_migration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding index migration audit — the planning input for the
+    one maintenance step d184 declares out of scope (centroid refresh):
+    assign the whole corpus to the CURRENT coarse centroids (gen A) and
+    to the CANDIDATE refreshed set (gen B), and report the full
+    transition matrix — how many vectors each (old cell -> new cell)
+    edge would move, with mean assignment cosine under each generation
+    and the per-edge mean gain. An index operator reads this to decide
+    whether the rebuild pays (mean_gain) and how much data motion it
+    costs (off-diagonal mass = posting rows that must be rewritten).
+
+    Plan shape: two construction-bounded K-row crossJoin assignments
+    (the d184 _assign_cells discipline — the ONLY broadcast-NLJ class
+    this family allows), one vec_id equi-join to pair the generations,
+    one keyed aggregation over <= K x K cells. The corpus is scanned
+    once per assignment and nothing larger than the K x K matrix ever
+    aggregates — at 100 TB this is two map passes + one bounded fold,
+    run BEFORE committing to the full posting rewrite."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    ca = emb.filter(F.col("vec_id") < _D194_K).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    cb = emb.filter(
+        (F.col("vec_id") >= _D194_K) & (F.col("vec_id") < 2 * _D194_K)
+    ).select((F.col("vec_id") - _D194_K).alias("cell"), F.col("v").alias("cv"))
+
+    def assign(cents: DataFrame, cell_out: str, cs_out: str) -> DataFrame:
+        w = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cell").asc())
+        return (
+            emb.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cell", cosine(F.col("v"), F.col("cv")).alias("cs"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cell").alias(cell_out), F.col("cs").alias(cs_out))
+        )
+
+    aa = assign(ca, "cell_a", "cs_a")
+    ab = assign(cb, "cell_b", "cs_b")
+    return (
+        aa.join(ab, "vec_id")
+        .groupBy("cell_a", "cell_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            pround(F.avg("cs_a"), 4).alias("mean_cos_a"),
+            pround(F.avg("cs_b"), 4).alias("mean_cos_b"),
+            pround(F.avg(F.col("cs_b") - F.col("cs_a")), 4).alias("mean_gain"),
+        )
+        .orderBy("cell_a", "cell_b")
+    )

@@ -1416,3 +1416,17 @@ def test_bpe_tokenize_applies_by_vocab_join(spark, sf_dir):
     assert a["partial_aggregate"]
     src = inspect.getsource(d193_bpe_tokenize)
     assert "F.broadcast(" not in src, "vocab join must stay unhinted (Heaps)"
+
+
+def test_index_migration_audit_is_bounded(audits):
+    """d194: the only nested-loop joins are the TWO bounded K-row
+    centroid assignment crossJoins (each printed twice in formatted
+    explain); the generation pairing is a vec_id equi-join and the
+    fold partial-aggregates over <= K x K cells."""
+    a = audits("d194_index_migration_audit")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["plan"].count("BroadcastNestedLoopJoin") <= 4
+    assert a["partial_aggregate"]
+    assert (
+        a["broadcast_hash_join"] or a["sort_merge_join"] or a["shuffled_hash_join"]
+    ), "generation pairing must be a vec_id equi-join"
