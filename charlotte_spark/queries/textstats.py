@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load_table
-from ..functions.portable import pround, sql_round
+from ..functions.portable import portable_hash_long, pround, sql_hash_long, sql_round
 from ..functions.shingles import with_shingles
 from ..operators.prefix import ordered_prefix
 from ..registry import query
@@ -1013,6 +1013,189 @@ def d193_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(
                 F.sum("n_tok") * 1.0 / F.sum("n_chars_sym"), 4
             ).alias("compression"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D195: content-defined chunking with an edit-stability audit
+# ---------------------------------------------------------------------------
+
+_CDC_SEED = "cdc|"
+_CDC_MOD = 8  # expected chunk length ~= 8 tokens on 10-99-token docs
+_FIX_W = 16  # fixed-stride contrast chunker width
+
+
+def _cdc_chunk_hashes(toks: F.Column) -> F.Column:
+    """Distinct md5 hashes of the content-defined chunks of ``toks``.
+
+    A boundary CLOSES a chunk after position ``i`` (i >= 3) whenever the
+    portable hash of the 3-gram ending at ``i`` is ≡ 0 (mod _CDC_MOD) —
+    the boundary decision depends only on a local token window, which is
+    what makes the chunking insertion-stable (Rabin/FastCDC semantics).
+    Pure array expressions: zero shuffle, zero Python.
+    """
+    n = F.size(toks)
+
+    def gram(i: F.Column) -> F.Column:
+        return F.concat_ws(
+            " ",
+            F.element_at(toks, i - 2),
+            F.element_at(toks, i - 1),
+            F.element_at(toks, i),
+        )
+
+    # callers filter to >= 4 tokens, so sequence(3, n) never descends
+    bpos = F.filter(
+        F.sequence(F.lit(3), n),
+        lambda i: portable_hash_long(gram(i), _CDC_SEED) % _CDC_MOD == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
+    ends = F.concat(bpos, F.array(n))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(starts)),
+        lambda j: F.struct(
+            F.element_at(starts, j).alias("s"), F.element_at(ends, j).alias("e")
+        ),
+    )
+    valid = F.filter(pairs, lambda c: c["s"] <= c["e"])
+    return F.array_distinct(
+        F.transform(
+            valid,
+            lambda c: F.md5(F.array_join(F.slice(toks, c["s"], c["e"] - c["s"] + 1), " ")),
+        )
+    )
+
+
+def _fix_chunk_hashes(toks: F.Column) -> F.Column:
+    """Distinct md5 hashes of fixed non-overlapping _FIX_W-token blocks."""
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(_FIX_W))
+    return F.array_distinct(
+        F.transform(starts, lambda s: F.md5(F.array_join(F.slice(toks, s, _FIX_W), " ")))
+    )
+
+
+def _d195_oracle() -> str:
+    def bp(t: str) -> str:
+        g = f"{t}[i-2] || ' ' || {t}[i-1] || ' ' || {t}[i]"
+        return (
+            f"list_filter(range(3, len({t})+1), "
+            f"i -> {sql_hash_long(g, _CDC_SEED)} % {_CDC_MOD} = 0)"
+        )
+
+    def chunks(t: str, s: str, e: str) -> str:
+        return (
+            f"list_distinct(list_transform("
+            f"list_filter(range(1, len({s})+1), j -> {s}[j] <= {e}[j]), "
+            f"j -> md5(array_to_string(list_slice({t}, {s}[j], {e}[j]), ' '))))"
+        )
+
+    def fix(t: str) -> str:
+        return (
+            f"list_distinct(list_transform(generate_series(1, len({t}), {_FIX_W}), "
+            f"s -> md5(array_to_string(list_slice({t}, s, least(s+{_FIX_W - 1}, len({t}))), ' '))))"
+        )
+
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t1
+        FROM documents WHERE len(string_split(text, ' ')) >= 5
+    ),
+    v AS (SELECT doc_id, lang, t1, list_slice(t1, 2, len(t1)) AS t2 FROM base),
+    b AS (SELECT doc_id, lang, t1, t2,
+                 {bp('t1')} AS bp1,
+                 {bp('t2')} AS bp2
+          FROM v),
+    se AS (SELECT doc_id, lang, t1, t2,
+                  [1] || list_transform(bp1, p -> p + 1) AS s1,
+                  list_append(bp1, len(t1)) AS e1,
+                  [1] || list_transform(bp2, p -> p + 1) AS s2,
+                  list_append(bp2, len(t2)) AS e2
+           FROM b),
+    hx AS (SELECT lang,
+                  {chunks('t1', 's1', 'e1')} AS cdc1,
+                  {chunks('t2', 's2', 'e2')} AS cdc2,
+                  {fix('t1')} AS fix1,
+                  {fix('t2')} AS fix2
+           FROM se),
+    per AS (SELECT lang,
+                   len(cdc1) AS c1, len(cdc2) AS c2,
+                   len(list_filter(cdc1, x -> list_contains(cdc2, x))) AS creu,
+                   len(fix1) AS f1, len(fix2) AS f2,
+                   len(list_filter(fix1, x -> list_contains(fix2, x))) AS freu
+            FROM hx)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(c1) AS BIGINT) AS cdc_chunks_v1,
+           CAST(sum(c2) AS BIGINT) AS cdc_chunks_v2,
+           CAST(sum(creu) AS BIGINT) AS cdc_reused,
+           {sql_round('CAST(sum(creu) AS DOUBLE) / sum(c2)', 4)} AS cdc_reuse_pct,
+           CAST(sum(f1) AS BIGINT) AS fix_chunks_v1,
+           CAST(sum(f2) AS BIGINT) AS fix_chunks_v2,
+           CAST(sum(freu) AS BIGINT) AS fix_reused,
+           {sql_round('CAST(sum(freu) AS DOUBLE) / sum(f2)', 4)} AS fix_reuse_pct
+    FROM per GROUP BY lang ORDER BY lang
+    """
+
+
+@query("d195_cdc_chunking", tags=("D195", "D73", "D65", "D131"),
+       oracle=_d195_oracle())
+def d195_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin/FastCDC semantics on tokens) with
+    a hash-checked EDIT-STABILITY audit — the property that makes CDC
+    the chunker for incremental corpus dedup, which d73's fixed-stride
+    chunking cannot provide.
+
+    A chunk boundary closes after token ``i`` whenever the portable hash
+    of the 3-gram ending at ``i`` is ≡ 0 (mod 8): the decision depends
+    only on a LOCAL token window, so editing a document disturbs only
+    the chunks overlapping the edit. The audit chunks every document
+    twice — v1 as-is, v2 with the first token deleted (a deterministic
+    head edit, the worst case for stride chunkers) — with BOTH chunkers,
+    and ledgers per-language chunk counts and the fraction of v2 chunk
+    hashes already present in v1 (``*_reuse_pct``). CDC reuse stays high
+    (only the chunk containing the edit churns); fixed-stride reuse
+    collapses (every block shifts by one token). A dedup index keyed on
+    CDC chunk hashes (d131's shape) therefore stays valid across edits.
+
+    Scale shape: the ENTIRE audit — boundary detection, both chunkers,
+    both versions, per-doc intersections — is pure array expressions in
+    one codegen'd projection (zero Python, zero per-chunk explode); the
+    only shuffle is the final O(langs) rollup. At 100 TB this is a
+    single map pass over the corpus, exactly like d73."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.size(F.split("text", " ")) >= 5).select(
+        "doc_id", "lang", F.split("text", " ").alias("t1")
+    )
+    v = base.withColumn("t2", F.slice("t1", 2, F.size("t1") - 1))
+    per = v.select(
+        "lang",
+        _cdc_chunk_hashes(F.col("t1")).alias("cdc1"),
+        _cdc_chunk_hashes(F.col("t2")).alias("cdc2"),
+        _fix_chunk_hashes(F.col("t1")).alias("fix1"),
+        _fix_chunk_hashes(F.col("t2")).alias("fix2"),
+    ).select(
+        "lang",
+        F.size("cdc1").alias("c1"),
+        F.size("cdc2").alias("c2"),
+        F.size(F.array_intersect("cdc1", "cdc2")).alias("creu"),
+        F.size("fix1").alias("f1"),
+        F.size("fix2").alias("f2"),
+        F.size(F.array_intersect("fix1", "fix2")).alias("freu"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("c1").cast("long").alias("cdc_chunks_v1"),
+            F.sum("c2").cast("long").alias("cdc_chunks_v2"),
+            F.sum("creu").cast("long").alias("cdc_reused"),
+            pround(F.sum("creu") * 1.0 / F.sum("c2"), 4).alias("cdc_reuse_pct"),
+            F.sum("f1").cast("long").alias("fix_chunks_v1"),
+            F.sum("f2").cast("long").alias("fix_chunks_v2"),
+            F.sum("freu").cast("long").alias("fix_reused"),
+            pround(F.sum("freu") * 1.0 / F.sum("f2"), 4).alias("fix_reuse_pct"),
         )
         .orderBy("lang")
     )

@@ -162,6 +162,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d192_layout_maintenance_loop",
     "d193_bpe_tokenize",
     "d194_index_migration_audit",
+    "d195_cdc_chunking",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

@@ -1430,3 +1430,20 @@ def test_index_migration_audit_is_bounded(audits):
     assert (
         a["broadcast_hash_join"] or a["sort_merge_join"] or a["shuffled_hash_join"]
     ), "generation pairing must be a vec_id equi-join"
+
+
+def test_cdc_chunking_is_map_only(audits):
+    """D195: the whole edit-stability audit (both chunkers x both corpus
+    versions + the per-doc hash-set intersections) must stay array
+    expressions in the scan stage — allowed exchanges are the O(langs)
+    rollup and the presentation sort only. A Generate (per-chunk
+    explode), any join, or a Python eval node means the single-map-pass
+    property regressed."""
+    a = audits("d195_cdc_chunking")
+    assert a["n_exchanges"] <= 4, f"{a['n_exchanges'] // 2} exchanges"
+    assert "Generate" not in a["plan"], "explode in a map-only op"
+    assert not a["sort_merge_join"]
+    assert not a["broadcast_hash_join"]
+    assert not a["nested_loop_join"]
+    assert "EvalPython" not in a["plan"], "Python in the chunking hot path"
+    assert a["partial_aggregate"], "lang rollup must have a map-side partial"
