@@ -2135,3 +2135,91 @@ def d191_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# D196: context-window transcript truncation (keep-last-B-tokens)
+# ---------------------------------------------------------------------------
+
+_CTX_BUDGET = 256  # token budget per user transcript
+
+
+@query(
+    "d196_context_truncation",
+    tags=("D196", "D35", "D80"),
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS toks
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, event_id, ts, toks,
+               sum(toks) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN cum <= {_CTX_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN cum <= {_CTX_BUDGET} THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST(sum(CASE WHEN cum <= {_CTX_BUDGET} THEN 0 ELSE toks END) AS BIGINT) AS dropped_tokens,
+           strftime(min(CASE WHEN cum <= {_CTX_BUDGET} THEN ts END), '%Y-%m-%d %H:%M:%S') AS oldest_kept_ts,
+           CAST(sum(CASE WHEN cum <= {_CTX_BUDGET}
+                    THEN {sql_hash_long('event_id', 'ctx|')} ELSE 0 END) AS BIGINT) AS kept_digest
+    FROM c GROUP BY user_id ORDER BY user_id
+    """,
+)
+def d196_context_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window transcript assembly: for each user, keep the
+    maximal SUFFIX of whole messages (newest first) whose token total
+    fits a fixed budget — the truncation every chat/agent inference
+    pipeline applies before a model call, at corpus scale for building
+    conversation training samples. Token cost per message is read from
+    the event payload (deterministic ``props.k + 1``); a message is kept
+    iff the running newest-first token sum through it stays <= budget
+    (whole-message granularity — no mid-message splits).
+
+    The ``kept_digest`` column sums the portable hash of every kept
+    event_id, so the hash check pins exact MEMBERSHIP of the kept set,
+    not just its size (the d58/d182 invariant-pin discipline).
+
+    Scale shape: ONE window partitioned by user_id — a high-cardinality
+    key that scales out with the corpus (each user's transcript is
+    bounded by session length, never by corpus size), unlike the
+    per-lang chains d186 exists to break. JSON extraction and the
+    budget CASEs are codegen'd JVM expressions; the rollup reuses the
+    window's partitioning (user_id), so the plan carries ONE data
+    shuffle plus the presentation sort."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.get_json_object("props", "$.k").cast("long") + 1).alias("toks"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = e.withColumn("cum", F.sum("toks").over(w))
+    kept = F.col("cum") <= _CTX_BUDGET
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("toks")).otherwise(0)).cast("long").alias("kept_tokens"),
+            F.sum(F.when(kept, 0).otherwise(F.col("toks"))).cast("long").alias("dropped_tokens"),
+            F.date_format(F.min(F.when(kept, F.col("ts"))), "yyyy-MM-dd HH:mm:ss").alias(
+                "oldest_kept_ts"
+            ),
+            F.sum(
+                F.when(kept, portable_hash_long("event_id", "ctx|")).otherwise(0)
+            ).cast("long").alias("kept_digest"),
+        )
+        .orderBy("user_id")
+    )

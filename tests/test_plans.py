@@ -1447,3 +1447,16 @@ def test_cdc_chunking_is_map_only(audits):
     assert not a["nested_loop_join"]
     assert "EvalPython" not in a["plan"], "Python in the chunking hot path"
     assert a["partial_aggregate"], "lang rollup must have a map-side partial"
+
+
+def test_context_truncation_single_shuffle(audits):
+    """D196: the user-keyed rollup must REUSE the window's
+    hashpartitioning(user_id) — one data exchange plus the presentation
+    sort, no joins, no explode, no Python."""
+    a = audits("d196_context_truncation")
+    assert a["n_exchanges"] <= 4, f"{a['n_exchanges'] // 2} exchanges"
+    assert "Generate" not in a["plan"]
+    assert not a["sort_merge_join"]
+    assert not a["broadcast_hash_join"]
+    assert not a["nested_loop_join"]
+    assert "EvalPython" not in a["plan"]
