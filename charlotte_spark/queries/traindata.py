@@ -2223,3 +2223,110 @@ def d196_context_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D197: preference-pair construction (DPO/RLHF data prep)
+# ---------------------------------------------------------------------------
+
+_PREF_MARGIN = 500  # minimum integer score gap for a usable pair
+
+
+@query(
+    "d197_preference_pairs",
+    tags=("D197", "D37", "D78"),
+    oracle=f"""
+    WITH cand AS (
+        SELECT doc_id // 4 AS prompt_id, doc_id,
+               1000 * len(list_distinct(string_split(text, ' ')))
+                 + len(string_split(text, ' ')) AS score
+        FROM documents
+    ),
+    r AS (
+        SELECT prompt_id, doc_id, score,
+               row_number() OVER (PARTITION BY prompt_id
+                                  ORDER BY score DESC, doc_id ASC) AS r_best,
+               row_number() OVER (PARTITION BY prompt_id
+                                  ORDER BY score ASC, doc_id ASC) AS r_worst,
+               count(*) OVER (PARTITION BY prompt_id) AS n_candidates
+        FROM cand
+    ),
+    p AS (
+        SELECT prompt_id,
+               CAST(max(n_candidates) AS BIGINT) AS n_candidates,
+               max(CASE WHEN r_best = 1 THEN doc_id END) AS chosen_id,
+               max(CASE WHEN r_best = 1 THEN score END) AS chosen_score,
+               max(CASE WHEN r_worst = 1 THEN doc_id END) AS rejected_id,
+               max(CASE WHEN r_worst = 1 THEN score END) AS rejected_score
+        FROM r GROUP BY prompt_id
+    )
+    SELECT prompt_id, n_candidates, chosen_id, rejected_id,
+           CAST(chosen_score AS BIGINT) AS chosen_score,
+           CAST(rejected_score AS BIGINT) AS rejected_score,
+           CAST(chosen_score - rejected_score AS BIGINT) AS margin
+    FROM p
+    WHERE n_candidates >= 2 AND chosen_id <> rejected_id
+      AND chosen_score - rejected_score >= {_PREF_MARGIN}
+    ORDER BY prompt_id
+    """,
+)
+def d197_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction — the DPO/RLHF data-prep primitive:
+    group candidate responses by prompt, pick the best and worst by a
+    deterministic integer quality score (1000·distinct-tokens + tokens,
+    float-free so no engine boundary can split the ranking), tie-broken
+    by doc_id, and emit (chosen, rejected) only where the score margin
+    clears a threshold — low-margin pairs teach a preference model
+    nothing and are dropped at the source.
+
+    Candidate grouping here is ``doc_id // 4`` (fixed fan-in, so prompt
+    count scales WITH the corpus — the high-cardinality grouping real
+    response logs have). Both rankings and the fan-in count ride windows
+    over the SAME prompt partition, so Spark plans ONE exchange (two
+    sorts share it) and the final rollup reuses the partitioning; no
+    joins, no Python. Margin and fan-in gates apply post-rollup, exactly
+    as in the SQL oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    cand = d.select(
+        (F.col("doc_id") / 4).cast("long").alias("prompt_id"),
+        "doc_id",
+        (1000 * F.size(F.array_distinct(toks)) + F.size(toks)).cast("long").alias("score"),
+    )
+    by_prompt = Window.partitionBy("prompt_id")
+    r = cand.select(
+        "prompt_id",
+        "doc_id",
+        "score",
+        F.row_number()
+        .over(by_prompt.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("r_best"),
+        F.row_number()
+        .over(by_prompt.orderBy(F.col("score").asc(), F.col("doc_id").asc()))
+        .alias("r_worst"),
+        F.count(F.lit(1)).over(by_prompt).alias("n_candidates"),
+    )
+    p = r.groupBy("prompt_id").agg(
+        F.max("n_candidates").cast("long").alias("n_candidates"),
+        F.max(F.when(F.col("r_best") == 1, F.col("doc_id"))).alias("chosen_id"),
+        F.max(F.when(F.col("r_best") == 1, F.col("score"))).alias("chosen_score"),
+        F.max(F.when(F.col("r_worst") == 1, F.col("doc_id"))).alias("rejected_id"),
+        F.max(F.when(F.col("r_worst") == 1, F.col("score"))).alias("rejected_score"),
+    )
+    return (
+        p.filter(
+            (F.col("n_candidates") >= 2)
+            & (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("chosen_score") - F.col("rejected_score") >= _PREF_MARGIN)
+        )
+        .select(
+            "prompt_id",
+            "n_candidates",
+            "chosen_id",
+            "rejected_id",
+            F.col("chosen_score").cast("long").alias("chosen_score"),
+            F.col("rejected_score").cast("long").alias("rejected_score"),
+            (F.col("chosen_score") - F.col("rejected_score")).cast("long").alias("margin"),
+        )
+        .orderBy("prompt_id")
+    )

@@ -164,6 +164,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d194_index_migration_audit",
     "d195_cdc_chunking",
     "d196_context_truncation",
+    "d197_preference_pairs",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

@@ -1460,3 +1460,16 @@ def test_context_truncation_single_shuffle(audits):
     assert not a["broadcast_hash_join"]
     assert not a["nested_loop_join"]
     assert "EvalPython" not in a["plan"]
+
+
+def test_preference_pairs_single_shuffle(audits):
+    """D197: both rankings + fan-in count + rollup must share ONE
+    prompt-keyed exchange (two window sorts reuse it) — plus only the
+    presentation sort. No joins, no Python."""
+    a = audits("d197_preference_pairs")
+    assert a["n_exchanges"] <= 4, f"{a['n_exchanges'] // 2} exchanges"
+    assert "Generate" not in a["plan"]
+    assert not a["sort_merge_join"]
+    assert not a["broadcast_hash_join"]
+    assert not a["nested_loop_join"]
+    assert "EvalPython" not in a["plan"]
