@@ -1279,3 +1279,121 @@ def d192_layout_maintenance_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "zmin", "zmax")
         out = row if out is None else out.unionByName(row)
     return out.orderBy("round_id", "shard")
+
+
+# ---------------------------------------------------------------------------
+# D198: run-length bitmap index (islands & gaps) with bounded range probes
+# ---------------------------------------------------------------------------
+
+_RLE_N_PROBES = 64
+
+
+@query(
+    "d198_rle_bitmap_index",
+    tags=("D198", "D186", "D190"),
+    oracle=f"""
+    WITH r AS (
+        SELECT o_orderstatus AS st, o_orderkey AS k,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_orderkey) AS rn
+        FROM orders
+    ),
+    runs AS (
+        SELECT st, k - rn AS rid,
+               min(k) AS s, max(k) AS e, count(*) AS len
+        FROM r GROUP BY st, k - rn
+    ),
+    mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+    probes AS (
+        SELECT unnest(list_transform(range(1, {_RLE_N_PROBES} + 1),
+                                     i -> (mk * i) // {_RLE_N_PROBES})) AS p
+        FROM mx
+    ),
+    hits AS (
+        SELECT st, CAST(count(*) AS BIGINT) AS probe_hits
+        FROM runs JOIN probes ON p BETWEEN s AND e
+        GROUP BY st
+    ),
+    roll AS (
+        SELECT st,
+               CAST(sum(len) AS BIGINT) AS n_ids,
+               CAST(count(*) AS BIGINT) AS n_runs,
+               CAST(max(len) AS BIGINT) AS max_run_len,
+               {sql_round('CAST(sum(len) AS DOUBLE) / count(*)', 4)} AS avg_run_len,
+               {sql_round('2.0 * count(*) / sum(len)', 4)} AS endpoints_per_id
+        FROM runs GROUP BY st
+    )
+    SELECT roll.st, n_ids, n_runs, max_run_len, avg_run_len,
+           endpoints_per_id,
+           coalesce(probe_hits, 0) AS probe_hits
+    FROM roll LEFT JOIN hits ON roll.st = hits.st
+    ORDER BY roll.st
+    """,
+)
+def d198_rle_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length bitmap index — the roaring/Druid-style compressed
+    membership structure: per key (order status), the sorted id set is
+    folded into maximal [start, end] runs via the islands trick
+    (run id = id − rank, constant exactly along consecutive ids), then
+    the index answers point probes by run CONTAINMENT instead of id
+    equality. The ledger reports per-key run counts, run-length shape,
+    endpoints-per-id (the compression the runs buy over a raw id list),
+    and hits for a deterministic 64-probe set.
+
+    Scale shape: the per-key rank is the D186 grouped prefix — status
+    has 3 values, so ``row_number() OVER (PARTITION BY status)`` would
+    serialize 100 TB of ids through 3 reducer chains; the grouped
+    prefix range-partitions on (status, id) instead (the oracle keeps
+    the naive window SQL, so value identity of the two formulations is
+    the checked property, as in d186/d189). Runs = one (status, run-id)
+    keyed aggregation; probes are bounded by construction (64 ids
+    derived from the global max via one 1-row aggregate — the
+    d184-centroid collect class) and broadcast against the runs, so the
+    containment join never shuffles the index."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("st"), F.col("o_orderkey").alias("k")
+    )
+    r = ordered_prefix(o, ["k"], group_cols=["st"], row_number="rn")
+    runs = (
+        r.withColumn("rid", F.col("k") - F.col("rn"))
+        .groupBy("st", "rid")
+        .agg(
+            F.min("k").alias("s"),
+            F.max("k").alias("e"),
+            F.count(F.lit(1)).alias("len"),
+        )
+    )
+    # 1-row bounded collect (the d184-centroid class): the global max id
+    mk = int(o.agg(F.max("k")).collect()[0][0])
+    probes = spark.createDataFrame(
+        [(int(mk * i // _RLE_N_PROBES),) for i in range(1, _RLE_N_PROBES + 1)],
+        "p long",
+    )
+    hits = (
+        runs.join(
+            F.broadcast(probes),  # bounded by construction: 64 rows
+            (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e")),
+        )
+        .groupBy("st")
+        .agg(F.count(F.lit(1)).cast("long").alias("probe_hits"))
+    )
+    roll = runs.groupBy("st").agg(
+        F.sum("len").cast("long").alias("n_ids"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("len").cast("long").alias("max_run_len"),
+        pround(F.sum("len") * 1.0 / F.count(F.lit(1)), 4).alias("avg_run_len"),
+        pround(2.0 * F.count(F.lit(1)) / F.sum("len"), 4).alias("endpoints_per_id"),
+    )
+    return (
+        roll.join(hits, "st", "left")
+        .select(
+            "st",
+            "n_ids",
+            "n_runs",
+            "max_run_len",
+            "avg_run_len",
+            "endpoints_per_id",
+            F.coalesce("probe_hits", F.lit(0)).cast("long").alias("probe_hits"),
+        )
+        .orderBy("st")
+    )

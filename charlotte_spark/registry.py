@@ -165,6 +165,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d195_cdc_chunking",
     "d196_context_truncation",
     "d197_preference_pairs",
+    "d198_rle_bitmap_index",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

@@ -1473,3 +1473,28 @@ def test_preference_pairs_single_shuffle(audits):
     assert not a["broadcast_hash_join"]
     assert not a["nested_loop_join"]
     assert "EvalPython" not in a["plan"]
+
+
+def test_rle_index_rides_grouped_prefix(spark, sf_dir):
+    """d198: the per-status rank must come from the grouped prefix —
+    range-partitioned on (st, k) with per-bucket row numbers — never a
+    3-reducer row_number() OVER (PARTITION BY st ORDER BY k); the
+    64-probe containment join must broadcast the probe side."""
+    import re as _re
+
+    from charlotte_spark.plans.audit import formatted_plan
+
+    p = formatted_plan(REG["d198_rle_bitmap_index"].fn(spark, sf_dir))
+    assert _re.search(
+        r"rangepartitioning\(st#\d+ ASC NULLS FIRST, k#\d+L? ASC NULLS FIRST", p
+    ), "rank must range-partition on (st, k)"
+    serial = [
+        seg
+        for seg in p.splitlines()
+        if _re.search(r"windowspecdefinition\(st#\d+, k#\d+", seg)
+    ]
+    assert not serial, f"per-status serial window found: {serial[:1]}"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, (
+        "probe containment must broadcast the bounded probe side"
+    )
+    assert "CartesianProduct" not in p
