@@ -2330,3 +2330,71 @@ def d197_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prompt_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D199: curriculum schedule construction (easy-to-hard bucket ledger)
+# ---------------------------------------------------------------------------
+
+_CURR_BUCKETS = 8
+
+
+@query(
+    "d199_curriculum_schedule",
+    tags=("D199", "D189", "D133"),
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' ')) AS toks,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS pos,
+               count(*) OVER () AS n
+        FROM documents
+    )
+    SELECT CAST((pos - 1) * {_CURR_BUCKETS} // n AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_difficulty,
+           CAST(max(n_chars) AS BIGINT) AS max_difficulty,
+           {sql_round('CAST(sum(toks) AS DOUBLE) / count(*)', 4)} AS avg_tokens,
+           CAST(sum({sql_hash_long('doc_id', 'curr|')}) AS BIGINT) AS member_digest
+    FROM r
+    GROUP BY (pos - 1) * {_CURR_BUCKETS} // n
+    ORDER BY bucket
+    """,
+)
+def d199_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule construction — order the corpus easy→hard by
+    a deterministic difficulty key (n_chars, doc_id tie-break), cut it
+    into equal-size stage buckets, and ledger each stage: size,
+    difficulty range, mean token length, and a membership digest that
+    pins EXACTLY which documents train in which stage (a curriculum is
+    an ordering contract — "roughly these docs" is not reproducible).
+
+    Scale shape: the global position rides the distributed prefix
+    operator (range-partition on (n_chars, doc_id), per-bucket row
+    numbers, bounded offset window) — NEVER a single-reducer
+    ``row_number() OVER (ORDER BY ...)`` (the d189 discipline; the
+    oracle keeps exactly that naive window SQL, so value identity of
+    the two formulations is the checked property). Bucket assignment is
+    pure integer arithmetic on (pos, n) — engine-splittable boundaries
+    impossible — and the stage ledger is one keyed aggregation."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.size(F.split("text", " ")).alias("toks")
+    )
+    r = ordered_prefix(
+        d, ["n_chars", "doc_id"], row_number="pos", count_total="n"
+    )
+    bucket = ((F.col("pos") - 1) * _CURR_BUCKETS / F.col("n")).cast("long")
+    return (
+        r.select("doc_id", "n_chars", "toks", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_difficulty"),
+            F.max("n_chars").cast("long").alias("max_difficulty"),
+            pround(F.sum("toks") * 1.0 / F.count(F.lit(1)), 4).alias("avg_tokens"),
+            F.sum(portable_hash_long("doc_id", "curr|")).cast("long").alias(
+                "member_digest"
+            ),
+        )
+        .orderBy("bucket")
+    )

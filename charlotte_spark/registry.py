@@ -166,6 +166,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d196_context_truncation",
     "d197_preference_pairs",
     "d198_rle_bitmap_index",
+    "d199_curriculum_schedule",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

@@ -1498,3 +1498,24 @@ def test_rle_index_rides_grouped_prefix(spark, sf_dir):
         "probe containment must broadcast the bounded probe side"
     )
     assert "CartesianProduct" not in p
+
+
+def test_curriculum_rides_global_prefix(spark, sf_dir):
+    """d199: the curriculum position must come from the two-phase
+    prefix — range-partitioned on (n_chars, doc_id) — never a
+    single-reducer global row_number window."""
+    import re as _re
+
+    from charlotte_spark.plans.audit import formatted_plan
+
+    p = formatted_plan(REG["d199_curriculum_schedule"].fn(spark, sf_dir))
+    assert _re.search(
+        r"rangepartitioning\(n_chars#\d+L? ASC NULLS FIRST, doc_id#\d+L? ASC NULLS FIRST",
+        p,
+    ), "position must range-partition on (n_chars, doc_id)"
+    serial = [
+        seg
+        for seg in p.splitlines()
+        if _re.search(r"windowspecdefinition\(n_chars#\d+L?, doc_id#\d+", seg)
+    ]
+    assert not serial, f"single-reducer global window found: {serial[:1]}"
