@@ -1559,3 +1559,199 @@ def d181_lsh_arrival_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D200: incremental CDC chunk-index arrival loop (d195 at day 2)
+# ---------------------------------------------------------------------------
+
+
+def _d200_oracle() -> str:
+    """Unroll the same 3-round greedy chain in CTEs: batch -> CDC chunk
+    occurrences -> distinct -> dup-vs-index / new split -> index merge."""
+    from .textstats import _cdc_sql_bp, _cdc_sql_chunks
+    from ..functions.portable import sql_hash_long
+
+    def batch_chunks(name: str, src: str) -> str:
+        return f"""
+    {name}_b AS (SELECT doc_id, ver, t, {_cdc_sql_bp('t')} AS bp FROM {src}),
+    {name}_se AS (SELECT doc_id, ver, t,
+                         [1] || list_transform(bp, p -> p + 1) AS s,
+                         list_append(bp, len(t)) AS e
+                  FROM {name}_b),
+    {name} AS (SELECT doc_id, ver,
+                      unnest({_cdc_sql_chunks('t', 's', 'e', distinct=False)}) AS h
+               FROM {name}_se)"""
+
+    idig = sql_hash_long("h", "idx|")
+
+    def ledger(r: int) -> str:
+        dup = (
+            "0"
+            if r == 0
+            else f"(SELECT count(*) FROM dd{r} SEMI JOIN idx{r - 1} USING (h))"
+        )
+        return f"""
+        SELECT {r} AS round_id,
+               (SELECT count(*) FROM b{r}) AS n_docs,
+               (SELECT count(*) FROM c{r}) AS n_chunk_occurrences,
+               (SELECT count(*) FROM dd{r}) AS n_distinct,
+               CAST({dup} AS BIGINT) AS n_dup_index,
+               (SELECT count(*) FROM dd{r}) - CAST({dup} AS BIGINT) AS n_new,
+               (SELECT count(*) FROM idx{r}) AS index_size,
+               {sql_round(f'CAST({dup} AS DOUBLE) / (SELECT count(*) FROM dd{r})', 4)} AS dup_rate,
+               (SELECT CAST(sum({idig}) AS BIGINT) FROM idx{r}) AS index_digest"""
+
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS t1
+        FROM documents WHERE len(string_split(text, ' ')) >= 5
+    ),
+    b0 AS (SELECT doc_id, 1 AS ver, t1 AS t FROM docs WHERE doc_id % 3 = 0),
+    b1 AS (SELECT doc_id, 1 AS ver, t1 AS t FROM docs WHERE doc_id % 3 = 1),
+    b2 AS (SELECT doc_id, 1 AS ver, t1 AS t FROM docs WHERE doc_id % 3 = 2
+           UNION ALL
+           SELECT doc_id, 2 AS ver, list_slice(t1, 2, len(t1)) AS t
+           FROM docs WHERE doc_id % 9 = 0),
+    {batch_chunks('c0', 'b0').lstrip()},
+    {batch_chunks('c1', 'b1').lstrip()},
+    {batch_chunks('c2', 'b2').lstrip()},
+    dd0 AS (SELECT DISTINCT h FROM c0),
+    dd1 AS (SELECT DISTINCT h FROM c1),
+    dd2 AS (SELECT DISTINCT h FROM c2),
+    idx0 AS (SELECT h FROM dd0),
+    new1 AS (SELECT h FROM dd1 ANTI JOIN idx0 USING (h)),
+    idx1 AS (SELECT h FROM idx0 UNION ALL SELECT h FROM new1),
+    new2 AS (SELECT h FROM dd2 ANTI JOIN idx1 USING (h)),
+    idx2 AS (SELECT h FROM idx1 UNION ALL SELECT h FROM new2)
+    SELECT * FROM (
+        {ledger(0)}
+        UNION ALL
+        {ledger(1)}
+        UNION ALL
+        {ledger(2)}
+    ) ORDER BY round_id
+    """
+
+
+@query("d200_chunk_index_loop", tags=("D200", "D195", "D131", "D181"),
+       oracle=_d200_oracle())
+def d200_chunk_index_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC chunk-index arrival loop — d195's property put to
+    work (the storage-dedup form of the d181/d187 continual-curation
+    shape): a persisted chunk-hash index is bootstrapped from the first
+    corpus third; each arrival round CDC-chunks its batch, probes the
+    index by an h-keyed equi-join, appends only never-seen chunk hashes,
+    and ledgers per round: docs, chunk occurrences, distinct hashes,
+    index hits, appends, index size, dup rate, and an index-membership
+    digest. Round 2 mixes fresh docs with EDITED RE-ARRIVALS (the
+    head-deleted variant of round-0 docs) — their chunks hit the index
+    at the ~85% CDC reuse rate d195 pins, but ONLY if the index
+    actually persisted across rounds, so the round-2 dup-rate jump is
+    the cross-round-state proof (the d187 dup_index discipline).
+
+    Scale shape: chunking is the d195 map-only projection; per-round
+    work is O(batch) + ONE h-keyed join against the persisted index
+    (never all-pairs, the corpus is never re-chunked); the index update
+    is an anti-join + append merge-write (the d181 compaction shape);
+    and the declared result is computed entirely FROM the persisted
+    per-round ledger parquet (zero documents scans in the final plan).
+    """
+    import atexit as _atexit
+    import os as _os
+    import shutil as _shutil
+
+    from ..functions.portable import portable_hash_long
+    from ..streaming.harness import _scratch_root
+    from .textstats import _cdc_chunk_hashes
+
+    root = (
+        f"{_scratch_root('CHARLOTTE_CHUNKIDX_TMP', 'charlotte_chunk_index')}"
+        f"/{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
+    )
+    _atexit.register(_shutil.rmtree, root, ignore_errors=True)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 5)
+        .select("doc_id", F.split("text", " ").alias("t1"))
+    )
+
+    def batch(r: int) -> DataFrame:
+        if r < 2:
+            return docs.filter(F.col("doc_id") % 3 == r).select(
+                "doc_id", F.lit(1).alias("ver"), F.col("t1").alias("t")
+            )
+        fresh = docs.filter(F.col("doc_id") % 3 == 2).select(
+            "doc_id", F.lit(1).alias("ver"), F.col("t1").alias("t")
+        )
+        rearrive = docs.filter(F.col("doc_id") % 9 == 0).select(
+            "doc_id",
+            F.lit(2).alias("ver"),
+            F.slice("t1", 2, F.size("t1") - 1).alias("t"),
+        )
+        return fresh.unionByName(rearrive)
+
+    for r in range(3):
+        b = batch(r)
+        occ = b.select(
+            F.explode(_cdc_chunk_hashes(F.col("t"), distinct=False)).alias("h")
+        )
+        dd = occ.select("h").distinct()
+        n_docs = b.count()
+        n_occ = occ.count()
+        n_distinct = dd.count()
+        if r == 0:
+            n_dup = 0
+            new = dd
+            idx = new.select("h", F.lit(0).alias("first_round"))
+        else:
+            prev = spark.read.parquet(f"{root}/idx_r{r - 1}")
+            # O(batch) h-keyed probes against the persisted index
+            n_dup = dd.join(prev, "h", "left_semi").count()
+            new = dd.join(prev, "h", "left_anti")
+            idx = prev.unionByName(
+                new.select("h", F.lit(r).alias("first_round"))
+            )
+        idx.write.mode("overwrite").parquet(f"{root}/idx_r{r}")
+        back = spark.read.parquet(f"{root}/idx_r{r}")
+        size_dig = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(portable_hash_long("h", "idx|")).alias("dig"),
+        ).collect()[0]
+        row = [
+            (
+                r,
+                n_docs,
+                n_occ,
+                n_distinct,
+                n_dup,
+                n_distinct - n_dup,
+                int(size_dig["n"]),
+                float(n_dup) / n_distinct,
+                int(size_dig["dig"]),
+            )
+        ]
+        spark.createDataFrame(
+            row,
+            "round_id long, n_docs long, n_chunk_occurrences long, "
+            "n_distinct long, n_dup_index long, n_new long, index_size long, "
+            "dup_rate_raw double, index_digest long",
+        ).write.mode("overwrite").parquet(f"{root}/ledger_r{r}")
+
+    # declared result: read ONLY the persisted ledger state back
+    ledger = spark.read.parquet(*[f"{root}/ledger_r{r}" for r in range(3)])
+    return (
+        ledger.select(
+            "round_id",
+            "n_docs",
+            "n_chunk_occurrences",
+            "n_distinct",
+            "n_dup_index",
+            "n_new",
+            "index_size",
+            pround(F.col("dup_rate_raw"), 4).alias("dup_rate"),
+            "index_digest",
+        )
+        .orderBy("round_id")
+    )

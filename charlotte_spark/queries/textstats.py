@@ -1027,8 +1027,10 @@ _CDC_MOD = 8  # expected chunk length ~= 8 tokens on 10-99-token docs
 _FIX_W = 16  # fixed-stride contrast chunker width
 
 
-def _cdc_chunk_hashes(toks: F.Column) -> F.Column:
-    """Distinct md5 hashes of the content-defined chunks of ``toks``.
+def _cdc_chunk_hashes(toks: F.Column, *, distinct: bool = True) -> F.Column:
+    """md5 hashes of the content-defined chunks of ``toks`` (distinct
+    set by default; ``distinct=False`` keeps one entry per occurrence,
+    the shape d200's chunk-index loop consumes).
 
     A boundary CLOSES a chunk after position ``i`` (i >= 3) whenever the
     portable hash of the 3-gram ending at ``i`` is ≡ 0 (mod _CDC_MOD) —
@@ -1060,12 +1062,11 @@ def _cdc_chunk_hashes(toks: F.Column) -> F.Column:
         ),
     )
     valid = F.filter(pairs, lambda c: c["s"] <= c["e"])
-    return F.array_distinct(
-        F.transform(
-            valid,
-            lambda c: F.md5(F.array_join(F.slice(toks, c["s"], c["e"] - c["s"] + 1), " ")),
-        )
+    hashes = F.transform(
+        valid,
+        lambda c: F.md5(F.array_join(F.slice(toks, c["s"], c["e"] - c["s"] + 1), " ")),
     )
+    return F.array_distinct(hashes) if distinct else hashes
 
 
 def _fix_chunk_hashes(toks: F.Column) -> F.Column:
@@ -1076,20 +1077,28 @@ def _fix_chunk_hashes(toks: F.Column) -> F.Column:
     )
 
 
-def _d195_oracle() -> str:
-    def bp(t: str) -> str:
-        g = f"{t}[i-2] || ' ' || {t}[i-1] || ' ' || {t}[i]"
-        return (
-            f"list_filter(range(3, len({t})+1), "
-            f"i -> {sql_hash_long(g, _CDC_SEED)} % {_CDC_MOD} = 0)"
-        )
+def _cdc_sql_bp(t: str) -> str:
+    """DuckDB fragment: CDC boundary positions of token list ``t``."""
+    g = f"{t}[i-2] || ' ' || {t}[i-1] || ' ' || {t}[i]"
+    return (
+        f"list_filter(range(3, len({t})+1), "
+        f"i -> {sql_hash_long(g, _CDC_SEED)} % {_CDC_MOD} = 0)"
+    )
 
-    def chunks(t: str, s: str, e: str) -> str:
-        return (
-            f"list_distinct(list_transform("
-            f"list_filter(range(1, len({s})+1), j -> {s}[j] <= {e}[j]), "
-            f"j -> md5(array_to_string(list_slice({t}, {s}[j], {e}[j]), ' '))))"
-        )
+
+def _cdc_sql_chunks(t: str, s: str, e: str, *, distinct: bool = True) -> str:
+    """DuckDB fragment: md5 chunk hashes from (tokens, starts, ends)."""
+    lst = (
+        f"list_transform("
+        f"list_filter(range(1, len({s})+1), j -> {s}[j] <= {e}[j]), "
+        f"j -> md5(array_to_string(list_slice({t}, {s}[j], {e}[j]), ' ')))"
+    )
+    return f"list_distinct({lst})" if distinct else lst
+
+
+def _d195_oracle() -> str:
+    bp = _cdc_sql_bp
+    chunks = _cdc_sql_chunks
 
     def fix(t: str) -> str:
         return (

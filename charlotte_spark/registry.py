@@ -167,6 +167,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d197_preference_pairs",
     "d198_rle_bitmap_index",
     "d199_curriculum_schedule",
+    "d200_chunk_index_loop",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

@@ -1519,3 +1519,20 @@ def test_curriculum_rides_global_prefix(spark, sf_dir):
         if _re.search(r"windowspecdefinition\(n_chars#\d+L?, doc_id#\d+", seg)
     ]
     assert not serial, f"single-reducer global window found: {serial[:1]}"
+
+
+def test_chunk_index_loop_result_reads_only_ledger(spark, sf_dir):
+    """d200: the declared result must be computed FROM the persisted
+    per-round ledger parquet (the d181/d192 loop-state proof) — zero
+    documents scans in the final plan, no joins."""
+    from charlotte_spark.plans.audit import audit_plan
+
+    a = audit_plan(REG["d200_chunk_index_loop"].fn(spark, sf_dir))
+    doc = [s for s in a["scans"] if "documents" in s["path"]]
+    state = [s for s in a["scans"] if "chunk_index" in s["path"]]
+    assert not doc, f"{len(doc)} documents scans in the result plan"
+    # the three ledger rounds arrive as ONE multi-path parquet scan
+    assert state and len(a["scans"]) == 1, "result must read only ledger state"
+    assert not a["sort_merge_join"]
+    assert not a["broadcast_hash_join"]
+    assert not a["nested_loop_join"]
