@@ -478,3 +478,158 @@ def a160_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# A201: mergeable equi-width histogram quantile sketch (bounded error)
+# ---------------------------------------------------------------------------
+
+_A201_BINS = 256
+_A201_QS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def _a201_oracle() -> str:
+    q_rows = ", ".join(f"('{n}', {num}, {den})" for n, num, den in _A201_QS)
+    return f"""
+    WITH li AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS x,
+               l_orderkey AS ok, l_linenumber AS ln
+        FROM lineitem
+    ),
+    ext AS (SELECT min(x) AS mn, max(x) AS mx FROM li),
+    binned AS (
+        SELECT flag,
+               least(CAST(floor((x - mn) / ((mx - mn) / {_A201_BINS}.0)) AS BIGINT),
+                     {_A201_BINS - 1}) AS bin
+        FROM li, ext
+    ),
+    bins AS (SELECT flag, bin, count(*) AS c FROM binned GROUP BY flag, bin),
+    cum AS (
+        SELECT flag, bin, c,
+               sum(c) OVER (PARTITION BY flag ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM bins
+    ),
+    nn AS (SELECT flag, sum(c) AS n FROM bins GROUP BY flag),
+    qs AS (SELECT * FROM (VALUES {q_rows}) AS v(q, num, den)),
+    tgt AS (
+        SELECT flag, q, n,
+               (num * n + den - 1) // den AS r
+        FROM nn CROSS JOIN qs
+    ),
+    est AS (
+        SELECT t.flag, t.q, t.n, t.r,
+               min(c.bin) AS est_bin
+        FROM tgt t JOIN cum c ON c.flag = t.flag AND c.cum >= t.r
+        GROUP BY t.flag, t.q, t.n, t.r
+    ),
+    rk AS (
+        SELECT flag, x,
+               row_number() OVER (PARTITION BY flag ORDER BY x, ok, ln) AS rn
+        FROM li
+    ),
+    ex AS (
+        SELECT t.flag, t.q, rk.x AS exact
+        FROM tgt t JOIN rk ON rk.flag = t.flag AND rk.rn = t.r
+    )
+    SELECT e.flag, e.q,
+           CAST(e.n AS BIGINT) AS n,
+           CAST(e.r AS BIGINT) AS r,
+           {sql_round('mn + (e.est_bin + 1) * ((mx - mn) / ' + str(_A201_BINS) + '.0)', 4)} AS est,
+           {sql_round('ex.exact', 4)} AS exact,
+           {sql_round('abs(mn + (e.est_bin + 1) * ((mx - mn) / ' + str(_A201_BINS) + '.0) - ex.exact)', 4)} AS abs_err,
+           {sql_round('(mx - mn) / ' + str(_A201_BINS) + '.0', 4)} AS bound,
+           CAST(abs(mn + (e.est_bin + 1) * ((mx - mn) / {_A201_BINS}.0) - ex.exact)
+                <= (mx - mn) / {_A201_BINS}.0 AS INT) AS within_bound
+    FROM est e JOIN ex ON e.flag = ex.flag AND e.q = ex.q, ext
+    ORDER BY e.flag, e.q
+    """
+
+
+@query("a201_histogram_quantile_sketch", tags=("A201", "A32", "D133", "D174"),
+       oracle=_a201_oracle())
+def a201_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch with an IN-QUERY
+    error bound (the A-row discipline: the sketch carries its own
+    guarantee, checked against the exact answer in the same result).
+
+    The sketch is a 256-bin equi-width histogram over the global value
+    extent: per-partition bin counts merge by ADDITION (the d174
+    mergeable-state property), so at 100 TB the whole sketch is one
+    partial-aggregated groupBy onto <= groups x 256 cells — no sort, no
+    per-value state. The q-quantile estimate is the upper edge of the
+    first bin whose cumulative count reaches rank ceil(q*n); since the
+    exact rank-r value lies inside that bin, |est - exact| <= bin width
+    BY CONSTRUCTION — ``within_bound`` re-checks the guarantee in-query
+    against the true percentile and hash-fails if it ever breaks.
+
+    Scale shape: extent = one 1-row broadcast aggregate; cumulative
+    counts ride a window over <= 256 partial rows per group (the
+    bounded-offset-frame class, like the prefix operator's phase 2);
+    the EXACT side's per-group rank rides the grouped prefix — never a
+    per-flag serial window (the oracle keeps exactly that naive window
+    SQL, so value identity is the checked property); targets (groups x
+    quantiles = 9 rows) broadcast to both joins. Integer rank
+    arithmetic: ceil(q*n) = (num*n + den - 1) div den, engine-exact."""
+    from ..operators.prefix import ordered_prefix
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    ext = li.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    w = (F.col("mx") - F.col("mn")) / float(_A201_BINS)
+    binned = li.join(F.broadcast(ext)).select(
+        "flag",
+        F.least(
+            F.floor((F.col("x") - F.col("mn")) / w).cast("long"),
+            F.lit(_A201_BINS - 1),
+        ).alias("bin"),
+    )
+    bins = binned.groupBy("flag", "bin").agg(F.count(F.lit(1)).alias("c"))
+    cum = bins.withColumn(
+        "cum",
+        F.sum("c").over(
+            # bounded frame: <= 256 partial rows per flag (phase-2 class)
+            Window.partitionBy("flag")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    nn = bins.groupBy("flag").agg(F.sum("c").alias("n"))
+    qs = spark.createDataFrame(list(_A201_QS), "q string, num long, den long")
+    t = F.col("num") * F.col("n") + F.col("den") - 1
+    tgt = nn.crossJoin(F.broadcast(qs)).select(
+        "flag", "q", "n", ((t - t % F.col("den")) / F.col("den")).cast("long").alias("r")
+    )
+    est = (
+        cum.join(F.broadcast(tgt), "flag")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("flag", "q", "n", "r")
+        .agg(F.min("bin").alias("est_bin"))
+    )
+    rk = ordered_prefix(li, ["x", "ok", "ln"], group_cols=["flag"], row_number="rn")
+    ex = (
+        rk.join(F.broadcast(tgt), "flag")
+        .filter(F.col("rn") == F.col("r"))
+        .select("flag", "q", F.col("x").alias("exact"))
+    )
+    est_val = F.col("mn") + (F.col("est_bin") + 1) * w
+    return (
+        est.join(ex, ["flag", "q"])
+        .join(F.broadcast(ext))
+        .select(
+            "flag",
+            "q",
+            F.col("n").cast("long").alias("n"),
+            F.col("r").cast("long").alias("r"),
+            pround(est_val, 4).alias("est"),
+            pround(F.col("exact"), 4).alias("exact"),
+            pround(F.abs(est_val - F.col("exact")), 4).alias("abs_err"),
+            pround(w, 4).alias("bound"),
+            (F.abs(est_val - F.col("exact")) <= w).cast("int").alias("within_bound"),
+        )
+        .orderBy("flag", "q")
+    )

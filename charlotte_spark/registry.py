@@ -168,6 +168,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d198_rle_bitmap_index",
     "d199_curriculum_schedule",
     "d200_chunk_index_loop",
+    "a201_histogram_quantile_sketch",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

@@ -1536,3 +1536,25 @@ def test_chunk_index_loop_result_reads_only_ledger(spark, sf_dir):
     assert not a["sort_merge_join"]
     assert not a["broadcast_hash_join"]
     assert not a["nested_loop_join"]
+
+
+def test_histogram_sketch_exact_side_rides_grouped_prefix(spark, sf_dir):
+    """a201: the exact-percentile rank must come from the grouped
+    prefix (range-partitioned on (flag, x, ok, ln)) — never a per-flag
+    serial window over RAW VALUES. The only per-flag windowspec allowed
+    is the cumulative count over <= 256 bin partials (the bounded
+    offset-frame class)."""
+    import re as _re
+
+    from charlotte_spark.plans.audit import formatted_plan
+
+    p = formatted_plan(REG["a201_histogram_quantile_sketch"].fn(spark, sf_dir))
+    assert _re.search(
+        r"rangepartitioning\(flag#\d+ ASC NULLS FIRST, x#\d+ ASC NULLS FIRST", p
+    ), "exact rank must range-partition on (flag, x, ...)"
+    raw_serial = [
+        seg
+        for seg in p.splitlines()
+        if _re.search(r"windowspecdefinition\(flag#\d+, x#\d+", seg)
+    ]
+    assert not raw_serial, f"per-flag serial window over raw values: {raw_serial[:1]}"
