@@ -1208,3 +1208,151 @@ def d195_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# D202: tokenizer migration audit (two BPE generations side by side)
+# ---------------------------------------------------------------------------
+
+_D202_GEN_A = 3  # merge rules in the current tokenizer generation
+_D202_GEN_B = 6  # merge rules in the candidate generation
+_D202_BUDGET = 250  # per-doc token budget (context-window proxy)
+
+
+def _d202_oracle() -> str:
+    """d193's word-carried merge chain extended to GEN_B rounds, with
+    vocab snapshots at GEN_A and GEN_B joined side by side."""
+    ctes = [
+        """w0 AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    v0 AS (
+        SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq,
+               count(*) AS freq
+        FROM w0 WHERE length(w) > 0 GROUP BY 1, 2
+    )"""
+    ]
+    for r in range(1, _D202_GEN_B + 1):
+        p = r - 1
+        ctes.append(f"""p{r} AS (
+        SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                      i -> s[i] || ' ' || s[i+1])) AS pair, freq
+        FROM (SELECT string_split(seq, ' ') AS s, freq FROM v{p})
+    ),
+    b{r} AS (
+        SELECT string_split(pair, ' ')[1] AS l,
+               string_split(pair, ' ')[2] AS r
+        FROM (SELECT pair, sum(freq) AS n FROM p{r} GROUP BY 1
+              ORDER BY n DESC, pair ASC LIMIT 1)
+    ),
+    v{r} AS (
+        SELECT w, trim(regexp_replace(
+                 replace(' ' || replace(seq, ' ', '  ') || ' ',
+                         ' ' || b.l || '  ' || b.r || ' ',
+                         ' ' || b.l || b.r || ' '),
+                 ' +', ' ', 'g')) AS seq, freq
+        FROM v{p}, b{r} b
+    )""")
+    return f"""
+    WITH {', '.join(ctes)},
+    vf AS (
+        SELECT a.w,
+               len(string_split(a.seq, ' ')) AS n_tok_a,
+               len(string_split(b.seq, ' ')) AS n_tok_b
+        FROM v{_D202_GEN_A} a JOIN v{_D202_GEN_B} b ON a.w = b.w
+    ),
+    occ AS (
+        SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               sum(v.n_tok_a) AS ta, sum(v.n_tok_b) AS tb
+        FROM occ o JOIN vf v ON v.w = o.w
+        WHERE length(o.w) > 0
+        GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ta) AS BIGINT) AS tokens_gen_a,
+           CAST(sum(tb) AS BIGINT) AS tokens_gen_b,
+           CAST(sum(tb) - sum(ta) AS BIGINT) AS token_delta,
+           {sql_round('(sum(tb) - sum(ta)) * 1.0 / sum(ta)', 4)} AS token_delta_pct,
+           CAST(sum(CASE WHEN ta > {_D202_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+               AS over_budget_gen_a,
+           CAST(sum(CASE WHEN tb > {_D202_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+               AS over_budget_gen_b
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """
+
+
+@query("d202_tokenizer_migration", tags=("D202", "D193", "D188", "D194"),
+       oracle=_d202_oracle())
+def d202_tokenizer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer migration audit — the d194 question asked of the
+    TOKENIZER instead of the embedding index: before swapping merge-rule
+    generations (3 rules in production, 6 in the candidate), quantify
+    per language what the swap does to effective corpus size
+    (token_delta / token_delta_pct — more merges = fewer tokens = more
+    documents per context window) and how many documents cross the
+    per-doc token budget under each generation (the re-packing the
+    migration forces on d80/d183-style shard layouts).
+
+    Scale shape: ONE merge loop runs to GEN_B rounds over the
+    checkpointed Zipf-bounded vocabulary (the d188 corpus + rounds x
+    vocab rule — never rounds x corpus), snapshotting the per-word
+    token count at GEN_A on the way; both generations APPLY by a single
+    vocab join (the d193 doctrine) — the corpus is word-exploded once
+    and joined once to the two-generation vocab, unhinted (Heaps-law
+    build side). Per-doc totals are one (doc_id)-keyed aggregation;
+    the lang ledger folds 5 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    seq0 = F.trim(F.regexp_replace("w", "(.)", "$1 "))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("w", seq0.alias("seq"), "freq")
+    )
+    cur = reliable_checkpoint(vocab)
+    va = None
+    for r in range(1, _D202_GEN_B + 1):
+        lsym, rsym, _n = _bpe_best_pair(cur)
+        cur = reliable_checkpoint(
+            cur.withColumn("seq", _bpe_apply(F.col("seq"), lsym, rsym))
+        )
+        if r == _D202_GEN_A:
+            va = cur.select(
+                "w", F.size(F.split("seq", " ")).alias("n_tok_a")
+            )
+    vb = cur.select("w", F.size(F.split("seq", " ")).alias("n_tok_b"))
+    vf = va.join(vb, "w")  # unhinted: vocab is SF-proportional (Heaps)
+    occ = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    per_doc = (
+        occ.join(vf, "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("n_tok_a").alias("ta"), F.sum("n_tok_b").alias("tb"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ta").cast("long").alias("tokens_gen_a"),
+            F.sum("tb").cast("long").alias("tokens_gen_b"),
+            (F.sum("tb") - F.sum("ta")).cast("long").alias("token_delta"),
+            pround((F.sum("tb") - F.sum("ta")) * 1.0 / F.sum("ta"), 4).alias(
+                "token_delta_pct"
+            ),
+            F.sum(F.when(F.col("ta") > _D202_BUDGET, 1).otherwise(0))
+            .cast("long")
+            .alias("over_budget_gen_a"),
+            F.sum(F.when(F.col("tb") > _D202_BUDGET, 1).otherwise(0))
+            .cast("long")
+            .alias("over_budget_gen_b"),
+        )
+        .orderBy("lang")
+    )

@@ -1558,3 +1558,22 @@ def test_histogram_sketch_exact_side_rides_grouped_prefix(spark, sf_dir):
         if _re.search(r"windowspecdefinition\(flag#\d+, x#\d+", seg)
     ]
     assert not raw_serial, f"per-flag serial window over raw values: {raw_serial[:1]}"
+
+
+def test_tokenizer_migration_applies_by_vocab_join(spark, sf_dir):
+    """d202: both generations must apply by ONE corpus word-explode
+    joined to the two-generation vocab — exactly one documents scan in
+    the final plan (vocab sides read checkpoints), no broadcast hint on
+    the Heaps-law vocab join (source pin)."""
+    import inspect
+
+    from charlotte_spark.plans.audit import audit_plan
+    from charlotte_spark.queries.textstats import d202_tokenizer_migration
+
+    a = audit_plan(REG["d202_tokenizer_migration"].fn(spark, sf_dir))
+    doc_scans = [s for s in a["scans"] if "documents" in s["path"]]
+    assert len(doc_scans) == 1, f"{len(doc_scans)} documents scans (want 1)"
+    assert not a["nested_loop_join"]
+    assert a["partial_aggregate"]
+    src = inspect.getsource(d202_tokenizer_migration)
+    assert "F.broadcast(" not in src, "vocab join must stay unhinted (Heaps)"
