@@ -1306,3 +1306,131 @@ def d194_index_migration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_a", "cell_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# D203: embedding truncation (matryoshka) ranking-preservation audit
+# ---------------------------------------------------------------------------
+
+_D203_PROBES = 8
+_D203_TRUNC = 16  # candidate truncated dimensionality (of 64)
+_D203_K = 3
+
+
+def _d203_oracle() -> str:
+    cs = sql_cosine("p.embedding", "c.embedding")
+    cs_t = sql_cosine("p.embedding", "c.embedding", dim=_D203_TRUNC)
+    return f"""
+    WITH pairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cid,
+               {cs} AS cs, {cs_t} AS cs_t
+        FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < {_D203_PROBES}
+    ),
+    rk AS (
+        SELECT probe_id, cid, cs, cs_t,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cs DESC, cid ASC) AS rf,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cs_t DESC, cid ASC) AS rt
+        FROM pairs
+    )
+    SELECT probe_id,
+           string_agg(cid, ',' ORDER BY rf) FILTER (WHERE rf <= {_D203_K})
+               AS top{_D203_K}_full,
+           string_agg(cid, ',' ORDER BY rt) FILTER (WHERE rt <= {_D203_K})
+               AS top{_D203_K}_trunc,
+           CAST(len(list_intersect(
+               list(cid) FILTER (WHERE rf <= {_D203_K}),
+               list(cid) FILTER (WHERE rt <= {_D203_K}))) AS INT) AS overlap,
+           {sql_round(f'max(cs) FILTER (WHERE rf = 1)', 4)} AS top1_cos_full,
+           {sql_round(f'max(cs_t) FILTER (WHERE rt = 1)', 4)} AS top1_cos_trunc
+    FROM rk GROUP BY probe_id ORDER BY probe_id
+    """
+
+
+@query("d203_matryoshka_audit", tags=("D203", "D68", "D75", "D194"),
+       oracle=_d203_oracle())
+def d203_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding truncation (matryoshka) audit — before serving
+    truncated vectors (the d75 quantization question asked of
+    DIMENSIONALITY), quantify what dropping 64→16 dims does to
+    RANKINGS, not just to individual cosines: per probe, the exact
+    top-3 under the full vectors vs the top-3 under the 16-dim prefix,
+    their rank-order lists, the set overlap, and the top-1 cosine under
+    each. A high overlap says the truncated index can serve recall with
+    4x less memory bandwidth; this ledger is the measured basis for
+    that call (measure-don't-guess, the d190/d194 audit class).
+
+    Scale shape: probes are bounded by construction (8 ids), broadcast
+    against the corpus — the pair fold is the d68 exact-baseline class
+    (O(probes x corpus), the declared audit cost; the production path
+    at scale samples probes exactly like d184's recall side). Both
+    rankings ride windows over the SAME bounded probe partition, and
+    both cosines fold the SAME zip_with pass (the 16-dim prefix slices
+    the already-zipped arrays — one corpus scan total)."""
+    p = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("probe_id"),
+        to_double(F.col("embedding")).alias("pv"),
+    ).filter(F.col("probe_id") < _D203_PROBES)
+    c = fan_out(
+        load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("cid"),
+            to_double(F.col("embedding")).alias("cv"),
+        )
+    )
+    pairs = c.join(
+        F.broadcast(p), F.col("cid") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "cid",
+        cosine(F.col("pv"), F.col("cv")).alias("cs"),
+        cosine(
+            F.slice("pv", 1, _D203_TRUNC), F.slice("cv", 1, _D203_TRUNC)
+        ).alias("cs_t"),
+    )
+    by_probe = W.partitionBy("probe_id")
+    rk = pairs.select(
+        "probe_id",
+        "cid",
+        "cs",
+        "cs_t",
+        F.row_number()
+        .over(by_probe.orderBy(F.col("cs").desc(), F.col("cid").asc()))
+        .alias("rf"),
+        F.row_number()
+        .over(by_probe.orderBy(F.col("cs_t").desc(), F.col("cid").asc()))
+        .alias("rt"),
+    )
+    k = _D203_K
+
+    def ranked_ids(rcol: str) -> F.Column:
+        structs = F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col(rcol) <= k, F.struct(F.col(rcol).alias("r"), F.col("cid").alias("id"))
+                )
+            )
+        )
+        return F.array_join(
+            F.transform(structs, lambda x: x["id"].cast("string")), ","
+        )
+
+    def id_set(rcol: str) -> F.Column:
+        return F.collect_list(F.when(F.col(rcol) <= k, F.col("cid")))
+
+    return (
+        rk.groupBy("probe_id")
+        .agg(
+            ranked_ids("rf").alias(f"top{k}_full"),
+            ranked_ids("rt").alias(f"top{k}_trunc"),
+            F.size(F.array_intersect(id_set("rf"), id_set("rt"))).alias("overlap"),
+            pround(F.max(F.when(F.col("rf") == 1, F.col("cs"))), 4).alias(
+                "top1_cos_full"
+            ),
+            pround(F.max(F.when(F.col("rt") == 1, F.col("cs_t"))), 4).alias(
+                "top1_cos_trunc"
+            ),
+        )
+        .orderBy("probe_id")
+    )

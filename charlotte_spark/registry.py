@@ -170,6 +170,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d200_chunk_index_loop",
     "a201_histogram_quantile_sketch",
     "d202_tokenizer_migration",
+    "d203_matryoshka_audit",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

@@ -1577,3 +1577,15 @@ def test_tokenizer_migration_applies_by_vocab_join(spark, sf_dir):
     assert a["partial_aggregate"]
     src = inspect.getsource(d202_tokenizer_migration)
     assert "F.broadcast(" not in src, "vocab join must stay unhinted (Heaps)"
+
+
+def test_matryoshka_audit_broadcasts_bounded_probes(audits):
+    """d203: the pair fold must broadcast the construction-bounded
+    probe side (8 ids) — the d68 exact-baseline class; never a
+    CartesianProduct, never a shuffle of the corpus against probes."""
+    a = audits("d203_matryoshka_audit")
+    assert a["nested_loop_join"] or a["broadcast_hash_join"], (
+        "probe side must broadcast"
+    )
+    assert "CartesianProduct" not in a["plan"]
+    assert not a["sort_merge_join"]
