@@ -798,3 +798,137 @@ def test_bpe_merge_application_is_greedy(spark):
     got = {r["seq"]: r["m"] for r in df.select("seq", merged.alias("m")).collect()}
     for seq, l, r in cases:
         assert got[seq] == greedy_merge(seq, l, r), (seq, l, r, got[seq])
+
+
+# ---------------------------------------------------------------------------
+# D195/D200: content-defined chunking properties
+# ---------------------------------------------------------------------------
+
+
+def _ref_cdc_chunks(toks: list[str]) -> list[str]:
+    """Straight-line Python reference of the d195 CDC chunker: boundary
+    closes after position i (1-based, i >= 3) when the portable hash of
+    the 3-gram ending at i is ≡ 0 (mod 8); chunk hashes = md5 of the
+    space-joined chunk tokens, one entry per occurrence."""
+    import hashlib
+
+    def h(g: str) -> int:
+        return int(hashlib.md5(("cdc|" + g).encode()).hexdigest()[:8], 16)
+
+    n = len(toks)
+    bpos = [i for i in range(3, n + 1) if h(" ".join(toks[i - 3 : i])) % 8 == 0]
+    starts = [1] + [p + 1 for p in bpos]
+    ends = bpos + [n]
+    return [
+        hashlib.md5(" ".join(toks[s - 1 : e]).encode()).hexdigest()
+        for s, e in zip(starts, ends)
+        if s <= e
+    ]
+
+
+def test_cdc_chunker_matches_reference_and_partitions(spark):
+    """The d195 Spark array-expression chunker must produce exactly the
+    reference chunk-hash sequence on a 200-doc pseudo-random sweep (one
+    Spark job), and the reference's chunks must PARTITION the document:
+    every token in exactly one chunk, concatenation reconstructs it."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.queries.textstats import _cdc_chunk_hashes
+
+    rng_words = ["alpha", "b", "cc", "data", "e5", "fox", "g", "hi", "jk", "l9"]
+    docs = []
+    for i in range(200):
+        n = 4 + (i * 7919) % 37
+        toks = [rng_words[(i * 31 + j * j * 17) % len(rng_words)] for j in range(n)]
+        docs.append((i, toks))
+
+    df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    got = {
+        r["doc_id"]: list(r["h"])
+        for r in df.select(
+            "doc_id", _cdc_chunk_hashes(F.col("toks"), distinct=False).alias("h")
+        ).collect()
+    }
+    for i, toks in docs:
+        ref = _ref_cdc_chunks(toks)
+        assert got[i] == ref, f"doc {i}: spark={got[i][:3]} ref={ref[:3]}"
+        # partition property: chunks cover every token exactly once
+        joined = []
+        n = len(toks)
+        bpos = [
+            p
+            for p in range(3, n + 1)
+            if int(
+                hashlib.md5(("cdc|" + " ".join(toks[p - 3 : p])).encode()).hexdigest()[:8],
+                16,
+            )
+            % 8
+            == 0
+        ]
+        starts = [1] + [q + 1 for q in bpos]
+        ends = bpos + [n]
+        for s, e in zip(starts, ends):
+            if s <= e:
+                joined.extend(toks[s - 1 : e])
+        assert joined == toks, f"doc {i}: chunks do not partition the tokens"
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10**6),
+    n=st.integers(min_value=6, max_value=48),
+    p=st.integers(min_value=0, max_value=47),
+)
+def test_cdc_edit_locality(seed, n, p):
+    """CDC's reason to exist: a single-token substitution at position p
+    can only disturb chunks whose token span intersects [p-2, p+2] (the
+    3-gram window reach) — every chunk fully outside that window must
+    survive the edit with an identical hash (multiset containment).
+    Pure-Python on the reference chunker; the reference==Spark identity
+    is pinned by test_cdc_chunker_matches_reference_and_partitions."""
+    import hashlib
+    from collections import Counter
+
+    words = ["w%d" % ((seed * 131 + k * k * 7) % 23) for k in range(n)]
+    p = p % n
+    edited = list(words)
+    edited[p] = "EDIT"
+    if edited[p] == words[p]:
+        edited[p] = "EDIT2"
+
+    def spans(toks):
+        m = len(toks)
+        bpos = [
+            i
+            for i in range(3, m + 1)
+            if int(
+                hashlib.md5(("cdc|" + " ".join(toks[i - 3 : i])).encode()).hexdigest()[:8],
+                16,
+            )
+            % 8
+            == 0
+        ]
+        starts = [1] + [q + 1 for q in bpos]
+        ends = bpos + [m]
+        return [
+            (s, e, hashlib.md5(" ".join(toks[s - 1 : e]).encode()).hexdigest())
+            for s, e in zip(starts, ends)
+            if s <= e
+        ]
+
+    before = spans(words)
+    after_hashes = Counter(h for _, _, h in spans(edited))
+    # A chunk [s,e] depends on the boundary DECISIONS ending at
+    # positions s-1 .. e (the gram at s-1 starts it; grams inside keep
+    # it unsplit; the gram at e closes it). An edit at 1-based q only
+    # changes grams ending at q .. q+2, so chunks with e < q or
+    # s >= q + 4 must survive byte-identically.
+    q = p + 1
+    for s, e, h in before:
+        if e < q or s >= q + 4:
+            assert after_hashes[h] > 0, (
+                f"chunk [{s},{e}] outside edit reach (q={q}) did not survive"
+            )
+            after_hashes[h] -= 1
