@@ -2398,3 +2398,94 @@ def d199_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# D204: curation config A/B diff (threshold-change impact analysis)
+# ---------------------------------------------------------------------------
+
+# config A = production (d183's integer-threshold class); config B =
+# candidate: stricter on length, looser on lexical diversity — so BOTH
+# flip directions (keep_drop AND drop_keep) are populated.
+_D204_A_MINLEN, _D204_A_UNIQ = 12, 380
+_D204_B_MINLEN, _D204_B_UNIQ = 20, 300
+
+
+@query(
+    "d204_curation_config_diff",
+    tags=("D204", "D183", "D76"),
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS ntoks,
+               len(list_distinct(string_split(text, ' '))) AS uniq
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, ntoks,
+               CASE WHEN ntoks >= {_D204_A_MINLEN}
+                     AND uniq * 1000 >= ntoks * {_D204_A_UNIQ}
+                    THEN 'keep' ELSE 'drop' END ||
+               '_' ||
+               CASE WHEN ntoks >= {_D204_B_MINLEN}
+                     AND uniq * 1000 >= ntoks * {_D204_B_UNIQ}
+                    THEN 'keep' ELSE 'drop' END AS transition,
+               {sql_hash_long('doc_id', 'cfg|')} AS dh
+        FROM t
+    )
+    SELECT lang, transition,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntoks) AS BIGINT) AS tokens,
+           CAST(sum(dh) AS BIGINT) AS member_digest
+    FROM c GROUP BY lang, transition ORDER BY lang, transition
+    """,
+)
+def d204_curation_config_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation config A/B diff — the impact analysis a team runs BEFORE
+    re-curating 100 TB under changed thresholds: evaluate the production
+    config (A) and the candidate (B) on every document in ONE pass, and
+    ledger the keep/drop TRANSITION MATRIX per language (keep_drop =
+    corpus lost by the change, drop_keep = corpus the change admits),
+    with token mass and a membership digest per cell so the flip sets
+    are pinned exactly, not just counted (the d194/d202 migration-audit
+    class, applied to the d183 rule family).
+
+    Scale shape: both configs are integer-threshold column expressions
+    over one tokenization (no float boundary can split engines, the
+    d183 rule); the whole audit is a single codegen'd projection plus
+    one (lang, transition)-keyed rollup — the second curation run this
+    audit replaces is the expensive thing, not the audit."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("ntoks"),
+        F.size(F.array_distinct(toks)).alias("uniq"),
+    )
+    keep_a = (F.col("ntoks") >= _D204_A_MINLEN) & (
+        F.col("uniq") * 1000 >= F.col("ntoks") * _D204_A_UNIQ
+    )
+    keep_b = (F.col("ntoks") >= _D204_B_MINLEN) & (
+        F.col("uniq") * 1000 >= F.col("ntoks") * _D204_B_UNIQ
+    )
+    trans = F.concat(
+        F.when(keep_a, "keep").otherwise("drop"),
+        F.lit("_"),
+        F.when(keep_b, "keep").otherwise("drop"),
+    )
+    return (
+        t.select(
+            "lang",
+            "ntoks",
+            trans.alias("transition"),
+            portable_hash_long("doc_id", "cfg|").alias("dh"),
+        )
+        .groupBy("lang", "transition")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntoks").cast("long").alias("tokens"),
+            F.sum("dh").cast("long").alias("member_digest"),
+        )
+        .orderBy("lang", "transition")
+    )

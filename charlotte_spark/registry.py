@@ -171,6 +171,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "a201_histogram_quantile_sketch",
     "d202_tokenizer_migration",
     "d203_matryoshka_audit",
+    "d204_curation_config_diff",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

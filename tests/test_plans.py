@@ -1589,3 +1589,17 @@ def test_matryoshka_audit_broadcasts_bounded_probes(audits):
     )
     assert "CartesianProduct" not in a["plan"]
     assert not a["sort_merge_join"]
+
+
+def test_curation_config_diff_is_map_only(audits):
+    """d204: both configs must evaluate in one codegen'd projection —
+    the only exchanges are the (lang, transition) rollup and the
+    presentation sort; no joins, no explode, no Python."""
+    a = audits("d204_curation_config_diff")
+    assert a["n_exchanges"] <= 4, f"{a['n_exchanges'] // 2} exchanges"
+    assert "Generate" not in a["plan"]
+    assert not a["sort_merge_join"]
+    assert not a["broadcast_hash_join"]
+    assert not a["nested_loop_join"]
+    assert "EvalPython" not in a["plan"]
+    assert a["partial_aggregate"]
