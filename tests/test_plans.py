@@ -378,6 +378,8 @@ def test_every_collect_site_is_bounded():
         "sketches.py": 1,     # ≤m bloom bit positions
         "joins.py": 1,        # d163: ≤m bloom bit positions (same class)
         "textstats.py": 1,    # d188: the ONE argmax merge rule per BPE round
+        "dataops.py": 1,      # d198: 1-row global max -> 64 probe ids
+        "dedup.py": 1,        # d200: 1-row per-round index size+digest agg
     }
     found: dict[str, int] = {}
     for p in root.rglob("*.py"):
