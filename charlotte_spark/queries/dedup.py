@@ -1650,8 +1650,11 @@ def d200_chunk_index_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually persisted across rounds, so the round-2 dup-rate jump is
     the cross-round-state proof (the d187 dup_index discipline).
 
-    Scale shape: chunking is the d195 map-only projection; per-round
-    work is O(batch) + ONE h-keyed join against the persisted index
+    Scale shape: chunking is the d195 map-only projection and runs
+    ONCE per round — the per-doc hash arrays are checkpointed so the
+    ledger counts, the index probe, and the merge all read the
+    materialized batch instead of re-chunking it; per-round work is
+    O(batch) + ONE h-keyed join against the persisted index
     (never all-pairs, the corpus is never re-chunked); the index update
     is an anti-join + append merge-write (the d181 compaction shape);
     and the declared result is computed entirely FROM the persisted
@@ -1663,7 +1666,7 @@ def d200_chunk_index_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.portable import portable_hash_long
     from ..streaming.harness import _scratch_root
-    from .textstats import _cdc_chunk_hashes
+    from .textstats import with_cdc_chunks
 
     root = (
         f"{_scratch_root('CHARLOTTE_CHUNKIDX_TMP', 'charlotte_chunk_index')}"
@@ -1692,13 +1695,21 @@ def d200_chunk_index_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return fresh.unionByName(rearrive)
 
+    from ..session import reliable_checkpoint
+
     for r in range(3):
         b = batch(r)
-        occ = b.select(
-            F.explode(_cdc_chunk_hashes(F.col("t"), distinct=False)).alias("h")
+        # chunk the batch ONCE: the checkpointed per-doc hash arrays
+        # feed every downstream action (counts, index probe, merge) —
+        # without it each action would re-run the chunking projection
+        hashes = reliable_checkpoint(
+            with_cdc_chunks(b, "t", "hs", distinct=False).select(
+                "doc_id", "ver", "hs"
+            )
         )
+        occ = hashes.select(F.explode("hs").alias("h"))
         dd = occ.select("h").distinct()
-        n_docs = b.count()
+        n_docs = hashes.count()
         n_occ = occ.count()
         n_distinct = dd.count()
         if r == 0:

@@ -1069,6 +1069,62 @@ def _cdc_chunk_hashes(toks: F.Column, *, distinct: bool = True) -> F.Column:
     return F.array_distinct(hashes) if distinct else hashes
 
 
+def with_cdc_chunks(
+    df: DataFrame, tok_col: str, out: str, *, distinct: bool = True
+) -> DataFrame:
+    """Append column ``out`` = CDC chunk hashes of ``tok_col``, STAGED:
+    boundary positions, starts/ends, and span structs land in separate
+    projection columns so each subtree is referenced by attribute
+    instead of being inlined into every consumer — the one-shot inline
+    expression (:func:`_cdc_chunk_hashes`) duplicates the boundary
+    subtree ~6x and Catalyst pays for every copy at plan-compile time
+    (measured 13.5 s vs 3.5 s for the d195 double-chunking at sf0.1;
+    the DATA cost is identical — 0.06 s warm)."""
+    n = F.size(F.col(tok_col))
+
+    def gram(i: F.Column) -> F.Column:
+        return F.concat_ws(
+            " ",
+            F.element_at(F.col(tok_col), i - 2),
+            F.element_at(F.col(tok_col), i - 1),
+            F.element_at(F.col(tok_col), i),
+        )
+
+    bp, s, e, pairs = f"_{out}_bp", f"_{out}_s", f"_{out}_e", f"_{out}_pairs"
+    df = df.withColumn(
+        bp,
+        F.filter(
+            F.sequence(F.lit(3), n),
+            lambda i: portable_hash_long(gram(i), _CDC_SEED) % _CDC_MOD == 0,
+        ),
+    )
+    df = df.withColumn(
+        s, F.concat(F.array(F.lit(1)), F.transform(F.col(bp), lambda p: p + 1))
+    )
+    df = df.withColumn(e, F.concat(F.col(bp), F.array(n)))
+    df = df.withColumn(
+        pairs,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col(s))),
+                lambda j: F.struct(
+                    F.element_at(F.col(s), j).alias("s"),
+                    F.element_at(F.col(e), j).alias("e"),
+                ),
+            ),
+            lambda c: c["s"] <= c["e"],
+        ),
+    )
+    hashes = F.transform(
+        F.col(pairs),
+        lambda c: F.md5(
+            F.array_join(F.slice(F.col(tok_col), c["s"], c["e"] - c["s"] + 1), " ")
+        ),
+    )
+    df = df.withColumn(out, F.array_distinct(hashes) if distinct else hashes)
+    return df.drop(bp, s, e, pairs)
+
+
 def _fix_chunk_hashes(toks: F.Column) -> F.Column:
     """Distinct md5 hashes of fixed non-overlapping _FIX_W-token blocks."""
     starts = F.sequence(F.lit(1), F.size(toks), F.lit(_FIX_W))
@@ -1178,10 +1234,14 @@ def d195_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.split("text", " ").alias("t1")
     )
     v = base.withColumn("t2", F.slice("t1", 2, F.size("t1") - 1))
+    # staged chunk columns: attribute references instead of 6x-inlined
+    # boundary subtrees — same values, ~4x cheaper to plan-compile
+    v = with_cdc_chunks(v, "t1", "cdc1")
+    v = with_cdc_chunks(v, "t2", "cdc2")
     per = v.select(
         "lang",
-        _cdc_chunk_hashes(F.col("t1")).alias("cdc1"),
-        _cdc_chunk_hashes(F.col("t2")).alias("cdc2"),
+        "cdc1",
+        "cdc2",
         _fix_chunk_hashes(F.col("t1")).alias("fix1"),
         _fix_chunk_hashes(F.col("t2")).alias("fix2"),
     ).select(
