@@ -586,3 +586,87 @@ def d155_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_reach"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# D205: liveness / coverage-gap audit (when did a reporter go quiet?)
+# ---------------------------------------------------------------------------
+
+_D205_GAP_S = 600  # silence longer than this counts as downtime
+
+
+@query(
+    "d205_liveness_gaps",
+    tags=("D205", "D34", "D137"),
+    oracle=f"""
+    WITH e AS (
+        -- integer millis floored to whole seconds: Spark unix_timestamp
+        -- floors while DuckDB epoch() keeps the fraction, so both sides
+        -- must derive seconds from epoch-millis identically
+        SELECT user_id, epoch_ms(ts) // 1000 AS sec FROM events
+    ),
+    g AS (
+        SELECT user_id, sec,
+               sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS gap
+        FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(sec) - min(sec) AS BIGINT) AS span_s,
+           CAST(sum(CASE WHEN gap > {_D205_GAP_S} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gaps,
+           CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_s,
+           CAST(sum(CASE WHEN gap > {_D205_GAP_S}
+                         THEN gap - {_D205_GAP_S} ELSE 0 END) AS BIGINT)
+               AS downtime_s,
+           {sql_round(
+               f"1.0 - sum(CASE WHEN gap > {_D205_GAP_S} THEN gap - {_D205_GAP_S} "
+               f"ELSE 0 END) * 1.0 / greatest(max(sec) - min(sec), 1)", 4)}
+               AS coverage_pct
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def d205_liveness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liveness / coverage-gap audit — the operational question behind
+    the reference's whole architecture (a snort sensor that stops
+    writing spools looks EXACTLY like a quiet network,
+    /root/reference/README.md:15-18): per reporting entity, find the
+    silences longer than a threshold in its event stream and account
+    them — gap count, worst gap, total downtime beyond the threshold,
+    and the coverage fraction of its active span. d137 interpolates a
+    REGULAR grid; this audits the irregular reality that tells an
+    on-call whether missing data means 'nothing happened' or 'nothing
+    was recorded'.
+
+    Scale shape: ONE lag window partitioned by the high-cardinality
+    reporter key (each partition is a single entity's stream — scales
+    out with the fleet), and the rollup reuses the window's
+    partitioning: one data shuffle plus the presentation sort. All gap
+    arithmetic is integer epoch seconds; coverage divides as DOUBLE
+    under the portable round."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        # ts is NTZ; session tz is pinned UTC, so the cast is identity
+        F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / 1000)
+        .cast("long")
+        .alias("sec"),
+    )
+    w = W.partitionBy("user_id").orderBy("sec")
+    g = e.withColumn("gap", F.col("sec") - F.lag("sec").over(w))
+    over = F.col("gap") > _D205_GAP_S
+    downtime = F.sum(F.when(over, F.col("gap") - _D205_GAP_S).otherwise(0))
+    span = F.max("sec") - F.min("sec")
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            span.cast("long").alias("span_s"),
+            F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_gaps"),
+            F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap_s"),
+            downtime.cast("long").alias("downtime_s"),
+            pround(
+                1.0 - downtime * 1.0 / F.greatest(span, F.lit(1)), 4
+            ).alias("coverage_pct"),
+        )
+        .orderBy("user_id")
+    )

@@ -172,6 +172,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d202_tokenizer_migration",
     "d203_matryoshka_audit",
     "d204_curation_config_diff",
+    "d205_liveness_gaps",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

@@ -1605,3 +1605,16 @@ def test_curation_config_diff_is_map_only(audits):
     assert not a["nested_loop_join"]
     assert "EvalPython" not in a["plan"]
     assert a["partial_aggregate"]
+
+
+def test_liveness_gaps_single_shuffle(audits):
+    """d205: one lag window on the high-cardinality reporter key; the
+    rollup must reuse its partitioning — one data exchange plus the
+    presentation sort, no joins, no Python."""
+    a = audits("d205_liveness_gaps")
+    assert a["n_exchanges"] <= 4, f"{a['n_exchanges'] // 2} exchanges"
+    assert "Generate" not in a["plan"]
+    assert not a["sort_merge_join"]
+    assert not a["broadcast_hash_join"]
+    assert not a["nested_loop_join"]
+    assert "EvalPython" not in a["plan"]
