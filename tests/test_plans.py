@@ -514,10 +514,12 @@ def test_triangle_count_broadcasts_and_never_cartesian(audits):
         if "F.broadcast(" in line.split("#")[0]
     ]
     # Allowed hints: the O(V) degree tables (du/dv), d169's 1-row
-    # denominator (total), and the d190/d192 1-row key-extent aggregates
-    # (ext) — never the O(E) edge list or a fact side.
+    # denominator (total), the d190/d192 1-row key-extent aggregates
+    # (ext), and d198's construction-bounded 64-row probe set (probes)
+    # — never the O(E) edge list or a fact side.
     assert all(
-        "du" in h or "dv" in h or "total" in h or "(ext)" in h for h in hints
+        "du" in h or "dv" in h or "total" in h or "(ext)" in h or "(probes)" in h
+        for h in hints
     ), f"fact-side broadcast hint crept back into dataops.py: {hints}"
 
 
