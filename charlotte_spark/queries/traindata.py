@@ -2489,3 +2489,94 @@ def d204_curation_config_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "transition")
     )
+
+
+# ---------------------------------------------------------------------------
+# D206: sequence-length bucketing pad-waste audit
+# ---------------------------------------------------------------------------
+
+_D206_BATCH = 8  # sequences per training micro-batch
+
+
+def _d206_oracle() -> str:
+    def chain(tag: str, order: str) -> str:
+        return f"""
+        SELECT '{tag}' AS ordering,
+               CAST(count(*) AS BIGINT) AS n_batches,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS token_sum,
+               CAST(sum(n * mx - tok) AS BIGINT) AS pad_tokens,
+               {sql_round('sum(n * mx - tok) * 1.0 / sum(n * mx)', 4)} AS pad_pct
+        FROM (
+            SELECT (pos - 1) // {_D206_BATCH} AS batch_id,
+                   count(*) AS n, max(len) AS mx, sum(len) AS tok
+            FROM (
+                SELECT len,
+                       row_number() OVER (ORDER BY {order}) AS pos
+                FROM t
+            ) GROUP BY batch_id
+        )"""
+
+    return f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents
+    )
+    SELECT * FROM ({chain('arrival', 'doc_id')}
+                   UNION ALL
+                   {chain('bucketed', 'len, doc_id')})
+    ORDER BY ordering
+    """
+
+
+@query("d206_padding_waste", tags=("D206", "D80", "D189", "D199"),
+       oracle=_d206_oracle())
+def d206_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing pad-waste audit — the training-batch
+    efficiency number: micro-batches of B sequences pad every member to
+    the batch max, so batching in ARRIVAL order burns compute on pad
+    tokens that LENGTH-BUCKETED order (sort by length, then batch)
+    mostly eliminates. The ledger prices both orderings on the same
+    corpus — total pad tokens and pad fraction of the compute — which
+    is the measured justification for a d199-style ordered layout
+    (the d190 quantified-WHY audit class).
+
+    Scale shape: each ordering's global position rides the distributed
+    prefix (range-partition + bounded offset window, the d189/d199
+    discipline — never a single-reducer global row_number; the oracle
+    keeps exactly that naive window SQL, so value identity is the
+    checked property twice, under two different sort keys); per-batch
+    stats are one keyed aggregation each, and the final ledger is two
+    1-row folds."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("len")
+    )
+
+    def chain(tag: str, order_cols: list[str]) -> DataFrame:
+        r = ordered_prefix(t, order_cols, row_number="pos")
+        b = (
+            r.select(
+                ((F.col("pos") - 1) / _D206_BATCH).cast("long").alias("batch_id"),
+                "len",
+            )
+            .groupBy("batch_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("len").alias("mx"),
+                F.sum("len").alias("tok"),
+            )
+        )
+        pad = F.sum(F.col("n") * F.col("mx") - F.col("tok"))
+        return b.agg(
+            F.lit(tag).alias("ordering"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("token_sum"),
+            pad.cast("long").alias("pad_tokens"),
+            pround(pad * 1.0 / F.sum(F.col("n") * F.col("mx")), 4).alias("pad_pct"),
+        )
+
+    return (
+        chain("arrival", ["doc_id"])
+        .unionByName(chain("bucketed", ["len", "doc_id"]))
+        .orderBy("ordering")
+    )

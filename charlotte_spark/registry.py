@@ -152,7 +152,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d132_skew_profile",
     # ---- 50-slot window boundary ----
     # Post-boundary: r12 window candidates first (the round-11
-    # additions D188-D194 — never driver-checked — then remaining r7
+    # additions D188-D205 — never driver-checked — then remaining r7
     # rows and the r8/r9 evidence blocks); the 45 rows displaced from
     # the r10 window (all re-greened at r10) go last, newest last.
     "d188_bpe_merges",
@@ -173,6 +173,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d203_matryoshka_audit",
     "d204_curation_config_diff",
     "d205_liveness_gaps",
+    "d206_padding_waste",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

@@ -1620,3 +1620,29 @@ def test_liveness_gaps_single_shuffle(audits):
     assert not a["broadcast_hash_join"]
     assert not a["nested_loop_join"]
     assert "EvalPython" not in a["plan"]
+
+
+def test_padding_audit_rides_global_prefix(spark, sf_dir):
+    """d206: both orderings' positions must come from the two-phase
+    prefix — range-partitioned on their sort keys — never a
+    single-reducer global row_number window."""
+    import re as _re
+
+    from charlotte_spark.plans.audit import formatted_plan
+
+    p = formatted_plan(REG["d206_padding_waste"].fn(spark, sf_dir))
+    assert _re.search(r"rangepartitioning\(doc_id#\d+L? ASC NULLS FIRST", p), (
+        "arrival ordering must range-partition on doc_id"
+    )
+    assert _re.search(
+        r"rangepartitioning\(len#\d+ ASC NULLS FIRST, doc_id#\d+L? ASC NULLS FIRST",
+        p,
+    ), "bucketed ordering must range-partition on (len, doc_id)"
+    serial = [
+        seg
+        for seg in p.splitlines()
+        if _re.search(r"windowspecdefinition\((len#\d+, )?doc_id#\d+L?, _pid", seg)
+        is None
+        and _re.search(r"windowspecdefinition\(doc_id#\d+L? ASC", seg)
+    ]
+    assert not serial, f"single-reducer global window found: {serial[:1]}"
