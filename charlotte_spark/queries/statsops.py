@@ -828,3 +828,133 @@ def d156_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D207: deterministic hash-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_D207_B = 32  # bootstrap replicas
+# Poisson(1) inclusion weights quantized to 1e-4: P(0)=P(1)=0.3679,
+# P(2)=the rest — deterministic via the portable hash, so the "resample"
+# is hash-checkable, not random.
+_D207_P0, _D207_P1 = 3679, 7358
+
+
+def _d207_oracle() -> str:
+    h = sql_hash_long("doc_id || '|' || b", "boot|")
+    return f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents
+    ),
+    full_m AS (SELECT avg(len) AS full_mean, count(*) AS n_docs FROM t),
+    r AS (
+        SELECT b, doc_id, len,
+               CASE WHEN ({h}) % 10000 < {_D207_P0} THEN 0
+                    WHEN ({h}) % 10000 < {_D207_P1} THEN 1
+                    ELSE 2 END AS w
+        FROM t CROSS JOIN (SELECT unnest(range(1, {_D207_B} + 1)) AS b)
+    ),
+    reps AS (
+        SELECT b, sum(w * len) * 1.0 / sum(w) AS m
+        FROM r GROUP BY b
+    ),
+    rk AS (
+        SELECT m,
+               row_number() OVER (ORDER BY m) AS rn,
+               count(*) OVER () AS nb
+        FROM reps
+    )
+    SELECT CAST(max(nb) AS BIGINT) AS n_replicas,
+           (SELECT CAST(n_docs AS BIGINT) FROM full_m) AS n_docs,
+           {sql_round('(SELECT full_mean FROM full_m)', 4)} AS full_mean,
+           {sql_round('avg(m)', 4)} AS boot_mean,
+           {sql_round('max(CASE WHEN rn = 2 THEN m END)', 4)} AS ci_lo,
+           {sql_round(f'max(CASE WHEN rn = {_D207_B} - 1 THEN m END)', 4)} AS ci_hi,
+           CAST(max(CASE WHEN rn = 2 THEN m END)
+                    <= (SELECT full_mean FROM full_m)
+                AND (SELECT full_mean FROM full_m)
+                    <= max(CASE WHEN rn = {_D207_B} - 1 THEN m END) AS INT)
+               AS covers_full_mean
+    FROM rk
+    """
+
+
+@query("d207_bootstrap_ci", tags=("D207", "A32", "D144", "D174"),
+       oracle=_d207_oracle())
+def d207_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bootstrap confidence interval for a corpus
+    metric (mean document length) — the error bar every pipeline
+    dashboard needs before declaring 'quality moved'. The classic
+    Poisson bootstrap replaces sampling-with-replacement with an
+    independent per-(doc, replica) inclusion weight ~ Poisson(1), which
+    makes it a STREAMING/mergeable statistic; here the weight is
+    quantized to {{0, 1, 2}} and drawn from the portable hash of
+    (doc_id, replica), so the entire resample is deterministic and the
+    oracle reproduces it bit-for-bit — hash-checkable uncertainty, the
+    A-row discipline applied to inference instead of sketching. The
+    interval is the [2nd, 31st] order statistic of the 32 replica
+    means; ``covers_full_mean`` re-checks the interval in-query.
+
+    Scale shape: the replica fan-out is a constant x32 map explode
+    (array literal, no shuffle); replica means are ONE partial-
+    aggregated groupBy onto 32 cells (sums merge associatively — the
+    d174 mergeable-state property, so 100 TB folds map-side); the
+    order statistics ride a window over exactly 32 rows (bounded
+    offset-frame class). No sort of the corpus, no per-doc state."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("len")
+    )
+    fm = t.agg(
+        F.avg("len").alias("full_mean"), F.count(F.lit(1)).alias("n_docs")
+    )
+    r = t.select(
+        "doc_id",
+        "len",
+        F.explode(F.sequence(F.lit(1), F.lit(_D207_B))).alias("b"),
+    )
+    u = portable_hash_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("b").cast("string")),
+        "boot|",
+    ) % 10000
+    w = (
+        F.when(u < _D207_P0, 0).when(u < _D207_P1, 1).otherwise(2)
+    )
+    reps = (
+        r.select("b", "len", w.alias("w"))
+        .groupBy("b")
+        .agg((F.sum(F.col("w") * F.col("len")) * 1.0 / F.sum("w")).alias("m"))
+    )
+    # bounded window: exactly 32 replica rows
+    rk = reps.select(
+        "m",
+        F.row_number().over(W.orderBy("m")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nb"),
+    )
+    lo = F.max(F.when(F.col("rn") == 2, F.col("m")))
+    hi = F.max(F.when(F.col("rn") == _D207_B - 1, F.col("m")))
+    return (
+        rk.agg(
+            F.max("nb").cast("long").alias("n_replicas"),
+            pround(F.avg("m"), 4).alias("boot_mean"),
+            pround(lo, 4).alias("ci_lo"),
+            pround(hi, 4).alias("ci_hi"),
+            lo.alias("_lo_raw"),
+            hi.alias("_hi_raw"),
+        )
+        .join(F.broadcast(fm))
+        .select(
+            "n_replicas",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            pround(F.col("full_mean"), 4).alias("full_mean"),
+            "boot_mean",
+            "ci_lo",
+            "ci_hi",
+            (
+                (F.col("_lo_raw") <= F.col("full_mean"))
+                & (F.col("full_mean") <= F.col("_hi_raw"))
+            )
+            .cast("int")
+            .alias("covers_full_mean"),
+        )
+    )

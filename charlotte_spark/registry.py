@@ -174,6 +174,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d204_curation_config_diff",
     "d205_liveness_gaps",
     "d206_padding_waste",
+    "d207_bootstrap_ci",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

@@ -1646,3 +1646,17 @@ def test_padding_audit_rides_global_prefix(spark, sf_dir):
         and _re.search(r"windowspecdefinition\(doc_id#\d+L? ASC", seg)
     ]
     assert not serial, f"single-reducer global window found: {serial[:1]}"
+
+
+def test_bootstrap_ci_folds_mapside(audits):
+    """d207: replica means must come from ONE partial-aggregated
+    groupBy onto 32 cells after the constant x32 explode — map-side
+    mergeable sums, no corpus sort (the only window runs over the 32
+    replica rows), full-mean side broadcast."""
+    a = audits("d207_bootstrap_ci")
+    assert a["partial_aggregate"], "replica sums must partial-aggregate"
+    assert not a["sort_merge_join"]
+    # the 1-row full-mean side joins as a broadcast nested loop — the
+    # bounded-by-construction class; a CartesianProduct would not be
+    assert "CartesianProduct" not in a["plan"]
+    assert "EvalPython" not in a["plan"]
