@@ -925,9 +925,9 @@ def d207_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg((F.sum(F.col("w") * F.col("len")) * 1.0 / F.sum("w")).alias("m"))
     )
-    # bounded window: exactly 32 replica rows
     rk = reps.select(
         "m",
+        # bounded: exactly _D207_B = 32 replica rows reach this window
         F.row_number().over(W.orderBy("m")).alias("rn"),
         F.count(F.lit(1)).over(W.partitionBy()).alias("nb"),
     )
