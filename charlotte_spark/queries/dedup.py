@@ -1766,3 +1766,90 @@ def d200_chunk_index_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D209: cross-source duplication matrix (who copies from whom)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d209_cross_source_dup_matrix",
+    tags=("D209", "D65", "D170"),
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS ch
+        FROM documents
+    ),
+    tot AS (SELECT source, count(*) AS n FROM h GROUP BY source),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS shared
+        FROM h a JOIN h b ON a.ch = b.ch AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(p.shared AS BIGINT) AS shared_docs,
+           CAST(ta.n AS BIGINT) AS n_a,
+           CAST(tb.n AS BIGINT) AS n_b,
+           floor(p.shared * 1.0 / least(ta.n, tb.n) * 10000.0 + 0.5) / 10000.0
+               AS containment
+    FROM pairs p
+    JOIN tot ta ON ta.source = p.source_a
+    JOIN tot tb ON tb.source = p.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def d209_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the provenance question behind
+    every dedup yield number (d170 says HOW MUCH is duplicated; this
+    says BETWEEN WHOM): for every source pair, the count of lead-prefix
+    fingerprints (first 8 tokens — the syndication/scraper signature
+    that survives boilerplate edits full-text hashing misses; this
+    corpus has zero cross-source FULL-text duplicates, so the exact key
+    would make the audit vacuous) present in both, and the containment
+    ratio
+    (shared / smaller side) that flags mirror/scraper relationships a
+    curation pipeline should collapse at the SOURCE level instead of
+    doc by doc.
+
+    Scale shape: one prefix md5 per document (scan-stage projection), one
+    distinct per (source, hash), then a hash-keyed self-equi-join
+    restricted to source_a < source_b — matches only within identical
+    content hashes, so the join output is bounded by the duplicate
+    mass, never |corpus|²; per-source totals are an O(sources) frame
+    joined back unhinted (source cardinality is data-derived, so AQE
+    picks the strategy — the d936768 rule)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " ")).alias("ch"),
+    ).distinct()
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(F.col("source").alias("source_a"), "ch")
+    b = d.select(F.col("source").alias("source_b"), "ch")
+    pairs = (
+        a.join(b, "ch")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        # unhinted: per-source totals are SF-proportional (the d936768
+        # rule) — AQE broadcasts them while small
+        pairs.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared").cast("long").alias("shared_docs"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            pround(
+                F.col("shared") * 1.0 / F.least(F.col("n_a"), F.col("n_b")), 4
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -2580,3 +2580,72 @@ def d206_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(chain("bucketed", ["len", "doc_id"]))
         .orderBy("ordering")
     )
+
+
+# ---------------------------------------------------------------------------
+# D208: per-user contribution bounding (user-level data budget)
+# ---------------------------------------------------------------------------
+
+_D208_CAP = 40  # max events any single user may contribute
+
+
+@query(
+    "d208_contribution_bounding",
+    tags=("D208", "D37", "D122"),
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN rn <= {_D208_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rn <= {_D208_CAP} THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_capped,
+           {sql_round(f'sum(CASE WHEN rn <= {_D208_CAP} THEN value ELSE 0 END)', 2)}
+               AS kept_value,
+           {sql_round(
+               f'sum(CASE WHEN rn <= {_D208_CAP} THEN 1.0 ELSE 0 END) / count(*)', 4)}
+               AS keep_rate
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d208_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user contribution bounding — the user-level data budget every
+    privacy-aware training pipeline applies before user data enters a
+    corpus (DP-SGD's per-example clipping has a data-side twin: cap how
+    many examples any single user contributes, or one prolific user
+    dominates both the gradient signal and the privacy accounting).
+    Keep each user's _D208_CAP most recent events (recency rank,
+    event_id tie-break) and ledger per event type what the cap removes.
+
+    Scale shape: ONE window on the high-cardinality user key (the d196
+    partition-key class — no serial chains), the rollup groups by event
+    type. Deterministic rank, integer cap, value sums under the
+    portable round."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "event_type", "value", F.row_number().over(w).alias("rn")
+    )
+    kept = F.col("rn") <= _D208_CAP
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_capped"),
+            pround(F.sum(F.when(kept, F.col("value")).otherwise(0.0)), 2).alias(
+                "kept_value"
+            ),
+            pround(
+                F.sum(F.when(kept, F.lit(1.0)).otherwise(0.0)) / F.count(F.lit(1)), 4
+            ).alias("keep_rate"),
+        )
+        .orderBy("event_type")
+    )

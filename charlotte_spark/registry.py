@@ -175,6 +175,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d205_liveness_gaps",
     "d206_padding_waste",
     "d207_bootstrap_ci",
+    "d208_contribution_bounding",
+    "d209_cross_source_dup_matrix",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

@@ -1660,3 +1660,25 @@ def test_bootstrap_ci_folds_mapside(audits):
     # bounded-by-construction class; a CartesianProduct would not be
     assert "CartesianProduct" not in a["plan"]
     assert "EvalPython" not in a["plan"]
+
+
+def test_contribution_bounding_single_shuffle(audits):
+    """d208: one recency window on the high-cardinality user key; the
+    event-type rollup and presentation sort are the only other
+    exchanges; no joins, no Python."""
+    a = audits("d208_contribution_bounding")
+    assert a["n_exchanges"] <= 6, f"{a['n_exchanges'] // 2} exchanges"
+    assert "Generate" not in a["plan"]
+    assert not a["sort_merge_join"]
+    assert not a["broadcast_hash_join"]
+    assert not a["nested_loop_join"]
+    assert "EvalPython" not in a["plan"]
+
+
+def test_cross_source_matrix_joins_on_hash_only(audits):
+    """d209: the self-join must be an EQUI join on the content hash
+    (output bounded by duplicate mass) — never a cartesian/BNLJ over
+    sources; totals joins stay unhinted (AQE picks)."""
+    a = audits("d209_cross_source_dup_matrix")
+    assert not a["nested_loop_join"], "source pairing must be hash-equi"
+    assert "CartesianProduct" not in a["plan"]
