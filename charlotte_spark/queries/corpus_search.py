@@ -348,3 +348,110 @@ def d117_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())  # bounded: 20 rows
     return top.withColumn("rk", F.row_number().over(w)).orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# D210: inter-source vocabulary divergence matrix (Jensen-Shannon)
+# ---------------------------------------------------------------------------
+
+_D210_TOPV = 200  # global vocabulary cap
+_D210_SRC = 8  # sources in the reported matrix (src0..src7)
+
+
+def _d210_oracle() -> str:
+    return f"""
+    WITH occ AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+        WHERE source IN ({", ".join(f"'src{i}'" for i in range(_D210_SRC))})
+    ),
+    cnt AS (
+        SELECT source, term, count(*) AS c FROM occ
+        WHERE length(term) > 0 GROUP BY source, term
+    ),
+    topv AS (
+        SELECT term FROM (
+            SELECT term, sum(c) AS g FROM cnt GROUP BY term
+            ORDER BY g DESC, term ASC LIMIT {_D210_TOPV}
+        )
+    ),
+    dense AS (
+        SELECT s.source, t.term, coalesce(c.c, 0) AS c
+        FROM (SELECT DISTINCT source FROM cnt) s
+        CROSS JOIN topv t
+        LEFT JOIN cnt c ON c.source = s.source AND c.term = t.term
+    ),
+    p AS (
+        SELECT source, term,
+               c * 1.0 / sum(c) OVER (PARTITION BY source) AS p
+        FROM dense
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b, a.term,
+               a.p AS pa, b.p AS pb, (a.p + b.p) / 2.0 AS m
+        FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           {sql_round(
+               "sum(0.5 * (CASE WHEN pa > 0 THEN pa * ln(pa / m) ELSE 0 END) "
+               "+ 0.5 * (CASE WHEN pb > 0 THEN pb * ln(pb / m) ELSE 0 END))", 4)}
+               AS jsd
+    FROM pairs GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """
+
+
+@query("d210_source_divergence_matrix", tags=("D210", "D81", "D162", "D106"),
+       oracle=_d210_oracle())
+def d210_source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source vocabulary divergence matrix — the mixture-design
+    input d81/d100 weight FROM: pairwise Jensen-Shannon divergence of
+    source unigram distributions over the global top-200 vocabulary
+    (capped so the matrix measures how sources USE the common
+    vocabulary, not their long tails). Low-JSD pairs are near-redundant
+    sources a mixture should not double-weight; high-JSD pairs carry
+    complementary text. JSD (symmetric, bounded by ln 2) beats raw KL
+    here because sources with disjoint tail terms would send KL to
+    infinity.
+
+    Scale shape: per-source term counts are one partial-aggregated
+    groupBy; the vocab cap is a global top-k (TakeOrdered — no full
+    sort); the densified (source x top-V) frame is bounded by
+    construction (8 x 200 rows), so per-source normalization windows
+    and the term-keyed pair join all run on KB-scale data after the
+    single corpus scan."""
+    srcs = [f"src{i}" for i in range(_D210_SRC)]
+    occ = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(srcs))
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    cnt = occ.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    topv = (
+        cnt.groupBy("term")
+        .agg(F.sum("c").alias("g"))
+        .orderBy(F.col("g").desc(), F.col("term").asc())
+        .limit(_D210_TOPV)
+        .select("term")
+    )
+    dense = (
+        cnt.select("source").distinct()
+        .crossJoin(F.broadcast(topv))  # bounded: 8 x 200 by construction
+        .join(cnt, ["source", "term"], "left")
+        .select("source", "term", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    p = dense.withColumn(
+        # bounded: exactly top-V rows per source reach this window
+        "p", F.col("c") * 1.0 / F.sum("c").over(W.partitionBy("source"))
+    )
+    a = p.select(F.col("source").alias("source_a"), "term", F.col("p").alias("pa"))
+    b = p.select(F.col("source").alias("source_b"), "term", F.col("p").alias("pb"))
+    pairs = a.join(b, "term").filter(F.col("source_a") < F.col("source_b"))
+    m = (F.col("pa") + F.col("pb")) / 2.0
+    kl = lambda x: F.when(x > 0, x * F.log(x / m)).otherwise(0.0)
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(pround(F.sum(0.5 * kl(F.col("pa")) + 0.5 * kl(F.col("pb"))), 4).alias("jsd"))
+        .orderBy("source_a", "source_b")
+    )

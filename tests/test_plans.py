@@ -1682,3 +1682,14 @@ def test_cross_source_matrix_joins_on_hash_only(audits):
     a = audits("d209_cross_source_dup_matrix")
     assert not a["nested_loop_join"], "source pairing must be hash-equi"
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_source_divergence_pair_join_is_bounded(audits):
+    """d210: after the single corpus scan, everything runs on the
+    construction-bounded (sources x top-V) frame — the top-V side
+    broadcasts, no cartesian, and the global vocab cap is a TakeOrdered
+    (no full sort of the count table)."""
+    a = audits("d210_source_divergence_matrix")
+    assert a["broadcast_hash_join"], "densify must broadcast the top-V frame"
+    assert "CartesianProduct" not in a["plan"]
+    assert "TakeOrderedAndProject" in a["plan"], "vocab cap must be top-k"
