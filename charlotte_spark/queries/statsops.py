@@ -958,3 +958,101 @@ def d207_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("covers_full_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A211: Horvitz-Thompson total from a deterministic PPS sample
+# ---------------------------------------------------------------------------
+
+_A211_RATE = 2000  # expected sample fraction = _A211_RATE / 10000 at pi cap
+
+
+def _a211_oracle() -> str:
+    u = sql_hash_long("k", "pps|")
+    # inclusion probability proportional to size (o_totalprice), capped
+    # at 1: pi = least(price / avg_price * 0.2, 1.0)
+    return f"""
+    WITH t AS (
+        SELECT o_orderkey AS k, o_totalprice AS x FROM orders
+    ),
+    m AS (SELECT avg(x) AS ax, sum(x) AS true_total, count(*) AS n FROM t),
+    s AS (
+        SELECT k, x,
+               least(x / ax * ({_A211_RATE} / 10000.0), 1.0) AS pi,
+               ({u}) % 1000000 AS u
+        FROM t, m
+    ),
+    samp AS (
+        SELECT k, x, pi FROM s WHERE u < pi * 1000000.0
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM m) AS n_pop,
+           CAST(count(*) AS BIGINT) AS n_sample,
+           {sql_round('(SELECT true_total FROM m)', 2)} AS true_total,
+           {sql_round('sum(x / pi)', 2)} AS ht_estimate,
+           {sql_round('abs(sum(x / pi) - (SELECT true_total FROM m)) '
+                      '/ (SELECT true_total FROM m)', 4)} AS rel_err,
+           CAST(abs(sum(x / pi) - (SELECT true_total FROM m))
+                <= 0.05 * (SELECT true_total FROM m) AS INT) AS within_5pct
+    FROM samp
+    """
+
+
+@query("a211_horvitz_thompson_total", tags=("A211", "D122", "D207"),
+       oracle=_a211_oracle())
+def a211_horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson total estimation from a deterministic
+    probability-proportional-to-size sample — the 'measure the corpus
+    from 20% of it' primitive: inclusion probability pi_i ∝ value
+    (capped at 1), inclusion decided by the portable hash (so the
+    'random' sample is hash-checkable, the d207 discipline), and the
+    population total estimated as sum(x_i / pi_i) over the sample —
+    unbiased because heavy rows are sampled surely and light rows are
+    up-weighted by exactly their sampling odds. ``within_5pct``
+    re-checks the estimate against the true total in-query.
+
+    Scale shape: one 1-row mean/total aggregate (broadcast), one
+    filter + one 1-row fold over the sample — two corpus scans total,
+    no shuffle beyond the scalar aggregates; at 100 TB the estimator
+    reads the same bytes as a plain sum but demonstrates the machinery
+    that lets every OTHER expensive metric run on the 20% sample."""
+    t = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("x")
+    )
+    m = t.agg(
+        F.avg("x").alias("ax"),
+        F.sum("x").alias("true_total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    s = t.join(F.broadcast(m)).select(
+        "k",
+        "x",
+        F.least(F.col("x") / F.col("ax") * (_A211_RATE / 10000.0), F.lit(1.0)).alias(
+            "pi"
+        ),
+        (portable_hash_long("k", "pps|") % 1000000).alias("u"),
+    )
+    samp = s.filter(F.col("u") < F.col("pi") * 1000000.0)
+    est = F.sum(F.col("x") / F.col("pi"))
+    return (
+        samp.agg(
+            F.count(F.lit(1)).cast("long").alias("n_sample"),
+            est.alias("_est_raw"),
+        )
+        .join(F.broadcast(m))
+        .select(
+            F.col("n").cast("long").alias("n_pop"),
+            "n_sample",
+            pround(F.col("true_total"), 2).alias("true_total"),
+            pround(F.col("_est_raw"), 2).alias("ht_estimate"),
+            pround(
+                F.abs(F.col("_est_raw") - F.col("true_total")) / F.col("true_total"),
+                4,
+            ).alias("rel_err"),
+            (
+                F.abs(F.col("_est_raw") - F.col("true_total"))
+                <= 0.05 * F.col("true_total")
+            )
+            .cast("int")
+            .alias("within_5pct"),
+        )
+    )

@@ -178,6 +178,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d208_contribution_bounding",
     "d209_cross_source_dup_matrix",
     "d210_source_divergence_matrix",
+    "a211_horvitz_thompson_total",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

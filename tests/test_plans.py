@@ -1693,3 +1693,14 @@ def test_source_divergence_pair_join_is_bounded(audits):
     assert a["broadcast_hash_join"], "densify must broadcast the top-V frame"
     assert "CartesianProduct" not in a["plan"]
     assert "TakeOrderedAndProject" in a["plan"], "vocab cap must be top-k"
+
+
+def test_ht_estimator_is_two_scans_no_shuffle(audits):
+    """a211: one 1-row mean/total aggregate broadcast back, one sample
+    fold — no joins beyond the bounded 1-row sides, no window, no sort
+    of the corpus."""
+    a = audits("a211_horvitz_thompson_total")
+    assert not a["sort_merge_join"]
+    assert "CartesianProduct" not in a["plan"]
+    assert "EvalPython" not in a["plan"]
+    assert "Window" not in a["plan"]
