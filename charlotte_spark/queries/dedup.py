@@ -1853,3 +1853,252 @@ def d209_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# D212: near-dup cluster chaining audit (transitivity of CC dedup)
+# ---------------------------------------------------------------------------
+
+_D212_LEVELS = 4  # progressive prefix truncations seeded per chain
+
+
+def _d212_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a 4-level truncation CHAIN for every 20th doc: level
+    i keeps the first (100 - 15i)% of tokens (floor, min 3). Adjacent
+    levels stay above the pairwise near-dup threshold while the deepest
+    level falls below it against the ORIGINAL — the exact geometry that
+    makes connected-components dedup chain unrelated-enough texts."""
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = F.split("text", " ")
+    seed = d.filter(F.col("doc_id") % 20 == 0)
+    out = d
+    for i in range(1, _D212_LEVELS + 1):
+        keep = F.greatest(
+            F.floor(F.size(toks) * (100 - 15 * i) / 100).cast("int"), F.lit(3)
+        )
+        out = out.unionByName(
+            seed.select(
+                (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+                F.array_join(F.slice(toks, 1, keep), " ").alias("text"),
+            )
+        )
+    return out
+
+
+def _d212_corpus_sql() -> str:
+    parts = ["SELECT doc_id, text FROM documents"]
+    for i in range(1, _D212_LEVELS + 1):
+        parts.append(f"""
+    SELECT doc_id + {i * 1_000_000} AS doc_id,
+           coalesce(array_to_string(
+               list_slice(toks, 1, greatest(
+                   CAST(floor(len(toks) * {100 - 15 * i} / 100) AS INT), 3)), ' '), '')
+               AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE doc_id % 20 = 0""")
+    return "\n    UNION ALL\n".join(parts)
+
+
+@query(
+    "d212_cluster_chaining_audit",
+    tags=("D212", "D74", "A66", "D176"),
+    oracle=f"""
+    WITH RECURSIVE {_sql_scored_pairs(_d212_corpus_sql())},
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM scored_pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM scored_pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    lab AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    csize AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY cluster_id),
+    corpus AS ({_d212_corpus_sql()}),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                   AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+        WHERE len(toks) >= 3
+    ),
+    mem AS (
+        SELECT l.doc_id, l.cluster_id, c.sz,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))) AS jac
+        FROM lab l
+        JOIN csize c ON c.cluster_id = l.cluster_id
+        JOIN sh a ON a.doc_id = l.doc_id
+        JOIN sh b ON b.doc_id = l.cluster_id
+        WHERE l.doc_id <> l.cluster_id
+    )
+    SELECT CASE WHEN sz = 2 THEN '2' WHEN sz = 3 THEN '3'
+                WHEN sz = 4 THEN '4' ELSE '5+' END AS size_bucket,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN jac < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_chained,
+           {sql_round("sum(CASE WHEN jac < 0.5 THEN 1.0 ELSE 0 END) / count(*)", 4)}
+               AS chain_rate,
+           {sql_round("min(jac)", 4)} AS min_jaccard,
+           {sql_round("avg(jac)", 4)} AS avg_jaccard
+    FROM mem
+    GROUP BY size_bucket ORDER BY size_bucket
+    """,
+)
+def d212_cluster_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster CHAINING audit — the known failure mode of
+    connected-components dedup (d74): A~B and B~C merge A with C even
+    when A and C are NOT near-dups, so a cluster's survivor silently
+    'represents' texts it barely resembles. This audit seeds 4-level
+    truncation chains (adjacent levels similar, endpoints not), runs
+    the same LSH→score→min-label pipeline d74 ships, then measures
+    every member's TRUE 3-gram Jaccard against its cluster survivor —
+    ``n_chained`` / ``chain_rate`` count members below the pairwise
+    threshold, i.e. exactly the texts transitivity smuggled in. The
+    per-size-bucket ledger tells an operator how aggressive the
+    cluster-collapse decision actually is before 100 TB of 'duplicates'
+    get dropped.
+
+    Scale shape: candidate pairs are the banded LSH equi-join (never
+    all-pairs, the a66/d74 recipe); label propagation is the d74
+    min-label loop with a FIXED 5 rounds — the seeded chains have
+    diameter ≤ 4 by construction, and monotone labels make extra
+    rounds the identity (the oracle's recursive closure is exact, so
+    the hash check re-proves 5 rounds suffice); the member-vs-survivor
+    re-score is ONE keyed join per side against checkpointed shingles —
+    O(cluster members), never O(cluster²)."""
+    sig = reliable_checkpoint(
+        _minhash_sig(_d212_corpus(spark, sf_dir)).coalesce(8)
+    )
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.md5(
+                F.concat(
+                    F.col(f"mh{2 * i}").cast("string"),
+                    F.lit("_"),
+                    F.col(f"mh{2 * i + 1}").cast("string"),
+                )
+            ).alias("bhash"),
+        )
+        for i in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.bhash").alias("bhash")
+    )
+    left = bands.select(
+        F.col("doc_id").alias("a_id"), "band_idx", F.col("bhash").alias("bhash_a")
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("bhash").alias("bhash_b"),
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("bhash_a") == F.col("bhash_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(N_HASHES)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a_mh{j}") == F.col(f"b_mh{j}"), 1).otherwise(0)
+        for j in range(N_HASHES)
+    )
+    pairs = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(n_match / float(N_HASHES) >= 0.49)
+        .select("a_id", "b_id")
+    )
+    edges = reliable_checkpoint(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .repartition("src")
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+    )
+    # labels is O(V) — no broadcast hint (AQE decides); 5 fixed rounds
+    # cover the construction-bounded diameter (see docstring)
+    for rnd in range(5):
+        nbr = (
+            edges.join(labels, F.col("dst") == F.col("id"))
+            .select(F.col("src").alias("nid"), F.col("lbl").alias("nlbl"))
+            .groupBy("nid")
+            .agg(F.min("nlbl").alias("nbr_lbl"))
+        )
+        labels = labels.join(nbr, F.col("id") == F.col("nid"), "left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+        )
+        if rnd % 2 == 1:
+            labels = reliable_checkpoint(labels)
+    lab = labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    csize = lab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh = reliable_checkpoint(
+        with_shingles(_d212_corpus(spark, sf_dir), 3)
+        .select("doc_id", "shingles")
+        .coalesce(8)
+    )
+    sh_m = sh.select(F.col("doc_id").alias("m_id"), F.col("shingles").alias("sh_m"))
+    sh_r = sh.select(F.col("doc_id").alias("r_id"), F.col("shingles").alias("sh_r"))
+    mem = (
+        lab.filter(F.col("doc_id") != F.col("cluster_id"))
+        .join(csize, "cluster_id")
+        .join(sh_m, F.col("doc_id") == F.col("m_id"))
+        .join(sh_r, F.col("cluster_id") == F.col("r_id"))
+        .withColumn("n_inter", F.size(F.array_intersect("sh_m", "sh_r")))
+        .withColumn(
+            "jac",
+            F.col("n_inter").cast("double")
+            / (F.size("sh_m") + F.size("sh_r") - F.col("n_inter")),
+        )
+    )
+    bucket = (
+        F.when(F.col("sz") == 2, "2")
+        .when(F.col("sz") == 3, "3")
+        .when(F.col("sz") == 4, "4")
+        .otherwise("5+")
+    )
+    chained = F.col("jac") < 0.5
+    return (
+        mem.select(bucket.alias("size_bucket"), "cluster_id", "jac")
+        .groupBy("size_bucket")
+        .agg(
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.when(chained, 1).otherwise(0)).cast("long").alias("n_chained"),
+            pround(
+                F.sum(F.when(chained, F.lit(1.0)).otherwise(0.0)) / F.count(F.lit(1)),
+                4,
+            ).alias("chain_rate"),
+            pround(F.min("jac"), 4).alias("min_jaccard"),
+            pround(F.avg("jac"), 4).alias("avg_jaccard"),
+        )
+        .orderBy("size_bucket")
+    )

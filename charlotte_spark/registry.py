@@ -179,6 +179,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d209_cross_source_dup_matrix",
     "d210_source_divergence_matrix",
     "a211_horvitz_thompson_total",
+    "d212_cluster_chaining_audit",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

@@ -1704,3 +1704,20 @@ def test_ht_estimator_is_two_scans_no_shuffle(audits):
     assert "CartesianProduct" not in a["plan"]
     assert "EvalPython" not in a["plan"]
     assert "Window" not in a["plan"]
+
+
+def test_chaining_audit_rescore_is_member_keyed(spark, sf_dir):
+    """d212: the member-vs-survivor re-score must be keyed joins
+    against checkpointed shingles (O(members)) — no cartesian, no
+    all-pairs within clusters; candidates stay the banded LSH
+    equi-join (source pin: no crossJoin)."""
+    import inspect
+
+    from charlotte_spark.plans.audit import audit_plan
+    from charlotte_spark.queries.dedup import d212_cluster_chaining_audit
+
+    a = audit_plan(REG["d212_cluster_chaining_audit"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in a["plan"]
+    assert not a["nested_loop_join"]
+    src = inspect.getsource(d212_cluster_chaining_audit)
+    assert "crossJoin" not in src, "all-pairs crept into the chaining audit"
