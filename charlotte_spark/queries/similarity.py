@@ -1434,3 +1434,117 @@ def d203_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D214: hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+_D214_PROBES = 8
+
+
+def _d214_oracle() -> str:
+    cs = sql_cosine("p.embedding", "c.embedding")
+    return f"""
+    WITH pairs AS (
+        SELECT p.vec_id AS probe_id, p.label AS label,
+               c.vec_id AS cid, c.label AS clabel, {cs} AS cs
+        FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < {_D214_PROBES}
+    ),
+    rk AS (
+        SELECT probe_id, label, cid, clabel, cs,
+               row_number() OVER (PARTITION BY probe_id, (clabel = label)
+                                  ORDER BY cs DESC, cid ASC) AS r
+        FROM pairs
+    )
+    SELECT probe_id, CAST(max(label) AS INT) AS label,
+           max(CASE WHEN clabel = label AND r = 1 THEN cid END) AS top1_pos_id,
+           {sql_round('max(CASE WHEN clabel = label AND r = 1 THEN cs END)', 4)}
+               AS top1_pos_cos,
+           max(CASE WHEN clabel <> label AND r = 1 THEN cid END) AS top1_neg_id,
+           {sql_round('max(CASE WHEN clabel <> label AND r = 1 THEN cs END)', 4)}
+               AS top1_neg_cos,
+           {sql_round('max(CASE WHEN clabel = label AND r = 1 THEN cs END) - '
+                      'max(CASE WHEN clabel <> label AND r = 1 THEN cs END)', 4)}
+               AS margin,
+           CAST(max(CASE WHEN clabel = label AND r = 1 THEN cs END)
+                < max(CASE WHEN clabel <> label AND r = 1 THEN cs END) AS INT)
+               AS confusable
+    FROM rk GROUP BY probe_id ORDER BY probe_id
+    """
+
+
+@query("d214_hard_negative_mining", tags=("D214", "D68", "D203", "D197"),
+       oracle=_d214_oracle())
+def d214_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data-prep
+    primitive (the embedding-side twin of d197's preference pairs): for
+    each anchor, the nearest SAME-label neighbor (the positive) and the
+    nearest DIFFERENT-label neighbor (the hard negative — the example
+    that actually teaches the margin), plus the pos-neg cosine margin
+    and a ``confusable`` flag where the hard negative outranks the
+    positive — the anchors a curriculum should upweight (or a labeler
+    should re-check).
+
+    Scale shape: the d68/d203 exact-baseline class — construction-
+    bounded probes (8 anchors) broadcast against the corpus, ONE scan,
+    one cosine fold per pair; both rankings ride a single window
+    partitioned by (probe, same-label) so positives and negatives rank
+    in the same pass. Production mines per-batch with the d184 cell
+    layout; this is the measured exact baseline."""
+    p = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("probe_id"),
+        to_double(F.col("embedding")).alias("pv"),
+        F.col("label").alias("label"),
+    ).filter(F.col("probe_id") < _D214_PROBES)
+    c = fan_out(
+        load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("cid"),
+            to_double(F.col("embedding")).alias("cv"),
+            F.col("label").alias("clabel"),
+        )
+    )
+    pairs = c.join(
+        F.broadcast(p), F.col("cid") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "label",
+        "cid",
+        "clabel",
+        cosine(F.col("pv"), F.col("cv")).alias("cs"),
+    )
+    same = F.col("clabel") == F.col("label")
+    rk = pairs.select(
+        "probe_id",
+        "label",
+        "cid",
+        "cs",
+        same.alias("is_pos"),
+        F.row_number()
+        .over(
+            W.partitionBy("probe_id", same).orderBy(
+                F.col("cs").desc(), F.col("cid").asc()
+            )
+        )
+        .alias("r"),
+    )
+    pos1 = F.max(F.when(F.col("is_pos") & (F.col("r") == 1), F.col("cs")))
+    neg1 = F.max(F.when(~F.col("is_pos") & (F.col("r") == 1), F.col("cs")))
+    return (
+        rk.groupBy("probe_id")
+        .agg(
+            F.max("label").cast("int").alias("label"),
+            F.max(F.when(F.col("is_pos") & (F.col("r") == 1), F.col("cid"))).alias(
+                "top1_pos_id"
+            ),
+            pround(pos1, 4).alias("top1_pos_cos"),
+            F.max(F.when(~F.col("is_pos") & (F.col("r") == 1), F.col("cid"))).alias(
+                "top1_neg_id"
+            ),
+            pround(neg1, 4).alias("top1_neg_cos"),
+            pround(pos1 - neg1, 4).alias("margin"),
+            (pos1 < neg1).cast("int").alias("confusable"),
+        )
+        .orderBy("probe_id")
+    )

@@ -2649,3 +2649,86 @@ def d208_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# D213: concat-and-chunk packing audit (document boundary crossings)
+# ---------------------------------------------------------------------------
+
+_D213_CTX = 256  # training sequence length (tokens)
+
+
+@query(
+    "d213_concat_chunk_packing",
+    tags=("D213", "D80", "D206", "D189"),
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS len
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang, len,
+               sum(len) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run
+        FROM t
+    ),
+    s AS (
+        SELECT lang, len,
+               (run - len) // {_D213_CTX} AS seq_first,
+               (run - 1) // {_D213_CTX} AS seq_last
+        FROM r
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len) AS BIGINT) AS tokens,
+           CAST(sum(CASE WHEN seq_first <> seq_last THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_crossing,
+           {sql_round(
+               "sum(CASE WHEN seq_first <> seq_last THEN 1.0 ELSE 0 END) / count(*)",
+               4)} AS crossing_pct,
+           CAST(max(seq_last) + 1 AS BIGINT) AS n_sequences_touched
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def d213_concat_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing audit — the OTHER packing regime next to
+    d80's whole-document bins: GPT-style pretraining concatenates the
+    corpus into one token stream and cuts it every CTX tokens, so a
+    document whose [start, end) offsets straddle a cut gets SPLIT
+    across training sequences (cross-document attention / truncated
+    context — the cost this regime pays for zero padding, exactly the
+    waste d206 prices for the padded regime). Per language: how many
+    documents cross a boundary and how many sequences the language's
+    docs touch — the inputs to the pack-with-document-masking decision.
+
+    Scale shape: the global running token offset rides the distributed
+    prefix (range-partition on doc_id — never a single-reducer global
+    window; the oracle keeps exactly that naive SQL); sequence ids are
+    pure integer arithmetic on (offset, CTX); the ledger is one keyed
+    rollup."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("len")
+    )
+    r = ordered_prefix(t, ["doc_id"], running={"run": "len"})
+    s = r.select(
+        "lang",
+        "len",
+        ((F.col("run") - F.col("len")) / _D213_CTX).cast("long").alias("seq_first"),
+        ((F.col("run") - 1) / _D213_CTX).cast("long").alias("seq_last"),
+    )
+    crossing = F.col("seq_first") != F.col("seq_last")
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("len").cast("long").alias("tokens"),
+            F.sum(F.when(crossing, 1).otherwise(0)).cast("long").alias("n_crossing"),
+            pround(
+                F.sum(F.when(crossing, F.lit(1.0)).otherwise(0.0)) / F.count(F.lit(1)),
+                4,
+            ).alias("crossing_pct"),
+            (F.max("seq_last") + 1).cast("long").alias("n_sequences_touched"),
+        )
+        .orderBy("lang")
+    )

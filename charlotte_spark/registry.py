@@ -180,6 +180,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d210_source_divergence_matrix",
     "a211_horvitz_thompson_total",
     "d212_cluster_chaining_audit",
+    "d213_concat_chunk_packing",
+    "d214_hard_negative_mining",
     "d136_merge_upsert",
     "d139_ks_drift",
     "d142_zorder_layout",

@@ -1721,3 +1721,35 @@ def test_chaining_audit_rescore_is_member_keyed(spark, sf_dir):
     assert not a["nested_loop_join"]
     src = inspect.getsource(d212_cluster_chaining_audit)
     assert "crossJoin" not in src, "all-pairs crept into the chaining audit"
+
+
+def test_concat_packing_rides_global_prefix(spark, sf_dir):
+    """d213: the global token offset must come from the two-phase
+    prefix (range-partitioned on doc_id) — never a single-reducer
+    global running-sum window."""
+    import re as _re
+
+    from charlotte_spark.plans.audit import formatted_plan
+
+    p = formatted_plan(REG["d213_concat_chunk_packing"].fn(spark, sf_dir))
+    assert _re.search(r"rangepartitioning\(doc_id#\d+L? ASC NULLS FIRST", p), (
+        "offset must range-partition on doc_id"
+    )
+    serial = [
+        seg
+        for seg in p.splitlines()
+        if _re.search(r"windowspecdefinition\(doc_id#\d+L? ASC", seg)
+    ]
+    assert not serial, f"single-reducer global window found: {serial[:1]}"
+
+
+def test_hard_negative_mining_broadcasts_bounded_probes(audits):
+    """d214: the d68/d203 exact-baseline class — bounded anchors
+    broadcast against the corpus; both rankings share one window pass;
+    no cartesian."""
+    a = audits("d214_hard_negative_mining")
+    assert a["nested_loop_join"] or a["broadcast_hash_join"], (
+        "anchor side must broadcast"
+    )
+    assert "CartesianProduct" not in a["plan"]
+    assert not a["sort_merge_join"]
