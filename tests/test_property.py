@@ -932,3 +932,34 @@ def test_cdc_edit_locality(seed, n, p):
                 f"chunk [{s},{e}] outside edit reach (q={q}) did not survive"
             )
             after_hashes[h] -= 1
+
+
+def test_staged_cdc_equals_inline_expression(spark):
+    """The plan-compile optimization (with_cdc_chunks, staged columns)
+    must be VALUE-identical to the inline expression _cdc_chunk_hashes
+    on the same docs — distinct and occurrence variants both, checked
+    on a 150-doc pseudo-random sweep in one Spark job. (End-to-end the
+    d195/d200 oracles pin this too; this pins it at the unit level so
+    a future edit to either formulation fails here first.)"""
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.queries.textstats import (
+        _cdc_chunk_hashes,
+        with_cdc_chunks,
+    )
+
+    words = ["alpha", "b", "cc", "data", "e5", "fox", "g", "hi", "jk", "l9"]
+    docs = []
+    for i in range(150):
+        n = 4 + (i * 6151) % 41
+        docs.append(
+            (i, [words[(i * 37 + j * j * 13) % len(words)] for j in range(n)])
+        )
+    df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    for distinct in (True, False):
+        staged = with_cdc_chunks(df, "toks", "h", distinct=distinct)
+        both = staged.withColumn(
+            "h_inline", _cdc_chunk_hashes(F.col("toks"), distinct=distinct)
+        )
+        diff = both.filter(F.col("h") != F.col("h_inline")).count()
+        assert diff == 0, f"staged != inline for distinct={distinct}"
