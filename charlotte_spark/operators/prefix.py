@@ -86,6 +86,16 @@ __all__ = ["ordered_prefix", "release_prefix_caches"]
 # newer call's cache is materialized (see module docstring).
 _LIVE_CACHES: list[DataFrame] = []
 
+# Hard bound on tracked entries (VERDICT r11 #2 / prefix.py item): the
+# sameResult-exception path RETAINS an entry instead of evicting it, so
+# a session that keeps raising (e.g. a long-lived harness cycling Spark
+# sessions) could otherwise accumulate tracked DISK_ONLY caches without
+# limit until release_prefix_caches(). Oldest retained entries are
+# force-evicted past this bound — with the same sameResult guard, so a
+# retained entry that turns out to BE the newest plan's CacheManager
+# entry is dropped from tracking without unpersisting it.
+_MAX_LIVE = 8
+
 
 def release_prefix_caches() -> None:
     """Unpersist every live prefix cache (harness/session teardown)."""
@@ -120,6 +130,16 @@ def _materialize(df: DataFrame) -> DataFrame:
             # its DISK_ONLY blocks if the session turns out to be alive.
             _LIVE_CACHES.append(old)
     _LIVE_CACHES.append(cached)
+    # Bound the retained-on-exception backlog (newest entry — the one
+    # just persisted — is never touched; _MAX_LIVE >= 2 guarantees it).
+    while len(_LIVE_CACHES) > _MAX_LIVE:
+        old = _LIVE_CACHES.pop(0)
+        try:
+            if not old._jdf.queryExecution().analyzed().sameResult(new_plan):
+                old.unpersist()
+        except Exception:
+            pass  # still incomparable — drop tracking; session teardown
+            # (or the owning session's death) frees the blocks
     return cached
 
 

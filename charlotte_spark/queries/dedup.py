@@ -1968,10 +1968,12 @@ def d212_cluster_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: candidate pairs are the banded LSH equi-join (never
     all-pairs, the a66/d74 recipe); label propagation is the d74
-    min-label loop with a FIXED 5 rounds — the seeded chains have
-    diameter ≤ 4 by construction, and monotone labels make extra
-    rounds the identity (the oracle's recursive closure is exact, so
-    the hash check re-proves 5 rounds suffice); the member-vs-survivor
+    min-label loop at d74's FIXED 10 rounds — the seeded chains have
+    diameter ≤ 4 by construction, but natural (non-seeded) near-dup
+    components at larger SFs can be deeper, and the oracle's recursive
+    closure is exact, so the round budget matches d74's rather than
+    the seeded minimum (monotone labels make extra rounds the
+    identity); the member-vs-survivor
     re-score is ONE keyed join per side against checkpointed shingles —
     O(cluster members), never O(cluster²)."""
     sig = reliable_checkpoint(
@@ -2043,9 +2045,10 @@ def d212_cluster_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("id", F.col("id").alias("lbl"))
     )
-    # labels is O(V) — no broadcast hint (AQE decides); 5 fixed rounds
-    # cover the construction-bounded diameter (see docstring)
-    for rnd in range(5):
+    # labels is O(V) — no broadcast hint (AQE decides); 10 fixed rounds
+    # match d74's budget (covers natural components beyond the seeded
+    # diameter-4 chains; extra rounds are the identity — see docstring)
+    for rnd in range(10):
         nbr = (
             edges.join(labels, F.col("dst") == F.col("id"))
             .select(F.col("src").alias("nid"), F.col("lbl").alias("nlbl"))

@@ -1367,8 +1367,9 @@ def d203_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(probes x corpus), the declared audit cost; the production path
     at scale samples probes exactly like d184's recall side). Both
     rankings ride windows over the SAME bounded probe partition, and
-    both cosines fold the SAME zip_with pass (the 16-dim prefix slices
-    the already-zipped arrays — one corpus scan total)."""
+    the truncated cosine re-folds a 16-element slice of the same
+    scanned pv/cv arrays in the same projection — a second O(16) fold,
+    not a second corpus scan (one corpus scan total)."""
     p = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("probe_id"),
         to_double(F.col("embedding")).alias("pv"),

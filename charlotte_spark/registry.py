@@ -90,71 +90,17 @@ def query(
 
 # Explicit enumeration order for the driver contract. The driver's
 # correctness gate checks the FIRST 50 entries of ``queries()`` each
-# round (CORRECTNESS_r01-r10 keys == list(queries())[:50]), so insertion
-# order decides which SURVEY rows get driver evidence. Round-11 rotation
-# (VERDICT r10, Next-round #1): slots 1-5 are the round-10 composites
-# D183-D187 (the only queries with NO driver evidence — green rows take
-# driver-confirmed coverage to 210/210 SURVEY rows); slots 6-34 the 29
-# r06-evidence rows named by the verdict (the d33-d48 window/sort/
-# scalar block, the r3-added d105-d115 block, and the d66/d67/d69/d71/
-# a68 text-dedup block); slots 35-50 backfill with 16 of the oldest
-# r07-evidence rows so no query's latest green ages past r7.
+# round (CORRECTNESS_r01-r11 keys == list(queries())[:50]), so insertion
+# order decides which SURVEY rows get driver evidence. Round-12 rotation
+# (VERDICT r11, Next-round #1): slots 1-27 are the 27 round-11 additions
+# D188-D214 (incl. A201/A211) — the only queries with NO driver evidence;
+# green rows take driver-confirmed coverage to 237/237 SURVEY rows.
+# Slots 28-50 backfill with 23 of the 34 r07-evidence rows (a134, d133,
+# then d135-d155); the 11 r07 leftovers lead the post-boundary list so
+# the r13 rotation inherits them automatically.
 DRIVER_ORDER: tuple[str, ...] = (
-    "d183_curation_dag",
-    "d184_ann_index_arrival",
-    "d185_spool_evolution",
-    "d186_grouped_prefix_budget",
-    "d187_curation_arrival_loop",
-    "d33_ranking_functions",
-    "d35_running_aggregates",
-    "d37_topk_per_group",
-    "d38_multikey_sort",
-    "d39_topk_limit",
-    "d42_intersect",
-    "d43_except",
-    "d44_string_functions",
-    "d45_datetime_functions",
-    "d48_array_functions",
-    "d66_ngram_jaccard",
-    "d66_simhash",
-    "d67_embedding_neardup",
-    "d69_fingerprint",
-    "d69_quality_score",
-    "d69_token_count",
-    "d71_language_stats",
-    "a68_lsh_ann_topk",
-    "d105_fuzzy_reconcile",
-    "d106_pmi_collocations",
-    "d107_inverted_index",
-    "d108_sql_text_surface",
-    "d109_recursive_cte",
-    "d110_python_udtf",
-    "d111_session_paths",
-    "d112_histogram",
-    "d113_chi_square",
-    "d114_grouped_regression",
-    "d115_ohlc_downsample",
-    "d116_dup_ngram_spans",
-    "d117_bm25_retrieval",
-    "d118_semantic_dedup",
-    "d119_ewma_smoothing",
-    "d120_robust_anomalies",
-    "d121_snapshot_diff",
-    "d122_weighted_sample",
-    "d123_bigram_lm_score",
-    "d124_span_removal",
-    "d125_quantile_calibration",
-    "d127_text_binary_roundtrip",
-    "d128_jsonl_roundtrip",
-    "d129_schema_evolution",
-    "d130_cidr_enrichment",
-    "d131_incremental_dedup",
-    "d132_skew_profile",
-    # ---- 50-slot window boundary ----
-    # Post-boundary: r12 window candidates first (the round-11
-    # additions D188-D205 — never driver-checked — then remaining r7
-    # rows and the r8/r9 evidence blocks); the 45 rows displaced from
-    # the r10 window (all re-greened at r10) go last, newest last.
+    # ---- r12 window slots 1-27: the 27 round-11 additions that have
+    # never been in a driver window (VERDICT r11, Next-round #1) ----
     "d188_bpe_merges",
     "d189_training_shuffle",
     "d190_zonemap_pruning",
@@ -182,20 +128,18 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d212_cluster_chaining_audit",
     "d213_concat_chunk_packing",
     "d214_hard_negative_mining",
-    "d136_merge_upsert",
-    "d139_ks_drift",
-    "d142_zorder_layout",
-    "d154_bounce_dwell",
-    "d156_revenue_concentration",
-    "d138_triangle_count",
-    "d141_constraint_audit",
-    "d68_topk_bruteforce",
-    "d126_transform_with_state",
-    "d133_equidepth_stats",
+    # ---- r12 window slots 28-50: the 23 oldest r07-evidence rows
+    # (a134, d133, then the d135-d155 block) ----
     "a134_selfjoin_size",
+    "d133_equidepth_stats",
     "d135_distribution_windows",
+    "d136_merge_upsert",
     "d137_gapfill_interpolate",
+    "d138_triangle_count",
+    "d139_ks_drift",
     "d140_k_anonymity",
+    "d141_constraint_audit",
+    "d142_zorder_layout",
     "d143_woe_iv_binning",
     "d144_ab_proportion_test",
     "d145_benford_audit",
@@ -207,15 +151,27 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d151_touch_attribution",
     "d152_winsorize_scale",
     "d153_time_travel",
+    "d154_bounce_dwell",
     "d155_growth_accounting",
+    # ---- 50-slot window boundary ----
+    # Post-boundary: the 11 remaining r07-evidence rows first, so the
+    # r13 rotation inherits them (verdict r11 #4; pinned by
+    # tests/test_registry_order.py::test_window_is_greedy_most_stale);
+    # then the r08/r09/r10-evidence blocks in prior relative order;
+    # the 50 rows displaced from the r11 window (all re-greened at
+    # r11) go last, newest last.
+    "d156_revenue_concentration",
+    "d126_transform_with_state",
     "d58_cid_sequencer_stream",
+    "d60_foreachbatch_upsert",
+    "d68_topk_bruteforce",
+    "d72_decode_pipeline",
     "r_charlotte_rollover_hook",
     "r_charlotte_event_records",
-    "d72_decode_pipeline",
-    "d60_foreachbatch_upsert",
     "r_charlotte_ingest_decode",
     "r_charlotte_batch_pipeline",
     "r_charlotte_text_mode",
+    # ---- r08/r09/r10-evidence rows ----
     "d157_url_curation",
     "d158_boilerplate_lines",
     "d159_curation_scorecard",
@@ -366,6 +322,57 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d102_pca_power",
     "d103_conversion_funnel",
     "d104_cohort_retention",
+    # ---- displaced r11 window (all green in CORRECTNESS_r11) ----
+    "d183_curation_dag",
+    "d184_ann_index_arrival",
+    "d185_spool_evolution",
+    "d186_grouped_prefix_budget",
+    "d187_curation_arrival_loop",
+    "d33_ranking_functions",
+    "d35_running_aggregates",
+    "d37_topk_per_group",
+    "d38_multikey_sort",
+    "d39_topk_limit",
+    "d42_intersect",
+    "d43_except",
+    "d44_string_functions",
+    "d45_datetime_functions",
+    "d48_array_functions",
+    "d66_ngram_jaccard",
+    "d66_simhash",
+    "d67_embedding_neardup",
+    "d69_fingerprint",
+    "d69_quality_score",
+    "d69_token_count",
+    "d71_language_stats",
+    "a68_lsh_ann_topk",
+    "d105_fuzzy_reconcile",
+    "d106_pmi_collocations",
+    "d107_inverted_index",
+    "d108_sql_text_surface",
+    "d109_recursive_cte",
+    "d110_python_udtf",
+    "d111_session_paths",
+    "d112_histogram",
+    "d113_chi_square",
+    "d114_grouped_regression",
+    "d115_ohlc_downsample",
+    "d116_dup_ngram_spans",
+    "d117_bm25_retrieval",
+    "d118_semantic_dedup",
+    "d119_ewma_smoothing",
+    "d120_robust_anomalies",
+    "d121_snapshot_diff",
+    "d122_weighted_sample",
+    "d123_bigram_lm_score",
+    "d124_span_removal",
+    "d125_quantile_calibration",
+    "d127_text_binary_roundtrip",
+    "d128_jsonl_roundtrip",
+    "d129_schema_evolution",
+    "d130_cidr_enrichment",
+    "d131_incremental_dedup",
+    "d132_skew_profile",
 )
 
 # How many leading entries of queries() the driver's correctness gate

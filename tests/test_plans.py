@@ -1297,6 +1297,48 @@ def test_prefix_exception_path_keeps_and_retries(spark, sf_dir):
     assert not prefix._LIVE_CACHES
 
 
+def test_prefix_exception_path_retention_is_bounded(spark, sf_dir):
+    """VERDICT r11 #2 (prefix.py item): the keep-and-retry exception
+    path must not let tracked caches accumulate without limit — past
+    _MAX_LIVE entries the oldest retained ones are force-dropped (with
+    the same sameResult guard), and the newest (just-persisted) cache
+    always survives."""
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.operators import prefix
+
+    class _Boom:
+        """Stub cache entry whose plan access always raises."""
+
+        @property
+        def _jdf(self):
+            raise RuntimeError("session stopped")
+
+        def unpersist(self):  # pragma: no cover - must never be called
+            raise AssertionError("unpersist on an incomparable entry")
+
+    prefix.release_prefix_caches()
+    try:
+        for _ in range(prefix._MAX_LIVE + 3):
+            prefix._LIVE_CACHES.append(_Boom())
+        df = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("x")
+        )
+        out = prefix.ordered_prefix(df, ["k"], running={"run_x": "x"})
+        out.collect()
+        assert len(prefix._LIVE_CACHES) == prefix._MAX_LIVE, (
+            "retention must be bounded at _MAX_LIVE"
+        )
+        # The live (real) cache is the newest entry and must survive.
+        assert not isinstance(prefix._LIVE_CACHES[-1], _Boom)
+        assert out.count() == 50  # still readable from the kept cache
+    finally:
+        prefix._LIVE_CACHES[:] = [
+            c for c in prefix._LIVE_CACHES if not isinstance(c, _Boom)
+        ]
+        prefix.release_prefix_caches()
+
+
 def test_curation_loop_result_reads_only_persisted_state(spark, sf_dir):
     """d187: the 15-row ledger is computed FROM the persisted
     status/index state (no documents scan in the result plan — the

@@ -26,48 +26,98 @@ def test_enumeration_puts_driver_order_first():
 
 
 def test_window_covers_fixes_and_never_verified_rows():
-    """Round-11 rotation (VERDICT r10 #1): slots 1-5 are the r10
-    composites D183-D187 (the only zero-driver-evidence queries) —
-    green rows take driver-confirmed coverage to 210/210 SURVEY rows;
-    slots 6-34 the 29 r06-evidence rows the verdict names; slots 35-50
-    backfill with 16 of the oldest r07-evidence rows."""
+    """Round-12 rotation (VERDICT r11 #1): slots 1-27 are the 27
+    round-11 additions D188-D214 (incl. A201/A211) — the only queries
+    with zero driver evidence; green rows take driver-confirmed
+    coverage to 237/237 SURVEY rows. Slots 28-50 backfill with 23 of
+    the 34 oldest (r07-evidence) rows: a134, d133, then d135-d155."""
     window = list(load_all_queries())[:DRIVER_WINDOW]
-    # The never-driver-checked r10 composites lead the window.
-    assert window[:5] == [
-        "d183_curation_dag",
-        "d184_ann_index_arrival",
-        "d185_spool_evolution",
-        "d186_grouped_prefix_budget",
-        "d187_curation_arrival_loop",
-    ]
-    # A sample of the verdict-named r06 block and the r07 backfill.
+    # The never-driver-checked r11 additions lead the window.
+    assert window[0] == "d188_bpe_merges"
+    assert window[26] == "d214_hard_negative_mining"
     for must in (
-        "d33_ranking_functions",
-        "d39_topk_limit",
-        "d42_intersect",
-        "d48_array_functions",
-        "d66_simhash",
-        "a68_lsh_ann_topk",
-        "d69_quality_score",
-        "d71_language_stats",
-        "d105_fuzzy_reconcile",
-        "d109_recursive_cte",
-        "d115_ohlc_downsample",
-        "d116_dup_ngram_spans",
-        "d124_span_removal",
-        "d132_skew_profile",
+        "d193_bpe_tokenize",
+        "d195_cdc_chunking",
+        "d200_chunk_index_loop",
+        "a201_histogram_quantile_sketch",
+        "a211_horvitz_thompson_total",
+        "d212_cluster_chaining_audit",
     ):
-        assert must in window, f"{must} fell out of the driver window"
+        assert must in window[:27], f"{must} missing from slots 1-27"
+    # The verdict-named r07 backfill.
+    assert window[27:29] == ["a134_selfjoin_size", "d133_equidepth_stats"]
+    for must in (
+        "d135_distribution_windows",
+        "d140_k_anonymity",
+        "d146_association_rules",
+        "d153_time_travel",
+        "d155_growth_accounting",
+    ):
+        assert must in window[27:], f"{must} fell out of the driver window"
     # Every window slot must be hash-checkable: the whole rows-only
     # class was retired in r7 (all queries carry oracles).
     reg = load_all_queries()
     rows_only = [n for n in window if reg[n].oracle is None]
     assert not rows_only, f"rows-only slots: {rows_only}"
-    # Nothing already driver-green in r08-r10 may occupy a slot.
+    # Nothing already driver-green in r08-r11 may occupy a slot.
     for stale in ("d157_url_curation", "d25_global_agg", "d165_char_entropy",
                   "d181_lsh_arrival_loop", "d88_pii_redaction",
-                  "q3_shipping_priority"):
+                  "d183_curation_dag", "d33_ranking_functions",
+                  "d105_fuzzy_reconcile", "q3_shipping_priority"):
         assert stale not in window, f"{stale} wastes a window slot"
+
+
+def test_window_is_greedy_most_stale(tmp_path):
+    """Rotation-debt schedule (VERDICT r11 #4): the driver window must
+    be a greedy most-stale-first selection over driver evidence, so
+    each round's rotation auto-inherits the leftovers of the previous
+    one (the 11 r07-evidence rows left out of the r12 window lead the
+    post-boundary list and MUST enter the r13 window).
+
+    Invariants, computed from the committed CORRECTNESS_r*.json files:
+      1. every never-driver-checked query is inside the window;
+      2. no out-of-window query is STALER than any in-window checked
+         query (greedy selection — ties may fall either side);
+      3. the out-of-window stale debt fits in ONE future window, so no
+         query's evidence can age more than one extra rotation.
+    """
+    import glob
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    for f in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        for k in json.load(open(f)):
+            latest[k] = max(latest.get(k, 0), rnd)
+    assert latest, "no CORRECTNESS artifacts found"
+
+    names = list(load_all_queries())
+    window, rest = names[:DRIVER_WINDOW], names[DRIVER_WINDOW:]
+
+    never = [n for n in names if n not in latest]
+    out_never = [n for n in never if n not in window]
+    assert not out_never, f"never-driver-checked queries outside window: {out_never}"
+
+    in_checked = [latest[n] for n in window if n in latest]
+    out_rounds = [latest[n] for n in rest]
+    if in_checked and out_rounds:
+        assert max(in_checked) <= min(out_rounds), (
+            "window holds a query with newer evidence than one outside it: "
+            f"max(in)={max(in_checked)} > min(out)={min(out_rounds)}"
+        )
+
+    # Debt that ties with the window's stalest row must clear next round.
+    stalest = max(in_checked) if in_checked else min(out_rounds)
+    debt = [n for n in rest if latest[n] <= stalest]
+    assert len(debt) <= DRIVER_WINDOW, f"stale debt exceeds one window: {len(debt)}"
+    # And the post-boundary list must lead with exactly that debt so the
+    # next rotation inherits it by taking the next 50 names.
+    assert rest[: len(debt)] == debt, (
+        "post-boundary list does not lead with the stale leftovers: "
+        f"{rest[:len(debt)]} != {debt}"
+    )
 
 
 def test_spark_entry_exposes_ordered_queries():
