@@ -73,14 +73,15 @@ global window everywhere except the (unused) all-null-prefix case.
 
 from __future__ import annotations
 
-from collections.abc import Mapping, Sequence
+from collections.abc import Callable, Mapping, Sequence
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["ordered_prefix", "release_prefix_caches"]
+__all__ = ["PrefixStage", "ordered_prefix", "ordered_prefix_chain", "release_prefix_caches"]
 
 # Live persisted frames from prior ordered_prefix calls; evicted once a
 # newer call's cache is materialized (see module docstring).
@@ -186,30 +187,119 @@ def ordered_prefix(
     by the naive-window equality property tests), so the default only
     moves the physical plan, never a hash.
     """
+    return ordered_prefix_chain(
+        df,
+        order_cols,
+        group_cols=group_cols,
+        stages=[
+            PrefixStage(
+                running=running,
+                row_number=row_number,
+                totals=totals,
+                count_total=count_total,
+            )
+        ],
+        n_parts=n_parts,
+    )
+
+
+@dataclass(frozen=True)
+class PrefixStage:
+    """One stage of an ``ordered_prefix_chain``.
+
+    derive:  row-local column derivations applied BEFORE this stage's
+             prefix pass; may read any earlier stage's outputs (that is
+             the point — a packing cursor derived from a budget
+             cursor). Must be row-local (no windows/joins/aggregates):
+             the frame it receives is consumed by TWO branches (the
+             per-bucket partials and the final rejoin) whose shared
+             ancestor is the one materialized range partition, so any
+             non-deterministic or re-shuffling derivation would fork.
+    running / row_number / totals / count_total: as ``ordered_prefix``.
+    """
+
+    derive: Callable[[DataFrame], DataFrame] | None = None
+    running: Mapping[str, str] | None = None
+    row_number: str | None = None
+    totals: Mapping[str, str] | None = None
+    count_total: str | None = None
+
+
+def ordered_prefix_chain(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    *,
+    group_cols: Sequence[str] = (),
+    stages: Sequence[PrefixStage],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """CHAINED prefix stages over ONE range-partition materialization.
+
+    Two ``ordered_prefix`` calls in sequence (d183's mixture cursor →
+    pack cursor, the d142 pattern) each pay the full fixed cost: a
+    range exchange over the corpus plus an eager DISK_ONLY materialize
+    (the fork-consistency pin). But when every later stage orders and
+    groups by the SAME keys and derives its running input row-locally
+    from earlier outputs, one ``_pid`` assignment serves them all
+    (VERDICT r11 #3): stage k's per-bucket partials, offset window and
+    rejoin run over the stage-(k-1) output frame, whose every lineage
+    path bottoms out in the single persisted ``part`` — deterministic
+    ``_pid``, no fork, no second corpus exchange. The follow-on stages
+    also reuse the first stage's physical layout: their partials
+    groupBy, offset rejoin and within-bucket window all key on
+    ``(group_cols, _pid)``, the exact clustering the stage-1 running
+    window already exchanged into, so Catalyst elides the extra
+    exchanges (pinned by test_plans::test_fused_prefix_chain_*).
+
+    Values are identical to chained ``ordered_prefix`` calls (pinned by
+    the naive-window equality property tests), so swapping a chain in
+    never moves a query hash.
+    """
+    if not stages:
+        raise ValueError("ordered_prefix_chain needs at least one stage")
     if n_parts is None:
         n_parts = max(32, df.sparkSession.sparkContext.defaultParallelism)
-    running = dict(running or {})
-    totals = dict(totals or {})
     group_cols = list(group_cols)
-    sum_cols = sorted({*running.values(), *totals.values()})
-    need_count = row_number is not None or count_total is not None
 
-    # Materialize ONCE so both consumers below see identical _pid
+    # Materialize ONCE so every consumer below sees identical _pid
     # assignments (see module docstring — forked repartitionByRange
     # lineage is a wrong-answer bug, not just a double scan).
-    part = _materialize(
+    cur = _materialize(
         df.repartitionByRange(n_parts, *group_cols, *order_cols).withColumn(
             "_pid", F.spark_partition_id()
         )
     )
+    for idx, stage in enumerate(stages):
+        if stage.derive is not None:
+            cur = stage.derive(cur)
+        cur = _stage_pass(cur, order_cols, group_cols, stage, tag=str(idx))
+    return cur.drop("_pid")
 
-    # Phase 2 input: one row per non-empty (group, range-bucket) pair —
+
+def _stage_pass(
+    cur: DataFrame,
+    order_cols: Sequence[str],
+    group_cols: list[str],
+    stage: PrefixStage,
+    *,
+    tag: str,
+) -> DataFrame:
+    """One prefix pass over a frame that already carries ``_pid``.
+
+    Helper columns are tag-suffixed so chained stages summing the same
+    source column never collide."""
+    running = dict(stage.running or {})
+    totals = dict(stage.totals or {})
+    sum_cols = sorted({*running.values(), *totals.values()})
+    need_count = stage.row_number is not None or stage.count_total is not None
+
+    # Offset input: one row per non-empty (group, range-bucket) pair —
     # <= groups x n_parts rows (range partitioning on (group, order)
     # keeps each group's order contiguous across bucket boundaries).
-    aggs = [F.sum(c).alias(f"_t_{c}") for c in sum_cols]
+    aggs = [F.sum(c).alias(f"_t{tag}_{c}") for c in sum_cols]
     if need_count:
-        aggs.append(F.count(F.lit(1)).alias("_t_rows"))
-    ptot = part.groupBy(*group_cols, "_pid").agg(*aggs)
+        aggs.append(F.count(F.lit(1)).alias(f"_t{tag}_rows"))
+    ptot = cur.groupBy(*group_cols, "_pid").agg(*aggs)
 
     w_base = W.partitionBy(*group_cols) if group_cols else W
     w_off = w_base.orderBy("_pid").rowsBetween(  # bounded: n_parts rows/group
@@ -221,14 +311,18 @@ def ordered_prefix(
     sel = [F.col(c) for c in group_cols] + [F.col("_pid")]
     for c in sum_cols:
         sel.append(
-            F.coalesce(F.sum(f"_t_{c}").over(w_off), F.lit(0)).alias(f"_o_{c}")
+            F.coalesce(F.sum(f"_t{tag}_{c}").over(w_off), F.lit(0)).alias(
+                f"_o{tag}_{c}"
+            )
         )
-        sel.append(F.sum(f"_t_{c}").over(w_all).alias(f"_g_{c}"))
+        sel.append(F.sum(f"_t{tag}_{c}").over(w_all).alias(f"_g{tag}_{c}"))
     if need_count:
         sel.append(
-            F.coalesce(F.sum("_t_rows").over(w_off), F.lit(0)).alias("_o_rows")
+            F.coalesce(F.sum(f"_t{tag}_rows").over(w_off), F.lit(0)).alias(
+                f"_o{tag}_rows"
+            )
         )
-        sel.append(F.sum("_t_rows").over(w_all).alias("_g_rows"))
+        sel.append(F.sum(f"_t{tag}_rows").over(w_all).alias(f"_g{tag}_rows"))
     off = ptot.select(*sel)
 
     w_run = (
@@ -237,24 +331,24 @@ def ordered_prefix(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     join_keys = group_cols + ["_pid"]
-    out = part.join(off if group_cols else F.broadcast(off), join_keys)
+    out = cur.join(off if group_cols else F.broadcast(off), join_keys)
     for name, c in running.items():
         out = out.withColumn(
             name,
-            F.coalesce(F.sum(c).over(w_run), F.lit(0)) + F.col(f"_o_{c}"),
+            F.coalesce(F.sum(c).over(w_run), F.lit(0)) + F.col(f"_o{tag}_{c}"),
         )
-    if row_number is not None:
+    if stage.row_number is not None:
         out = out.withColumn(
-            row_number, F.row_number().over(w_run) + F.col("_o_rows")
+            stage.row_number, F.row_number().over(w_run) + F.col(f"_o{tag}_rows")
         )
     for name, c in totals.items():
-        out = out.withColumn(name, F.col(f"_g_{c}"))
-    if count_total is not None:
-        out = out.withColumn(count_total, F.col("_g_rows"))
+        out = out.withColumn(name, F.col(f"_g{tag}_{c}"))
+    if stage.count_total is not None:
+        out = out.withColumn(stage.count_total, F.col(f"_g{tag}_rows"))
 
-    drop = ["_pid"]
+    drop = []
     for c in sum_cols:
-        drop += [f"_o_{c}", f"_g_{c}"]
+        drop += [f"_o{tag}_{c}", f"_g{tag}_{c}"]
     if need_count:
-        drop += ["_o_rows", "_g_rows"]
+        drop += [f"_o{tag}_rows", f"_g{tag}_rows"]
     return out.drop(*drop)

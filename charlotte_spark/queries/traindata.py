@@ -27,7 +27,7 @@ from ..catalog import fan_out, load_table
 from ..functions.digest import sql_two_level_digest, two_level_digest
 from ..functions.portable import portable_hash_long, pround, sql_hash_long, sql_round
 from ..functions.shingles import explode_shingles
-from ..operators.prefix import ordered_prefix
+from ..operators.prefix import PrefixStage, ordered_prefix, ordered_prefix_chain
 from ..registry import query
 from ..session import reliable_checkpoint
 
@@ -1360,10 +1360,14 @@ def d183_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Per-lang running token cursors ride the grouped distributed
     # prefix (VERDICT r10 #2 — the scale-correct form d186 proves and
-    # d187 already uses): two CHAINED calls because the pack cursor
+    # d187 already uses): two CHAINED stages because the pack cursor
     # (_s5_run) depends on s4k/s5k, which depend on the mixture cursor
-    # (_s3_run) — the d142 chained-prefix pattern; value-identical to
-    # the per-lang window SQL the oracle keeps.
+    # (_s3_run). Both stages share ONE range-partition materialization
+    # via ordered_prefix_chain (VERDICT r11 #3 — the second stage's
+    # derive is row-local over stage-1 outputs, so one _pid assignment
+    # serves both and the corpus is exchanged/persisted once, not
+    # twice); value-identical to the per-lang window SQL the oracle
+    # keeps.
     staged = (
         base.join(eval_pfx, "pfx8", "left")
         .withColumn(
@@ -1377,32 +1381,34 @@ def d183_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_s3_tok", F.when(F.col("s3k"), F.col("tok_cnt")).otherwise(F.lit(0))
         )
     )
-    staged = ordered_prefix(
+
+    def _derive_pack(cur):
+        return (
+            cur.withColumn(
+                "s4k",
+                F.col("s3k") & (F.col("_s3_run") * 5 <= F.col("_s3_tot") * 4),
+            )
+            .withColumn(
+                "s5k",
+                F.col("s4k")
+                & (portable_hash_long(F.col("doc_id"), "d183|split|") % 10 < 8),
+            )
+            .withColumn(
+                "_s5_tok",
+                F.when(F.col("s5k"), F.col("tok_cnt")).otherwise(F.lit(0)),
+            )
+        )
+
+    staged = ordered_prefix_chain(
         staged,
         ["doc_id"],
         group_cols=["lang"],
-        running={"_s3_run": "_s3_tok"},
-        totals={"_s3_tot": "_s3_tok"},
-    )
-    staged = (
-        staged.withColumn(
-            "s4k",
-            F.col("s3k") & (F.col("_s3_run") * 5 <= F.col("_s3_tot") * 4),
-        )
-        .withColumn(
-            "s5k",
-            F.col("s4k")
-            & (portable_hash_long(F.col("doc_id"), "d183|split|") % 10 < 8),
-        )
-        .withColumn(
-            "_s5_tok", F.when(F.col("s5k"), F.col("tok_cnt")).otherwise(F.lit(0))
-        )
-    )
-    staged = ordered_prefix(
-        staged,
-        ["doc_id"],
-        group_cols=["lang"],
-        running={"_s5_run": "_s5_tok"},
+        stages=[
+            PrefixStage(
+                running={"_s3_run": "_s3_tok"}, totals={"_s3_tot": "_s3_tok"}
+            ),
+            PrefixStage(derive=_derive_pack, running={"_s5_run": "_s5_tok"}),
+        ],
     )
     flagged = staged.withColumn(
         "shard",

@@ -1210,20 +1210,102 @@ def test_sequence_packing_rides_grouped_prefix(spark, sf_dir):
 
 
 def test_curation_dag_source_has_no_perlang_serial_window():
-    """d183 (VERDICT r10 #2): the returned plan only reads the
-    checkpoint, so the swap is pinned at the source level — the flag
-    chain must call ordered_prefix(group_cols=['lang']) twice (mixture
-    cursor, pack cursor) and keep no per-lang ordered Window."""
+    """d183 (VERDICT r10 #2, fused r11 #3): the returned plan only
+    reads the checkpoint, so the swap is pinned at the source level —
+    the flag chain must ride ONE ordered_prefix_chain(group_cols=
+    ['lang']) carrying BOTH cursor stages (mixture, pack) over a single
+    range-partition materialization, and keep no per-lang ordered
+    Window."""
     import inspect
 
     from charlotte_spark.queries.traindata import d183_curation_dag
 
     src = inspect.getsource(d183_curation_dag)
-    assert src.count("ordered_prefix(") == 2, "d183 must chain two grouped prefixes"
+    assert src.count("ordered_prefix_chain(") == 1, (
+        "d183 must fuse its two grouped prefixes into one chain"
+    )
+    assert src.count("PrefixStage(") == 2, "d183 must keep both cursor stages"
     assert 'group_cols=["lang"]' in src
     assert 'Window.partitionBy("lang")' not in src, (
         "per-lang serial window resurfaced in d183"
     )
+
+
+def test_fused_prefix_chain_single_range_exchange(spark):
+    """ordered_prefix_chain (VERDICT r11 #3): a two-stage chain must
+    range-partition + materialize the input ONCE (exactly one
+    _materialize call — its body holds the chain's only
+    repartitionByRange); the second stage's partials, offset rejoin and
+    running window all key on (group, _pid), the clustering stage 1
+    already exchanged into — and never introduce a per-group serial
+    window."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.operators import prefix as _prefix
+    from charlotte_spark.operators.prefix import (
+        PrefixStage,
+        ordered_prefix_chain,
+        release_prefix_caches,
+    )
+    from charlotte_spark.plans.audit import formatted_plan
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("grp"),
+        (1 + F.col("id") % 7).alias("w"),
+    )
+    n_mat = {"calls": 0}
+    real_materialize = _prefix._materialize
+
+    def _counting(d):
+        n_mat["calls"] += 1
+        return real_materialize(d)
+
+    _prefix._materialize = _counting
+    try:
+        out = ordered_prefix_chain(
+            df,
+            ["k"],
+            group_cols=["grp"],
+            stages=[
+                PrefixStage(running={"r1": "w"}, totals={"t1": "w"}),
+                PrefixStage(
+                    derive=lambda cur: cur.withColumn(
+                        "w2",
+                        F.when(
+                            F.col("r1") * 2 <= F.col("t1"), F.col("w")
+                        ).otherwise(F.lit(0)),
+                    ),
+                    running={"r2": "w2"},
+                ),
+            ],
+            n_parts=8,
+        )
+        assert n_mat["calls"] == 1, (
+            "fused chain must range-partition + materialize exactly once"
+        )
+        p = formatted_plan(out)
+        # Every rangepartitioning Exchange in the formatted tree must
+        # belong to the ONE shared cache (the tree re-prints the cached
+        # plan per InMemoryTableScan reference and per AQE initial/final
+        # plan — all on the same input attributes, here k/grp/w only).
+        for m in _re.finditer(r"\n[^\n]*rangepartitioning\([^\n]*", p):
+            assert "grp#" in m.group(0) and "k#" in m.group(0)
+        assert "InMemoryRelation" in p  # the shared cache is in the plan
+        # Both running windows key on (grp, _pid) — parallel across
+        # buckets; a grp-only k-ordered window is the serial hazard.
+        assert len(_re.findall(
+            r"windowspecdefinition\(grp#\d+L?, _pid#\d+, k#\d+L? ASC", p
+        )) >= 2, "both stages must window by (grp, _pid)"
+        serial = [
+            seg for seg in p.splitlines()
+            if _re.search(r"windowspecdefinition\(grp#\d+L?, k#\d+L? ASC", seg)
+        ]
+        assert not serial, f"per-group serial window found: {serial[:1]}"
+    finally:
+        _prefix._materialize = real_materialize
+        release_prefix_caches()
 
 
 def test_prefix_explicit_n_parts_overrides_default(spark, sf_dir):

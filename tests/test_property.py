@@ -757,6 +757,72 @@ def test_chained_grouped_prefixes_are_consistent(spark):
     assert got == want
 
 
+@pytest.mark.parametrize("n_parts", [1, 3, 8])
+def test_fused_prefix_chain_equals_chained_windows(spark, n_parts):
+    """ordered_prefix_chain (VERDICT r11 #3): a two-stage chain whose
+    second stage derives its running input row-locally from the first
+    stage's outputs (the d183 mixture→pack shape) must be value-
+    identical to the naive chained-window formulation at every bucket
+    count — including buckets that split groups and a stage-2 input
+    that zeroes most rows."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.operators.prefix import (
+        PrefixStage,
+        ordered_prefix_chain,
+    )
+
+    rows = [(i, (i * 3) % 4, 1 + (i * 7) % 9) for i in range(150)]
+    df = spark.createDataFrame(rows, "k long, grp long, w long")
+
+    got_df = ordered_prefix_chain(
+        df,
+        ["k"],
+        group_cols=["grp"],
+        stages=[
+            PrefixStage(running={"r1": "w"}, totals={"t1": "w"}),
+            PrefixStage(
+                derive=lambda cur: cur.withColumn(
+                    "w2",
+                    F.when(
+                        F.col("r1") * 2 <= F.col("t1"), F.col("w")
+                    ).otherwise(F.lit(0)),
+                ),
+                running={"r2": "w2"},
+                row_number="rn2",
+                count_total="n2",
+            ),
+        ],
+        n_parts=n_parts,
+    )
+    got = {r["k"]: (r["r1"], r["t1"], r["r2"], r["rn2"], r["n2"])
+           for r in got_df.collect()}
+
+    w1 = W.partitionBy("grp").orderBy("k").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wt = W.partitionBy("grp").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    naive = df.select(
+        "k", "grp", "w",
+        F.sum("w").over(w1).alias("r1"),
+        F.sum("w").over(wt).alias("t1"),
+    ).withColumn(
+        "w2",
+        F.when(F.col("r1") * 2 <= F.col("t1"), F.col("w")).otherwise(F.lit(0)),
+    ).select(
+        "k", "r1", "t1",
+        F.sum("w2").over(w1).alias("r2"),
+        F.row_number().over(w1).alias("rn2"),
+        F.count(F.lit(1)).over(wt).alias("n2"),
+    )
+    want = {r["k"]: (r["r1"], r["t1"], r["r2"], r["rn2"], r["n2"])
+            for r in naive.collect()}
+    assert got == want
+
+
 def test_bpe_merge_application_is_greedy(spark):
     """d188's double-space merge trick must implement BPE's greedy
     left-to-right non-overlapping semantics — including the adjacent
