@@ -33,6 +33,7 @@ from ..functions.portable import (
     sql_hash_long,
     sql_round,
 )
+from ..functions.digest import sql_two_level_digest, two_level_digest
 from ..functions.vectors import cosine, dot, l2norm, sql_cosine, to_double
 from ..registry import query
 
@@ -1548,4 +1549,314 @@ def d214_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pos1 < neg1).cast("int").alias("confusable"),
         )
         .orderBy("probe_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D215: arrival-path semantic-dedup loop (persisted IVF cells + cosine keeps)
+# ---------------------------------------------------------------------------
+
+_D215_TAU = 0.9999  # d118's SemDeDup threshold — only (near-)exact copies
+_D215_NATURAL = {0: (4, 0), 1: (8, 1), 2: (8, 5)}  # round -> (mod, rem)
+# round -> [(vec_id offset, mod, rem)] exact-copy injections. Chosen so
+# every drop class is non-vacuous by construction AND the round-2
+# dup_index drops REQUIRE the index to have grown in round 1:
+#   r1 +1e6 of %20==0  -> copies of BOOTSTRAP keeps   => dup_index r1
+#   r1 +2e6 of %40==2  -> novel (originals never indexed) => kept r1
+#   r1 +3e6 of %40==2  -> identical to the +2e6 twin   => dup_batch r1
+#   r2 +4e6 of %40==2  -> copies of the +2e6 ROUND-1 APPENDS
+#                         => dup_index r2 (the growth proof)
+#   r2 +5e6/+6e6 of %40==6 -> novel twin pair          => kept + dup_batch r2
+_D215_COPIES = {
+    1: [(1_000_000, 20, 0), (2_000_000, 40, 2), (3_000_000, 40, 2)],
+    2: [(4_000_000, 40, 2), (5_000_000, 40, 6), (6_000_000, 40, 6)],
+}
+
+
+def _d215_oracle() -> str:
+    cos_ac = sql_cosine("a.v", "c.cv")
+
+    def flags(b: str, i: str) -> str:
+        cos_bi = sql_cosine("b.v", "i.v")
+        cos_hl = sql_cosine("hi.v", "lo.v")
+        return f"""(
+        SELECT b.vec_id, b.cell,
+               CASE WHEN di.k IS NOT NULL THEN 'dup_index'
+                    WHEN db.k IS NOT NULL THEN 'dup_batch'
+                    ELSE 'kept' END AS status,
+               coalesce(di.k, db.k) AS kept_id
+        FROM {b} b
+        LEFT JOIN (SELECT b.vec_id, min(i.vec_id) AS k
+                   FROM {b} b JOIN {i} i ON i.cell = b.cell
+                   WHERE {cos_bi} >= {_D215_TAU}
+                   GROUP BY b.vec_id) di ON di.vec_id = b.vec_id
+        LEFT JOIN (SELECT hi.vec_id, min(lo.vec_id) AS k
+                   FROM {b} hi JOIN {b} lo
+                     ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+                   WHERE {cos_hl} >= {_D215_TAU}
+                   GROUP BY hi.vec_id) db ON db.vec_id = b.vec_id
+    )"""
+
+    arr_parts = []
+    for r, (mod, rem) in _D215_NATURAL.items():
+        arr_parts.append(
+            f"SELECT {r} AS round_id, vec_id, v FROM e"
+            f" WHERE vec_id % {mod} = {rem}"
+        )
+    for r, specs in _D215_COPIES.items():
+        for off, mod, rem in specs:
+            arr_parts.append(
+                f"SELECT {r}, vec_id + {off}, v FROM e"
+                f" WHERE vec_id % {mod} = {rem}"
+            )
+    arr_sql = "\n        UNION ALL ".join(arr_parts)
+
+    dg = sql_two_level_digest(
+        "status",
+        ["round_id", "cell"],
+        "CAST(vec_id AS VARCHAR) || '|' || status || '|'"
+        " || coalesce(CAST(kept_id AS VARCHAR), '')",
+        count_alias="n_arrivals",
+        sum_exprs={
+            "n_dup_index": "CAST(status = 'dup_index' AS INT)",
+            "n_dup_batch": "CAST(status = 'dup_batch' AS INT)",
+            "n_kept": "CAST(status = 'kept' AS INT)",
+        },
+    )
+
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding AS cv FROM embeddings
+        WHERE vec_id < {_D184_K}
+    ),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    arr AS (
+        {arr_sql}
+    ),
+    asg AS (
+        SELECT round_id, vec_id, v, cell FROM (
+            SELECT a.round_id, a.vec_id, a.v, c.cell,
+                   row_number() OVER (PARTITION BY a.round_id, a.vec_id
+                                      ORDER BY {cos_ac} DESC, c.cell) AS rn
+            FROM arr a CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    a0 AS (SELECT vec_id, v, cell FROM asg WHERE round_id = 0),
+    a1 AS (SELECT vec_id, v, cell FROM asg WHERE round_id = 1),
+    a2 AS (SELECT vec_id, v, cell FROM asg WHERE round_id = 2),
+    i_empty AS (SELECT vec_id, v, cell FROM a0 WHERE 1 = 0),
+    f0 AS {flags("a0", "i_empty")},
+    i0 AS (SELECT a.* FROM a0 a JOIN f0 f ON f.vec_id = a.vec_id
+           WHERE f.status = 'kept'),
+    f1 AS {flags("a1", "i0")},
+    i1 AS (SELECT * FROM i0 UNION ALL
+           SELECT a.* FROM a1 a JOIN f1 f ON f.vec_id = a.vec_id
+           WHERE f.status = 'kept'),
+    f2 AS {flags("a2", "i1")},
+    status AS (
+        SELECT 0 AS round_id, CAST(cell AS INT) AS cell, vec_id, status, kept_id FROM f0
+        UNION ALL
+        SELECT 1, CAST(cell AS INT), vec_id, status, kept_id FROM f1
+        UNION ALL
+        SELECT 2, CAST(cell AS INT), vec_id, status, kept_id FROM f2
+    ),
+    ledger AS ({dg})
+    SELECT CAST(round_id AS INT) AS round_id, cell,
+           n_arrivals, n_dup_index, n_dup_batch, n_kept,
+           CAST(sum(n_kept) OVER (PARTITION BY cell ORDER BY round_id)
+                AS BIGINT) AS index_after,
+           digest
+    FROM ledger ORDER BY round_id, cell
+    """
+
+
+def _d215_batch(emb: DataFrame, r: int) -> DataFrame:
+    mod, rem = _D215_NATURAL[r]
+    b = emb.filter(F.col("vec_id") % mod == rem).select("vec_id", "v")
+    for off, m2, r2 in _D215_COPIES.get(r, []):
+        b = b.unionByName(
+            emb.filter(F.col("vec_id") % m2 == r2).select(
+                (F.col("vec_id") + off).alias("vec_id"), "v"
+            )
+        )
+    return b
+
+
+def _d215_flags(assigned: DataFrame, idx: DataFrame) -> DataFrame:
+    """Keep/drop decision for one arrival batch vs the persisted keeps
+    index: dup_index ⇔ some index keep in the SAME CELL at cos ≥ τ
+    (kept_id = the minimum such keep); else dup_batch ⇔ some lower-id
+    same-cell BATCH member at cos ≥ τ (the d118 rule — the reference
+    member's own fate does not matter, so the decision is one join, not
+    a recursion); else kept. Both passes are cell-keyed equi-joins —
+    never all-pairs across cells, never a corpus scan."""
+    di = (
+        assigned.select("vec_id", "v", "cell")
+        .join(
+            idx.select(
+                F.col("vec_id").alias("i_id"), F.col("v").alias("iv"), "cell"
+            ),
+            "cell",
+        )
+        .filter(cosine(F.col("v"), F.col("iv")) >= _D215_TAU)
+        .groupBy("vec_id")
+        .agg(F.min("i_id").alias("_ik"))
+    )
+    lo = assigned.select(
+        "cell", F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
+    )
+    db = (
+        assigned.join(lo, "cell")
+        .filter(
+            (F.col("b_id") < F.col("vec_id"))
+            & (cosine(F.col("v"), F.col("bv")) >= _D215_TAU)
+        )
+        .groupBy("vec_id")
+        .agg(F.min("b_id").alias("_bk"))
+    )
+    return (
+        assigned.join(di, "vec_id", "left")
+        .join(db, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("_ik").isNotNull(), F.lit("dup_index"))
+            .when(F.col("_bk").isNotNull(), F.lit("dup_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce(F.col("_ik"), F.col("_bk")).alias("kept_id"),
+        )
+    )
+
+
+@query(
+    "d215_semantic_dedup_arrival",
+    tags=("D215", "D118", "D184", "D187"),
+    oracle=_d215_oracle(),
+)
+def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-path semantic-dedup loop (VERDICT r11 #6) — the
+    embedding twin of d187's text curation loop, composing d184's
+    persisted IVF cells with d118's cosine keep-one decision: a
+    continual curation run doesn't re-SemDeDup the corpus per batch, it
+    probes each arrival against the PERSISTED keeps of its assigned
+    cell and appends only the survivors.
+
+    Round 0 (bootstrap): the base slice assigns to the K=8 seed
+    centroids, within-cell keep-one dedup (empty index), keeps become
+    index generation 0. Rounds 1-2 (arrivals): each batch assigns
+    (bounded K-row crossJoin), probes ONLY its cell of the persisted
+    keeps index (cell-keyed equi-join) for a cos ≥ τ=0.9999 twin —
+    dup_index, collapsing onto the MINIMUM matching keep — else
+    dedups within the batch by the d118 lower-id rule (dup_batch),
+    else is kept and APPENDED to a new index generation. Exact-copy
+    injections make every class non-vacuous and make round 2's
+    dup_index drops copies of round-1 APPENDS, so a correct answer
+    requires cross-round index growth (the d184/d187 discipline; see
+    _D215_COPIES).
+
+    Output: one ledger row per (round, cell) — arrival/drop/keep
+    counts, the per-cell index size after the round, and a two-level
+    membership digest over ``vec_id|status|kept_id`` payloads, so a
+    wrong drop reason or wrong collapse target fails the hash even
+    when counts coincide. The ledger is computed entirely FROM the
+    persisted status state (zero embeddings scans in the final plan —
+    pinned by test_semdedup_arrival_reads_only_persisted_state).
+
+    At 100 TB: per-arrival work = bounded K-row assignment + ONE
+    cell-keyed equi-join against the posting generation (never the
+    whole index, never all-pairs across cells) + one cell-keyed
+    within-batch pass (O(Σ per-cell batch²), batch-bounded; a
+    corpus-scale BOOTSTRAP would ride d118's tiled per-cell Gram
+    instead — this loop's batches are arrival-rate-bounded by
+    definition). Index updates are append-only generation writes (the
+    d181/d187 merge shape); rejected arrivals are NOT indexed — the
+    index carries exactly what the curated corpus carries."""
+    import atexit as _atexit
+    import os as _os
+    import shutil as _shutil
+
+    from ..streaming.harness import _scratch_root
+
+    root = (
+        f"{_scratch_root('CHARLOTTE_SEMDEDUP_TMP', 'charlotte_semdedup_loop')}"
+        f"/{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}"
+    )
+    _atexit.register(_shutil.rmtree, root, ignore_errors=True)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    emb.filter(F.col("vec_id") < _D184_K).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    ).write.mode("overwrite").parquet(f"{root}/centroids")
+    cents = spark.read.parquet(f"{root}/centroids")
+
+    idx = spark.createDataFrame([], "vec_id long, v array<double>, cell long")
+    for r in (0, 1, 2):
+        # the assignment WRITE is the lineage cut (the d184 pattern):
+        # the persisted batch feeds the index probe, the within-batch
+        # pass and the keeps append as parquet reads
+        _assign_cells(_d215_batch(emb, r), cents).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/assign/round_id={r}")
+        a = spark.read.parquet(f"{root}/assign/round_id={r}").select(
+            "vec_id", "v", "cell"
+        )
+        _d215_flags(a, idx).write.mode("overwrite").parquet(
+            f"{root}/status/round_id={r}"
+        )
+        keeps = a.join(
+            spark.read.parquet(f"{root}/status/round_id={r}")
+            .filter(F.col("status") == "kept")
+            .select("vec_id"),
+            "vec_id",
+        ).select("vec_id", "v", "cell")
+        idx.unionByName(keeps).write.mode("overwrite").parquet(
+            f"{root}/index_r{r}"
+        )
+        idx = spark.read.parquet(f"{root}/index_r{r}")
+
+    status = spark.read.parquet(f"{root}/status").select(
+        F.col("round_id").cast("int").alias("round_id"),
+        F.col("cell").cast("int").alias("cell"),
+        "vec_id",
+        "status",
+        "kept_id",
+    )
+    led = two_level_digest(
+        status.select(
+            "round_id",
+            "cell",
+            F.concat_ws(
+                "|",
+                F.col("vec_id").cast("string"),
+                F.col("status"),
+                F.coalesce(F.col("kept_id").cast("string"), F.lit("")),
+            ).alias("_pay"),
+            (F.col("status") == "dup_index").cast("int").alias("_di"),
+            (F.col("status") == "dup_batch").cast("int").alias("_db"),
+            (F.col("status") == "kept").cast("int").alias("_kk"),
+        ),
+        ["round_id", "cell"],
+        F.col("_pay"),
+        count_alias="n_arrivals",
+        sum_cols={"n_dup_index": "_di", "n_dup_batch": "_db", "n_kept": "_kk"},
+    )
+    # bounded: <= rounds x K ledger rows; per-cell cumulative keeps =
+    # the index size after each round
+    w_cell = W.partitionBy("cell").orderBy("round_id")
+    return (
+        led.withColumn("index_after", F.sum("n_kept").over(w_cell))
+        .select(
+            "round_id",
+            "cell",
+            "n_arrivals",
+            "n_dup_index",
+            "n_dup_batch",
+            "n_kept",
+            "index_after",
+            "digest",
+        )
+        .orderBy("round_id", "cell")
     )

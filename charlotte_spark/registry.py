@@ -154,12 +154,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d154_bounce_dwell",
     "d155_growth_accounting",
     # ---- 50-slot window boundary ----
-    # Post-boundary: the 11 remaining r07-evidence rows first, so the
-    # r13 rotation inherits them (verdict r11 #4; pinned by
+    # Post-boundary: the round-12 addition (never driver-checked) leads,
+    # then the 11 remaining r07-evidence rows, so the r13 rotation
+    # inherits all of them (verdict r11 #4; pinned by
     # tests/test_registry_order.py::test_window_is_greedy_most_stale);
     # then the r08/r09/r10-evidence blocks in prior relative order;
     # the 50 rows displaced from the r11 window (all re-greened at
     # r11) go last, newest last.
+    "d215_semantic_dedup_arrival",
     "d156_revenue_concentration",
     "d126_transform_with_state",
     "d58_cid_sequencer_stream",

@@ -1877,3 +1877,37 @@ def test_hard_negative_mining_broadcasts_bounded_probes(audits):
     )
     assert "CartesianProduct" not in a["plan"]
     assert not a["sort_merge_join"]
+
+
+def test_semdedup_arrival_reads_only_persisted_state(spark, sf_dir):
+    """d215: (a) the (round, cell) ledger is computed FROM the
+    persisted status state — no embeddings scan in the result plan
+    (the d181/d184/d187 proof that the loop state survived); (b) the
+    flags pass in isolation is cell-keyed EQUI joins for BOTH the
+    index probe and the within-batch pass — never a nested-loop over
+    the index, never all-pairs across cells."""
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.catalog import load_table
+    from charlotte_spark.functions.vectors import to_double
+    from charlotte_spark.plans.audit import audit_plan
+    from charlotte_spark.queries.similarity import _d215_flags
+
+    a = audit_plan(REG["d215_semantic_dedup_arrival"].fn(spark, sf_dir))
+    emb_scans = [s for s in a["scans"] if "embeddings" in s["path"]]
+    state_scans = [s for s in a["scans"] if "semdedup_loop" in s["path"]]
+    assert not emb_scans, f"{len(emb_scans)} embeddings scans in the result plan"
+    assert state_scans, "result plan must scan the persisted loop state"
+    assert not a["nested_loop_join"]
+
+    # flags plan in isolation: both passes equi-join on the cell key
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    idx = emb.withColumn("cell", (F.col("vec_id") % 8).cast("long"))
+    batch = idx.filter(F.col("vec_id") % 7 == 3)
+    p = audit_plan(_d215_flags(batch, idx))
+    assert not p["nested_loop_join"], (
+        "index probe / within-batch pass must never scan cross-cell"
+    )
+    assert "CartesianProduct" not in p["plan"]

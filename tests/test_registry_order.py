@@ -75,11 +75,17 @@ def test_window_is_greedy_most_stale(tmp_path):
     post-boundary list and MUST enter the r13 window).
 
     Invariants, computed from the committed CORRECTNESS_r*.json files:
-      1. every never-driver-checked query is inside the window;
-      2. no out-of-window query is STALER than any in-window checked
-         query (greedy selection — ties may fall either side);
-      3. the out-of-window stale debt fits in ONE future window, so no
-         query's evidence can age more than one extra rotation.
+      1. every never-driver-checked query is inside the window OR leads
+         the post-boundary list (a row added mid-round, AFTER the
+         window was committed to clearing older debt — it has no
+         evidence, so it is the stalest debt and must be inherited
+         first);
+      2. no out-of-window CHECKED query is STALER than any in-window
+         checked query (greedy selection — ties may fall either side);
+      3. the out-of-window stale debt (never-checked rows first, then
+         checked rows tying the window's stalest) fits in ONE future
+         window and is exactly the post-boundary prefix, so no query's
+         evidence can age more than one extra rotation.
     """
     import glob
     import json
@@ -96,12 +102,10 @@ def test_window_is_greedy_most_stale(tmp_path):
     names = list(load_all_queries())
     window, rest = names[:DRIVER_WINDOW], names[DRIVER_WINDOW:]
 
-    never = [n for n in names if n not in latest]
-    out_never = [n for n in never if n not in window]
-    assert not out_never, f"never-driver-checked queries outside window: {out_never}"
+    out_never = [n for n in rest if n not in latest]
 
     in_checked = [latest[n] for n in window if n in latest]
-    out_rounds = [latest[n] for n in rest]
+    out_rounds = [latest[n] for n in rest if n in latest]
     if in_checked and out_rounds:
         assert max(in_checked) <= min(out_rounds), (
             "window holds a query with newer evidence than one outside it: "
@@ -110,10 +114,11 @@ def test_window_is_greedy_most_stale(tmp_path):
 
     # Debt that ties with the window's stalest row must clear next round.
     stalest = max(in_checked) if in_checked else min(out_rounds)
-    debt = [n for n in rest if latest[n] <= stalest]
+    debt = out_never + [n for n in rest if latest.get(n, stalest + 1) <= stalest]
     assert len(debt) <= DRIVER_WINDOW, f"stale debt exceeds one window: {len(debt)}"
-    # And the post-boundary list must lead with exactly that debt so the
-    # next rotation inherits it by taking the next 50 names.
+    # And the post-boundary list must lead with exactly that debt —
+    # never-checked first — so the next rotation inherits it by taking
+    # the next DRIVER_WINDOW names.
     assert rest[: len(debt)] == debt, (
         "post-boundary list does not lead with the stale leftovers: "
         f"{rest[:len(debt)]} != {debt}"
