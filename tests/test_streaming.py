@@ -363,3 +363,74 @@ def test_restart_audit_flag_has_teeth(spark):
     _apply_batch_body(db, enriched, 0)  # ledgerless re-delivery
     twice = _star_summary(spark, db).count()
     assert twice > once, "ledgerless re-delivery must duplicate fact rows"
+
+
+def test_cid_sequencer_state_stays_o_sensors(spark):
+    """D58 at day 2 (VERDICT r11 #5): under sustained multi-batch
+    replay the sequencer's persisted state is the per-sensor last_cid
+    table and NOTHING that scales with cumulative ingested volume —
+    rows stay == n_sensors and on-disk bytes stay constant across
+    batches, while the cid sequence stays dense. The full-volume twin
+    (24 batches, ~1M events) is tools/scale_ingest.py sustained
+    (artifact: INGEST_SUSTAINED_r12.json)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.scale_ingest import _state_snapshot
+
+    from charlotte_spark.queries.charlotte_pipeline import u2_fixture
+    from charlotte_spark.sources.u2_spark import read_spools
+    from charlotte_spark.streaming.maps import load_maps
+    from charlotte_spark.streaming.snorby import (
+        SENSOR_SCHEMA,
+        apply_batch,
+        enrich,
+    )
+
+    fx = u2_fixture()
+    db = _fresh_db(spark, "sustained_state")
+    ckpt = f"{db.path}_ckpt"
+    if os.path.exists(ckpt):
+        shutil.rmtree(ckpt)
+
+    series = []
+
+    def sink(batch_df, batch_id):
+        sig_map, class_map = load_maps(
+            spark, fx["sig_map"], fx["gen_map"], fx["class_map"]
+        )
+        apply_batch(db, enrich(batch_df, sig_map, class_map), batch_id)
+        snap = _state_snapshot(db.path)
+        snap["state_rows"] = len(db.read_small("sensor", SENSOR_SCHEMA))
+        series.append(snap)
+
+    alerts = read_spools(spark, fx["spools"], streaming=True, max_files_per_trigger=1)
+    q = (
+        alerts.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(series) >= 3, f"fixture should yield >=3 micro-batches: {len(series)}"
+    n_sensors = series[0]["state_rows"]
+    assert all(s["state_rows"] == n_sensors for s in series), (
+        f"sequencer state rows drifted: {[s['state_rows'] for s in series]}"
+    )
+    sizes = [s["state_bytes"] for s in series]
+    assert max(sizes) <= 1.5 * min(sizes), (
+        f"sequencer state bytes grew with ingested volume: {sizes}"
+    )
+    # and the sequence the state protects stays dense
+    event = db.read("event", "sid int, cid bigint, signature int, timestamp timestamp")
+    audit = event.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("cid").alias("nd"),
+        F.min("cid").alias("mn"),
+        F.max("cid").alias("mx"),
+    )
+    for r in audit.collect():
+        assert r["n"] == r["nd"] and r["mn"] == 1 and r["mx"] == r["n"], (
+            f"cid sequence not dense for sid={r['sid']}"
+        )

@@ -34,7 +34,12 @@ from charlotte_spark.sources.u2_spark import read_spools  # noqa: E402
 from charlotte_spark.sources.unified2 import write_spool  # noqa: E402
 from charlotte_spark.streaming.harness import _scratch_root  # noqa: E402
 from charlotte_spark.streaming.maps import load_maps  # noqa: E402
-from charlotte_spark.streaming.snorby import SnorbyDB, apply_batch, enrich  # noqa: E402
+from charlotte_spark.streaming.snorby import (  # noqa: E402
+    SENSOR_SCHEMA,
+    SnorbyDB,
+    apply_batch,
+    enrich,
+)
 
 BASE = _scratch_root("CHARLOTTE_SCALE_TMP", "charlotte_scale")
 N_SENSORS = 4
@@ -162,7 +167,117 @@ def run(events_per_file: int = 25_000, n_files: int = 10) -> dict:
     return result
 
 
+def _state_snapshot(db_path: str, table: str = "sensor") -> dict:
+    """On-disk size of the persisted sequencer state (the per-sensor
+    last_cid table) — the D58 state the reference keeps as a MySQL row
+    per sensor (:566-569)."""
+    tdir = f"{db_path}/{table}"
+    nbytes = 0
+    for base, _dirs, files in os.walk(tdir):
+        nbytes += sum(os.path.getsize(os.path.join(base, f)) for f in files)
+    return {"state_bytes": nbytes}
+
+
+def sustained(events_per_file: int = 10_000, n_files: int = 24) -> dict:
+    """Sustained multi-batch replay with state-store metrics (VERDICT
+    r11 #5): maxFilesPerTrigger=1 per source => one file per sensor per
+    micro-batch, ~n_files micro-batches. After every applied batch,
+    record the wall latency and the cid-sequencer state footprint
+    (bytes + rows of the persisted ``sensor`` table). Asserts the D58
+    state stays O(sensors) — constant rows, bounded bytes — and the
+    per-batch latency shows no super-linear trend (late-window median
+    <= 2x early-window median; state lookups and dim upserts must not
+    scale with CUMULATIVE ingested volume)."""
+    spark = get_spark("charlotte-sustained-ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    fx = build_fixture(events_per_file, n_files)
+
+    db_path = f"{BASE}/db_sustained"
+    ckpt = f"{BASE}/ckpt_sustained"
+    shutil.rmtree(db_path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    db = SnorbyDB(spark, db_path)
+
+    series: list[dict] = []
+
+    def sink(batch_df, batch_id):
+        t0 = time.time()
+        sig_map, class_map = load_maps(
+            spark, fx["sig_map"], fx["gen_map"], fx["class_map"]
+        )
+        apply_batch(db, enrich(batch_df, sig_map, class_map), batch_id)
+        snap = _state_snapshot(db_path)
+        snap.update(
+            batch_id=int(batch_id),
+            batch_sec=round(time.time() - t0, 3),
+            state_rows=len(db.read_small("sensor", SENSOR_SCHEMA)),
+        )
+        series.append(snap)
+
+    t0 = time.time()
+    alerts = read_spools(spark, fx["spools"], streaming=True, max_files_per_trigger=1)
+    q = (
+        alerts.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ingest_sec = time.time() - t0
+
+    assert len(series) >= 10, f"expected a sustained run, got {len(series)} batches"
+    # State is O(sensors), not O(ingested volume): constant rows and
+    # bounded bytes once every sensor has been seen (batch 0 sees all —
+    # one file per spool per trigger).
+    rows = [s["state_rows"] for s in series]
+    assert all(r == N_SENSORS for r in rows), f"sensor state rows drifted: {rows}"
+    sizes = [s["state_bytes"] for s in series]
+    assert max(sizes) <= 1.5 * min(sizes), f"sensor state bytes grew: {sizes}"
+
+    # Latency trend: the first batch pays dim bootstrap; compare the
+    # median of the first 5 post-bootstrap batches to the last 5.
+    lat = [s["batch_sec"] for s in series[1:]]
+    early = sorted(lat[:5])[2]
+    late = sorted(lat[-5:])[2]
+    assert late <= 2.0 * early, f"per-batch latency trend: {early} -> {late}"
+
+    event = db.read("event", "sid int, cid bigint, signature int, timestamp timestamp")
+    audit = (
+        event.groupBy("sid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("cid").alias("nd"),
+            F.min("cid").alias("mn"),
+            F.max("cid").alias("mx"),
+        )
+        .collect()
+    )
+    dense = all(r["n"] == r["nd"] and r["mn"] == 1 and r["mx"] == r["n"] for r in audit)
+    assert dense, "cid sequence not dense under sustained replay"
+    return {
+        "mode": "sustained",
+        "n_events_generated": fx["n_events"],
+        "n_batches": len(series),
+        "n_sensors": N_SENSORS,
+        "state_rows_constant": True,
+        "state_bytes_min": min(sizes),
+        "state_bytes_max": max(sizes),
+        "batch_sec_early_median": early,
+        "batch_sec_late_median": late,
+        "no_dups_dense_cids": dense,
+        "gen_sec": round(fx["gen_sec"], 1),
+        "ingest_sec": round(ingest_sec, 1),
+        "events_per_sec": round(fx["n_events"] / ingest_sec),
+        "series": series,
+    }
+
+
 if __name__ == "__main__":
-    epf = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000
-    nf = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    print(json.dumps(run(epf, nf)))
+    if len(sys.argv) > 1 and sys.argv[1] == "sustained":
+        epf = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+        nf = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+        print(json.dumps(sustained(epf, nf)))
+    else:
+        epf = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000
+        nf = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        print(json.dumps(run(epf, nf)))
