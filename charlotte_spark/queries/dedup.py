@@ -465,6 +465,121 @@ def _sql_scored_pairs(corpus_sql: str) -> str:
     """
 
 
+def _min_label_components(
+    edges: DataFrame, *, max_rounds: int = 11, scratch_tag: str = "cc"
+) -> DataFrame:
+    """Connected components by convergence-detected min-label
+    propagation WITH pointer jumping — the shared engine behind d74 and
+    d212 (round-12 refactor of d74's in-line loop).
+
+    ``edges`` must be SYMMETRIC (both (src,dst) directions present) and
+    should arrive checkpointed + repartitioned on ``src`` so the
+    per-round joins and the groupBy(min) reuse one layout. Returns the
+    fixpoint labels (id, lbl) as a scratch-parquet-backed frame (all
+    per-round caches released before returning).
+
+    Round 0 composes two plain neighbor-min propagations into ONE plan
+    (one hash join edges⋈labels + groupBy min each — the standard
+    large-graph CC step): LSH dup components are stars and short
+    chains, so the common case converges here and pays NOTHING beyond
+    the classic loop. Only genuinely deeper components enter the later
+    rounds, where each propagation ALSO applies a pointer jump
+    (labels⋈labels on lbl = id — label of label, an O(V) self-join
+    that roughly doubles the known radius per round), so a diameter-d
+    chain converges in O(log d) jumped rounds instead of O(d) linear
+    ones. At 100 TB each round is a full shuffle pass over the edge
+    set; log-depth on the tail is the difference between ~12 passes
+    covering diameter ~2^11 and diameter 12 — without taxing the
+    star-shaped bulk with the jump join it never needs.
+
+    Labels decrease monotonically, so a round with sum(chg)=0 is the
+    identity — the fixpoint test is exact and costs one O(V) scan of
+    the already-persisted round output. ``max_rounds`` is a safety
+    bound, not the expected count."""
+    from pyspark.storagelevel import StorageLevel
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+    )
+
+    def _propagate(lbls: DataFrame, *, jump: bool) -> DataFrame:
+        nbr = (
+            # labels is O(V) — no broadcast hint; AQE broadcasts while
+            # small, shuffle-joins at scale
+            edges.join(lbls, F.col("dst") == F.col("id"))
+            .select(F.col("src").alias("nid"), F.col("lbl").alias("nlbl"))
+            .groupBy("nid")
+            .agg(F.min("nlbl").alias("nbr_lbl"))
+        )
+        out = lbls.join(nbr, F.col("id") == F.col("nid"), "left")
+        if jump:
+            jmp = lbls.select(F.col("id").alias("jid"), F.col("lbl").alias("jlbl"))
+            out = out.join(jmp, F.col("lbl") == F.col("jid"), "left")
+            best = F.least(
+                F.coalesce("nbr_lbl", F.col("lbl")),
+                F.coalesce("jlbl", F.col("lbl")),
+            )
+        else:
+            best = F.coalesce("nbr_lbl", F.col("lbl"))
+        # `chg` rides along so convergence is readable off the persisted
+        # round output (O(V) scan) — labels decrease monotonically, so an
+        # application with sum(chg)=0 is the identity, i.e. the fixpoint.
+        # Two selects: never alias a computed column to a name a sibling
+        # expression still references (lateral-alias rebinding).
+        return (
+            out.select(
+                "id",
+                F.least(F.col("lbl"), best).alias("new_lbl"),
+                (best < F.col("lbl")).cast("int").alias("chg"),
+            )
+            .select("id", F.col("new_lbl").alias("lbl"), "chg")
+        )
+
+    # Checkpoint INTERVAL pattern: per-round materialization is persist()
+    # (recomputable — lineage stays <= interval·(2 joins) deep); a
+    # reliable checkpoint truncates lineage every 3rd round so a deep
+    # chain never accumulates an O(rounds) plan.
+    def _pin(df: DataFrame, round_no: int) -> DataFrame:
+        if round_no % 3 == 2:
+            return reliable_checkpoint(df)
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        return out
+
+    # Two plain propagations composed into ONE plan reach the fixpoint
+    # for the common star/triangle components before the first fixpoint
+    # test — the jump join only enters on the deep-chain tail.
+    pinned = [
+        _pin(_propagate(_propagate(labels, jump=False), jump=False), 0)
+    ]
+    labels = pinned[-1]
+    for rnd in range(1, max_rounds):
+        # O(V) fixpoint test over the already-persisted round output: the
+        # last propagate application changed nothing => identity => done.
+        if (labels.agg(F.sum("chg")).first()[0] or 0) == 0:
+            break
+        pinned.append(_pin(_propagate(labels, jump=True), rnd))
+        labels = pinned[-1]
+    # materialize THROUGH the final plan before releasing the pinned
+    # rounds — JVM-side scratch write, never a driver collect (the label
+    # table is O(docs in dup clusters))
+    import os as _os
+
+    from ..streaming.harness import _scratch_root
+
+    out_dir = (
+        f"{_scratch_root('CHARLOTTE_CC_TMP', 'charlotte_cc')}"
+        f"/labels_{scratch_tag}_{_os.getpid()}"
+    )
+    labels.select("id", "lbl").write.mode("overwrite").parquet(out_dir)
+    spark = labels.sparkSession
+    for df in pinned:
+        df.unpersist()
+    return spark.read.parquet(out_dir)
+
+
 @query(
     "d74_neardup_clusters",
     tags=("D74", "A66", "D65"),
@@ -494,19 +609,22 @@ def d74_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the stage that turns pairwise near-dup detection (a66)
     into an actual dedup decision when duplicates chain (A~B, B~C).
 
-    Components are computed by min-label propagation — each iteration
-    is one hash join edges⋈labels + a groupBy min, the standard
-    large-graph CC recipe (no driver-side graph). Labels decrease
-    monotonically, so convergence is detected by an unchanged
-    sum(label); the synthetic components are stars of diameter ≤ 2, so
-    this converges in 2-3 iterations (12 is a safety bound). The DuckDB
-    oracle is a recursive-CTE transitive closure over the identical
-    pair set.
+    Components are computed by `_min_label_components` (shared with
+    d212): convergence-detected min-label propagation with POINTER
+    JUMPING — each round is one hash join edges⋈labels + a groupBy min
+    (the standard large-graph CC recipe, no driver-side graph) plus an
+    O(V) label-of-label self-join that squares the propagation radius.
+    Labels decrease monotonically, so convergence is exact (a round
+    with sum(chg)=0 is the identity); the synthetic components are
+    stars of diameter ≤ 2, so this converges in 2-3 rounds, and the
+    safety bound covers diameter 2^rounds for natural chains. The
+    DuckDB oracle is a recursive-CTE transitive closure over the
+    identical pair set.
 
-    At 100 TB: edges live in the cluster (shuffle join per iteration,
-    keyed on node id); iteration count is the component diameter after
-    LSH bucketing, which for dedup workloads is small. The min-label
-    formulation never materializes the closure, only |V| labels."""
+    At 100 TB: edges live in the cluster (shuffle join per round, keyed
+    on node id); with jumping the round count is LOGARITHMIC in the
+    component diameter after LSH bucketing. The min-label formulation
+    never materializes the closure, only |V| labels."""
     sig = reliable_checkpoint(_minhash_sig(_corpus_near_chain(spark, sf_dir)).coalesce(8))
 
     band_cols = [
@@ -569,86 +687,15 @@ def d74_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-partitioned on src: the per-iteration edges⋈labels join and
     # the groupBy(min) reuse this layout; no single-partition funnel
     edges = reliable_checkpoint(edges.repartition("src"))
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("lbl"))
-    )
-    def _propagate(lbls: DataFrame) -> DataFrame:
-        nbr = (
-            # labels is O(V) — no broadcast hint; AQE broadcasts while small,
-            # shuffle-joins at scale
-            edges.join(lbls, F.col("dst") == F.col("id"))
-            .select(F.col("src").alias("nid"), F.col("lbl").alias("nlbl"))
-            .groupBy("nid")
-            .agg(F.min("nlbl").alias("nbr_lbl"))
+    labels = _min_label_components(edges, scratch_tag="d74")
+    return (
+        labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            (F.col("id") == F.col("lbl")).cast("int").alias("is_survivor"),
         )
-        # `chg` rides along so convergence is readable off the persisted
-        # round output (O(V) scan) — labels decrease monotonically, so an
-        # application with sum(chg)=0 is the identity, i.e. the fixpoint.
-        # Two selects: never alias a computed column to a name a sibling
-        # expression still references (lateral-alias rebinding).
-        return (
-            lbls.join(nbr, F.col("id") == F.col("nid"), "left")
-            .select(
-                "id",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
-                    "new_lbl"
-                ),
-                (F.coalesce("nbr_lbl", F.col("lbl")) < F.col("lbl"))
-                .cast("int")
-                .alias("chg"),
-            )
-            .select("id", F.col("new_lbl").alias("lbl"), "chg")
-        )
-
-    # LSH-bucketed dup components are stars/triangles around the
-    # original doc, so two propagation rounds — composed into ONE plan —
-    # reach the fixpoint in the common case. The fixpoint test is exact
-    # (monotone labels: a round with zero `chg` is the identity) and
-    # costs one O(V) scan of the persisted labels; only genuinely deeper
-    # chains pay extra rounds. Checkpoint INTERVAL pattern: per-round materialization is
-    # persist() (recomputable — lineage stays ≤ interval·2 joins deep);
-    # a reliable checkpoint truncates lineage every 3rd round so a
-    # diameter-d chain never accumulates an O(d) plan.
-    from pyspark.storagelevel import StorageLevel
-
-    def _pin(df: DataFrame, round_no: int) -> DataFrame:
-        if round_no % 3 == 2:
-            return reliable_checkpoint(df)
-        out = df.persist(StorageLevel.MEMORY_AND_DISK)
-        out.count()
-        return out
-
-    pinned = [_pin(_propagate(_propagate(labels)), 0)]
-    labels = pinned[-1]
-    for rnd in range(1, 11):
-        # O(V) fixpoint test over the already-persisted round output: the
-        # last propagate application changed nothing => identity => done.
-        # (r02 used an edges⋈labels⋈labels violation join here — an extra
-        # O(E) double-join per round for the same answer.)
-        if (labels.agg(F.sum("chg")).first()[0] or 0) == 0:
-            break
-        pinned.append(_pin(_propagate(labels), rnd))
-        labels = pinned[-1]
-    # materialize the result THROUGH the final plan before releasing the
-    # pinned rounds — JVM-side scratch write, never a driver collect
-    # (the label table is O(docs in dup clusters))
-    import os as _os
-
-    from ..streaming.harness import _scratch_root
-
-    result = labels.select(
-        F.col("id").alias("doc_id"),
-        F.col("lbl").alias("cluster_id"),
-        (F.col("id") == F.col("lbl")).cast("int").alias("is_survivor"),
+        .orderBy("cluster_id", "doc_id")
     )
-    out_dir = f"{_scratch_root('CHARLOTTE_CC_TMP', 'charlotte_cc')}/labels_{_os.getpid()}"
-    result.write.mode("overwrite").parquet(out_dir)
-    for df in pinned:
-        df.unpersist()
-    spark = labels.sparkSession
-    return spark.read.parquet(out_dir).orderBy("cluster_id", "doc_id")
 
 
 
@@ -1967,13 +2014,12 @@ def d212_cluster_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     get dropped.
 
     Scale shape: candidate pairs are the banded LSH equi-join (never
-    all-pairs, the a66/d74 recipe); label propagation is the d74
-    min-label loop at d74's FIXED 10 rounds — the seeded chains have
-    diameter ≤ 4 by construction, but natural (non-seeded) near-dup
-    components at larger SFs can be deeper, and the oracle's recursive
-    closure is exact, so the round budget matches d74's rather than
-    the seeded minimum (monotone labels make extra rounds the
-    identity); the member-vs-survivor
+    all-pairs, the a66/d74 recipe); label propagation is d74's shared
+    `_min_label_components` engine — convergence-detected min-label
+    with pointer jumping, so the seeded diameter-≤4 chains converge in
+    ~3 rounds while natural (non-seeded) components at larger SFs are
+    covered to diameter 2^rounds (the oracle's recursive closure is
+    exact, so under-propagation would hash-fail); the member-vs-survivor
     re-score is ONE keyed join per side against checkpointed shingles —
     O(cluster members), never O(cluster²)."""
     sig = reliable_checkpoint(
@@ -2040,27 +2086,11 @@ def d212_cluster_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition("src")
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("lbl"))
-    )
-    # labels is O(V) — no broadcast hint (AQE decides); 10 fixed rounds
-    # match d74's budget (covers natural components beyond the seeded
-    # diameter-4 chains; extra rounds are the identity — see docstring)
-    for rnd in range(10):
-        nbr = (
-            edges.join(labels, F.col("dst") == F.col("id"))
-            .select(F.col("src").alias("nid"), F.col("lbl").alias("nlbl"))
-            .groupBy("nid")
-            .agg(F.min("nlbl").alias("nbr_lbl"))
-        )
-        labels = labels.join(nbr, F.col("id") == F.col("nid"), "left").select(
-            "id",
-            F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
-        )
-        if rnd % 2 == 1:
-            labels = reliable_checkpoint(labels)
+    # d74's shared component engine: convergence-detected min-label
+    # propagation with pointer jumping (seeded chains converge in ~3
+    # rounds; the safety bound covers diameter 2^rounds for natural
+    # components — the ADVICE r11 robustness without fixed-round cost)
+    labels = _min_label_components(edges, scratch_tag="d212")
     lab = labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
     csize = lab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     sh = reliable_checkpoint(

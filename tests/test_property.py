@@ -1029,3 +1029,42 @@ def test_staged_cdc_equals_inline_expression(spark):
         )
         diff = both.filter(F.col("h") != F.col("h_inline")).count()
         assert diff == 0, f"staged != inline for distinct={distinct}"
+
+
+def test_min_label_components_covers_deep_chains(spark):
+    """The shared CC engine (_min_label_components, used by d74/d212)
+    must reach the exact component minimum on a DEEP chain well beyond
+    the old linear round budget — pointer jumping covers diameter
+    2^rounds, so a 40-long path (diameter 40 > the 11-round safety
+    bound) converges where linear propagation would not. Compared
+    against a brute-force union-find closure."""
+    from charlotte_spark.queries.dedup import _min_label_components
+
+    # components: one 41-node path (ids 0..40), one star (100..110),
+    # one triangle (200,201,202), singletons are absent by definition
+    pairs = [(i, i + 1) for i in range(40)]
+    pairs += [(100, x) for x in range(101, 111)]
+    pairs += [(200, 201), (201, 202), (200, 202)]
+
+    # brute-force exact closure
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    ).repartition("src")
+    got = {r["id"]: r["lbl"] for r in _min_label_components(
+        edges, scratch_tag="testchain"
+    ).collect()}
+    assert got == want, {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]}
