@@ -47,13 +47,18 @@ from charlotte_spark.streaming.harness import _scratch_root  # noqa: E402
 BASE_SF = "/root/testdata/sf0.1"
 SCALES = (4, 16, 64)
 # Representative shapes: columnar scan+agg, hash dedup window, LSH
-# shingle/band join, grouped distributed prefix, explode+join TF-IDF.
+# shingle/band join, grouped distributed prefix, explode+join TF-IDF,
+# broadcast star join (scaled fact side), broadcast-semijoin
+# contamination screen, streaming event-time tumbling windows.
 QUERIES = (
     "q1_pricing_summary",
     "d65_exact_dedup",
     "a66_minhash_lsh_neardup",
     "d80_sequence_packing",
     "d70_tf_idf",
+    "d15_broadcast_dim_join",
+    "d79_contamination_screen",
+    "d53_tumbling_window",
 )
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -70,7 +75,7 @@ def _build_scaled(spark, scale: int) -> str:
     for t in TABLES:
         src = f"{BASE_SF}/{t}.parquet"
         dst = f"{root}/{t}.parquet"
-        if t not in ("documents", "lineitem", "orders"):
+        if t not in ("documents", "lineitem", "orders", "customer", "events"):
             os.symlink(src, dst)
             continue
         df = spark.read.parquet(src)
@@ -95,6 +100,23 @@ def _build_scaled(spark, scale: int) -> str:
                     df.select(
                         (F.col("o_orderkey") + k * 100_000_000).alias("o_orderkey"),
                         *[c for c in df.columns if c != "o_orderkey"],
+                    )
+                )
+            elif t == "customer":
+                parts.append(
+                    df.select(
+                        (F.col("c_custkey") + k * 100_000_000).alias("c_custkey"),
+                        *[c for c in df.columns if c != "c_custkey"],
+                    )
+                )
+            elif t == "events":
+                # more users at the same per-user density and the same
+                # time range — volume scaling, not hot-key scaling
+                parts.append(
+                    df.select(
+                        (F.col("event_id") + k * 1_000_000_000).alias("event_id"),
+                        (F.col("user_id") + k * 10_000_000).alias("user_id"),
+                        *[c for c in df.columns if c not in ("event_id", "user_id")],
                     )
                 )
             else:  # lineitem
