@@ -1068,3 +1068,119 @@ def test_min_label_components_covers_deep_chains(spark):
         edges, scratch_tag="testchain"
     ).collect()}
     assert got == want, {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]}
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_min_label_components_random_graphs(spark, seed):
+    """Randomized-graph check of the shared CC engine: Erdos-Renyi-ish
+    sparse graphs (mixed component sizes, cycles, bridges) must match a
+    union-find closure exactly — not just the seeded star/chain shapes
+    the queries construct."""
+    import random
+
+    from charlotte_spark.queries.dedup import _min_label_components
+
+    rng = random.Random(seed)
+    n = 120
+    pairs = set()
+    for _ in range(140):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    pairs = sorted(pairs)
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    ).repartition("src")
+    got = {r["id"]: r["lbl"] for r in _min_label_components(
+        edges, scratch_tag=f"rand{seed}"
+    ).collect()}
+    assert got == want
+
+
+def test_fused_prefix_chain_three_stages(spark):
+    """A THREE-stage ordered_prefix_chain (each stage deriving from the
+    previous stage's running output) must equal the naive triple-window
+    formulation — pins that the chain generalizes past the two-stage
+    d183 shape."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.operators.prefix import (
+        PrefixStage,
+        ordered_prefix_chain,
+    )
+
+    rows = [(i, (i * 5) % 3, 1 + (i * 11) % 6) for i in range(90)]
+    df = spark.createDataFrame(rows, "k long, grp long, w long")
+
+    got_df = ordered_prefix_chain(
+        df,
+        ["k"],
+        group_cols=["grp"],
+        stages=[
+            PrefixStage(running={"r1": "w"}, totals={"t1": "w"}),
+            PrefixStage(
+                derive=lambda c: c.withColumn(
+                    "w2",
+                    F.when(F.col("r1") * 3 <= F.col("t1") * 2, F.col("w"))
+                    .otherwise(F.lit(0)),
+                ),
+                running={"r2": "w2"},
+            ),
+            PrefixStage(
+                derive=lambda c: c.withColumn(
+                    "w3", F.when(F.col("r2") % 2 == 0, F.lit(1)).otherwise(F.lit(0))
+                ),
+                running={"r3": "w3"},
+                row_number="rn",
+            ),
+        ],
+        n_parts=4,
+    )
+    got = {r["k"]: (r["r1"], r["r2"], r["r3"], r["rn"]) for r in got_df.collect()}
+
+    w1 = W.partitionBy("grp").orderBy("k").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wt = W.partitionBy("grp").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    naive = (
+        df.select(
+            "k", "grp", "w",
+            F.sum("w").over(w1).alias("r1"),
+            F.sum("w").over(wt).alias("t1"),
+        )
+        .withColumn(
+            "w2",
+            F.when(F.col("r1") * 3 <= F.col("t1") * 2, F.col("w")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn("r2", F.sum("w2").over(w1))
+        .withColumn(
+            "w3", F.when(F.col("r2") % 2 == 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .select(
+            "k", "r1", "r2",
+            F.sum("w3").over(w1).alias("r3"),
+            F.row_number().over(w1).alias("rn"),
+        )
+    )
+    want = {r["k"]: (r["r1"], r["r2"], r["r3"], r["rn"]) for r in naive.collect()}
+    assert got == want
