@@ -170,15 +170,25 @@ def d17_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     ORDER BY c_custkey
     """,
 )
 def d18_left_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS — the dimension-upsert building block (charlotte R16/R17:
-    insert-if-absent at /root/reference/charlotte/__init__.py:541-594)."""
+    insert-if-absent at /root/reference/charlotte/__init__.py:541-594).
+    The anti side is predicate-restricted (customers with no URGENT
+    order): a bare 'no orders at all' anti-join is 0-1 rows at every SF
+    of this generator — a vacuous check (r12 fix) — while ~(4/5)^k of
+    customers with k orders lack an urgent one, so the result is
+    non-empty at every SF and the pushed filter shows up in the anti
+    side's scan."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")

@@ -98,18 +98,25 @@ def d42_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d43_except",
     tags=("D43",),
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_custkey % 40 AS k FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
-    ORDER BY nationkey
+    SELECT s_suppkey % 25 FROM supplier
+    ORDER BY k
     """,
 )
 def d43_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _cust_nations(spark, sf_dir)
-        .subtract(_supp_nations(spark, sf_dir))
-        .orderBy("nationkey")
+    """Set difference with GUARANTEED overlap and remainder at every
+    SF: left keys are 0..39, right keys 0..24, so 0..24 are dropped
+    (the dedup+difference semantics exercised) and 25..39 survive.
+    The previous nation-key form was vacuous at sf>=0.01 (suppliers
+    cover every customer nation — 0 rows; r12 fix)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 40).alias("k")
     )
+    s = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") % 25).alias("k")
+    )
+    return c.subtract(s).orderBy("k")
 
 
 @query(
