@@ -1323,9 +1323,12 @@ def d183_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-lang running token cursors ride the grouped distributed
     prefix (operators/prefix.py group_cols — registered as d186, also
     used by d80 and d187's incremental form of this DAG; VERDICT r10
-    #2): two chained calls, because the pack cursor depends on the
-    mixture cursor's outcome — never a per-language serial window
-    (5 languages = 5 reducer chains at any SF). The eval-prefix join is
+    #2): two chained STAGES fused onto one range-partition
+    materialization (ordered_prefix_chain, VERDICT r11 #3 — the pack
+    cursor depends on the mixture cursor's outcome, but its derivation
+    is row-local, so one _pid assignment serves both) — never a
+    per-language serial window (5 languages = 5 reducer chains at any
+    SF). The eval-prefix join is
     unhinted (eval sets are SF-proportional; AQE broadcasts at bench
     scale and sort-merges at 100 TB, the d936768 discipline);
     everything else is keyed shuffles. Nothing reaches the driver."""
