@@ -395,6 +395,33 @@ def test_every_collect_site_is_bounded():
         "or reformulate distributed"
     )
 
+    # The other driver-roundtrip verbs are swept with the same contract
+    # (r12): .first()/.head() must be 1-row-by-construction aggregates,
+    # .toPandas() is banned outright in the package (Arrow batches
+    # belong in mapInPandas/applyInPandas, never a driver gather).
+    allowed_first = {
+        "aggregates.py": 1,  # a90: freqItems sketch row (<= 1/support items)
+        "dedup.py": 1,       # CC engine convergence test: 1-row sum(chg) agg
+    }
+    found_first: dict[str, int] = {}
+    banned: dict[str, int] = {}
+    for p in root.rglob("*.py"):
+        code = "\n".join(l.split("#")[0] for l in p.read_text().splitlines())
+        n = len(re.findall(r"\.first\(\)|\.head\(", code))
+        if n:
+            found_first[p.name] = n
+        t = len(re.findall(r"\.toPandas\(\)", code))
+        if t:
+            banned[p.name] = t
+    unexpected_first = {
+        f: n for f, n in found_first.items()
+        if f not in allowed_first or n > allowed_first[f]
+    }
+    assert not unexpected_first, (
+        f"unaudited .first()/.head() sites {unexpected_first}"
+    )
+    assert not banned, f".toPandas() driver gather in package code: {banned}"
+
 
 def test_pca_iteration_plan(spark, sf_dir):
     """d102's registered query runs its power iterations via dim-length
