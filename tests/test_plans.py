@@ -489,7 +489,8 @@ def test_composites_broadcast_hints_only_bounded_frames():
 
     qdir = pathlib.Path(__file__).resolve().parent.parent / "charlotte_spark" / "queries"
     src = (qdir / "composites.py").read_text()
-    allowed = {"n", "n1", "n2", "r", "max_rev", "avg_bal", "total"}
+    # nat: q11's 1-row min(s_nationkey) scalar aggregate (r12 vacuity fix)
+    allowed = {"n", "n1", "n2", "r", "max_rev", "avg_bal", "total", "nat"}
     hinted = set(_re.findall(r"F\.broadcast\((\w+)\)", src))
     assert hinted <= allowed, f"unbounded broadcast hints in composites: {hinted - allowed}"
     # d70: the whole-vocab df join must stay unhinted.
