@@ -465,6 +465,11 @@ def _sql_scored_pairs(corpus_sql: str) -> str:
     """
 
 
+# Monotonic per-process counter distinguishing scratch outputs of
+# repeat _min_label_components calls (same tag+pid) — see ADVICE r12.
+_CC_SCRATCH_NONCE = 0
+
+
 def _min_label_components(
     edges: DataFrame, *, max_rounds: int = 11, scratch_tag: str = "cc"
 ) -> DataFrame:
@@ -562,17 +567,39 @@ def _min_label_components(
             break
         pinned.append(_pin(_propagate(labels, jump=True), rnd))
         labels = pinned[-1]
+    else:
+        # max_rounds exhausted without a convergence break: the final
+        # round's chg was never inspected, and silently returning its
+        # labels would be a WRONG ANSWER for a component deeper than the
+        # jump schedule covers (ADVICE r12). Pointer jumping makes this
+        # astronomically unlikely (diameter ~2^max_rounds), so failing
+        # loudly costs one more O(V) scan and buys an exact guarantee.
+        if (labels.agg(F.sum("chg")).first()[0] or 0) != 0:
+            raise RuntimeError(
+                f"_min_label_components did not converge within "
+                f"{max_rounds} pointer-jumped rounds (component diameter "
+                f"> ~2^{max_rounds}); raise max_rounds"
+            )
     # materialize THROUGH the final plan before releasing the pinned
     # rounds — JVM-side scratch write, never a driver collect (the label
     # table is O(docs in dup clusters))
+    import atexit as _atexit
     import os as _os
+    import shutil as _shutil
 
     from ..streaming.harness import _scratch_root
 
+    # Per-call nonce (ADVICE r12): a repeat invocation with the same
+    # scratch_tag in one process must NOT overwrite a path an earlier
+    # call's returned DataFrame still reads; atexit cleanup matches the
+    # d184/d215 loop pattern.
+    global _CC_SCRATCH_NONCE
+    _CC_SCRATCH_NONCE += 1
     out_dir = (
         f"{_scratch_root('CHARLOTTE_CC_TMP', 'charlotte_cc')}"
-        f"/labels_{scratch_tag}_{_os.getpid()}"
+        f"/labels_{scratch_tag}_{_os.getpid()}_{_CC_SCRATCH_NONCE}"
     )
+    _atexit.register(_shutil.rmtree, out_dir, ignore_errors=True)
     labels.select("id", "lbl").write.mode("overwrite").parquet(out_dir)
     spark = labels.sparkSession
     for df in pinned:

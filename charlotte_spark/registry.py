@@ -92,76 +92,17 @@ def query(
 # correctness gate checks the FIRST 50 entries of ``queries()`` each
 # round (CORRECTNESS_r01-r11 keys == list(queries())[:50]), so insertion
 # order decides which SURVEY rows get driver evidence. Round-12 rotation
-# (VERDICT r11, Next-round #1): slots 1-27 are the 27 round-11 additions
-# D188-D214 (incl. A201/A211) — the only queries with NO driver evidence;
-# green rows take driver-confirmed coverage to 237/237 SURVEY rows.
-# Slots 28-50 backfill with 23 of the 34 r07-evidence rows (a134, d133,
-# then d135-d155); the 11 r07 leftovers lead the post-boundary list so
-# the r13 rotation inherits them automatically.
+# Driver-window rotation for ROUND 13 (VERDICT r12, Next-round #1):
+# slots 1-12 are the only remaining rotation debt — D215 (added after
+# the r12 window was fixed; never driver-checked) plus the 11
+# r07-evidence rows the r12 window could not fit. Slots 13-50 backfill
+# with 38 of the 50 oldest (r08-evidence) rows, starting with the four
+# the verdict named; the 12 r08 leftovers lead the post-boundary list
+# so the r14 rotation inherits them automatically.
 DRIVER_ORDER: tuple[str, ...] = (
-    # ---- r12 window slots 1-27: the 27 round-11 additions that have
-    # never been in a driver window (VERDICT r11, Next-round #1) ----
-    "d188_bpe_merges",
-    "d189_training_shuffle",
-    "d190_zonemap_pruning",
-    "d191_point_in_time_features",
-    "d192_layout_maintenance_loop",
-    "d193_bpe_tokenize",
-    "d194_index_migration_audit",
-    "d195_cdc_chunking",
-    "d196_context_truncation",
-    "d197_preference_pairs",
-    "d198_rle_bitmap_index",
-    "d199_curriculum_schedule",
-    "d200_chunk_index_loop",
-    "a201_histogram_quantile_sketch",
-    "d202_tokenizer_migration",
-    "d203_matryoshka_audit",
-    "d204_curation_config_diff",
-    "d205_liveness_gaps",
-    "d206_padding_waste",
-    "d207_bootstrap_ci",
-    "d208_contribution_bounding",
-    "d209_cross_source_dup_matrix",
-    "d210_source_divergence_matrix",
-    "a211_horvitz_thompson_total",
-    "d212_cluster_chaining_audit",
-    "d213_concat_chunk_packing",
-    "d214_hard_negative_mining",
-    # ---- r12 window slots 28-50: the 23 oldest r07-evidence rows
-    # (a134, d133, then the d135-d155 block) ----
-    "a134_selfjoin_size",
-    "d133_equidepth_stats",
-    "d135_distribution_windows",
-    "d136_merge_upsert",
-    "d137_gapfill_interpolate",
-    "d138_triangle_count",
-    "d139_ks_drift",
-    "d140_k_anonymity",
-    "d141_constraint_audit",
-    "d142_zorder_layout",
-    "d143_woe_iv_binning",
-    "d144_ab_proportion_test",
-    "d145_benford_audit",
-    "d146_association_rules",
-    "d147_total_reconciliation",
-    "d148_seasonal_baseline",
-    "d149_corrupt_quarantine",
-    "d150_fd_profiling",
-    "d151_touch_attribution",
-    "d152_winsorize_scale",
-    "d153_time_travel",
-    "d154_bounce_dwell",
-    "d155_growth_accounting",
-    # ---- 50-slot window boundary ----
-    # Post-boundary: the round-12 addition (never driver-checked) leads,
-    # then the 11 remaining r07-evidence rows, so the r13 rotation
-    # inherits all of them (verdict r11 #4; pinned by
-    # tests/test_registry_order.py::test_window_is_greedy_most_stale);
-    # then the r08/r09/r10-evidence blocks in prior relative order;
-    # the 50 rows displaced from the r11 window (all re-greened at
-    # r11) go last, newest last.
+    # ---- r13 window slot 1: the r12 addition (never driver-checked) ----
     "d215_semantic_dedup_arrival",
+    # ---- r13 window slots 2-12: the 11 r07-evidence leftovers ----
     "d156_revenue_concentration",
     "d126_transform_with_state",
     "d58_cid_sequencer_stream",
@@ -173,11 +114,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     "r_charlotte_ingest_decode",
     "r_charlotte_batch_pipeline",
     "r_charlotte_text_mode",
-    # ---- r08/r09/r10-evidence rows ----
+    # ---- r13 window slots 13-50: the 38 oldest r08-evidence rows ----
+    "a160_hll_intersection",
+    "a31_approx_count_distinct",
+    "a32_approx_quantiles",
+    "d1_scan_rowcounts",
     "d157_url_curation",
     "d158_boilerplate_lines",
     "d159_curation_scorecard",
-    "a160_hll_intersection",
     "d161_incremental_rollup",
     "d162_streaming_psi_drift",
     "d163_bloom_semijoin_reduction",
@@ -189,13 +133,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d28_filtered_agg",
     "d29_collect_list_set",
     "d30_first_last_ordered",
-    "a31_approx_count_distinct",
-    "a32_approx_quantiles",
     "d32x_exact_percentile",
     "d3_jdbc_scan",
     "d5_jdbc_sink",
     "d6_file_stream_checkpoint",
-    "d1_scan_rowcounts",
     "d1_scan_checksum_lineitem",
     "d2_csv_json_scan",
     "d4_partitioned_parquet_sink",
@@ -212,6 +153,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d16_full_outer_join",
     "d17_left_semi_join",
     "d18_left_anti_join",
+    # ---- 50-slot window boundary ----
+    # Post-boundary: greedy most-stale order over CORRECTNESS_r* evidence
+    # (ties keep prior relative order) — the 12 r08-evidence leftovers
+    # lead so the r14 rotation inherits them (pinned by
+    # tests/test_registry_order.py::test_window_is_greedy_most_stale);
+    # then the r09/r10/r11/r12-evidence blocks, newest evidence last.
+    # A query added mid-round (no evidence yet) goes ABOVE this comment
+    # block, directly after the boundary.
     "d19_cross_join",
     "d20_range_join",
     "d21_asof_join",
@@ -324,7 +273,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d102_pca_power",
     "d103_conversion_funnel",
     "d104_cohort_retention",
-    # ---- displaced r11 window (all green in CORRECTNESS_r11) ----
     "d183_curation_dag",
     "d184_ann_index_arrival",
     "d185_spool_evolution",
@@ -375,6 +323,56 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d130_cidr_enrichment",
     "d131_incremental_dedup",
     "d132_skew_profile",
+    "d188_bpe_merges",
+    "d189_training_shuffle",
+    "d190_zonemap_pruning",
+    "d191_point_in_time_features",
+    "d192_layout_maintenance_loop",
+    "d193_bpe_tokenize",
+    "d194_index_migration_audit",
+    "d195_cdc_chunking",
+    "d196_context_truncation",
+    "d197_preference_pairs",
+    "d198_rle_bitmap_index",
+    "d199_curriculum_schedule",
+    "d200_chunk_index_loop",
+    "a201_histogram_quantile_sketch",
+    "d202_tokenizer_migration",
+    "d203_matryoshka_audit",
+    "d204_curation_config_diff",
+    "d205_liveness_gaps",
+    "d206_padding_waste",
+    "d207_bootstrap_ci",
+    "d208_contribution_bounding",
+    "d209_cross_source_dup_matrix",
+    "d210_source_divergence_matrix",
+    "a211_horvitz_thompson_total",
+    "d212_cluster_chaining_audit",
+    "d213_concat_chunk_packing",
+    "d214_hard_negative_mining",
+    "a134_selfjoin_size",
+    "d133_equidepth_stats",
+    "d135_distribution_windows",
+    "d136_merge_upsert",
+    "d137_gapfill_interpolate",
+    "d138_triangle_count",
+    "d139_ks_drift",
+    "d140_k_anonymity",
+    "d141_constraint_audit",
+    "d142_zorder_layout",
+    "d143_woe_iv_binning",
+    "d144_ab_proportion_test",
+    "d145_benford_audit",
+    "d146_association_rules",
+    "d147_total_reconciliation",
+    "d148_seasonal_baseline",
+    "d149_corrupt_quarantine",
+    "d150_fd_profiling",
+    "d151_touch_attribution",
+    "d152_winsorize_scale",
+    "d153_time_travel",
+    "d154_bounce_dwell",
+    "d155_growth_accounting",
 )
 
 # How many leading entries of queries() the driver's correctness gate

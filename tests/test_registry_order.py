@@ -26,55 +26,140 @@ def test_enumeration_puts_driver_order_first():
 
 
 def test_window_covers_fixes_and_never_verified_rows():
-    """Round-12 rotation (VERDICT r11 #1): slots 1-27 are the 27
-    round-11 additions D188-D214 (incl. A201/A211) — the only queries
-    with zero driver evidence; green rows take driver-confirmed
-    coverage to 237/237 SURVEY rows. Slots 28-50 backfill with 23 of
-    the 34 oldest (r07-evidence) rows: a134, d133, then d135-d155."""
+    """Round-13 rotation (VERDICT r12 #1): slot 1 is D215 (the r12
+    addition, never driver-checked), slots 2-12 the 11 r07-evidence
+    leftovers, slots 13-50 backfill with 38 of the 50 oldest
+    (r08-evidence) rows starting with the four the verdict named.
+    Green rows take driver-confirmed coverage to 238/238 SURVEY rows
+    and retire all pre-r8 evidence."""
     window = list(load_all_queries())[:DRIVER_WINDOW]
-    # The never-driver-checked r11 additions lead the window.
-    assert window[0] == "d188_bpe_merges"
-    assert window[26] == "d214_hard_negative_mining"
+    assert window[0] == "d215_semantic_dedup_arrival"
+    # The 11 r07-evidence rows occupy slots 2-12.
     for must in (
-        "d193_bpe_tokenize",
-        "d195_cdc_chunking",
-        "d200_chunk_index_loop",
-        "a201_histogram_quantile_sketch",
-        "a211_horvitz_thompson_total",
-        "d212_cluster_chaining_audit",
+        "d156_revenue_concentration",
+        "d126_transform_with_state",
+        "d58_cid_sequencer_stream",
+        "d60_foreachbatch_upsert",
+        "d68_topk_bruteforce",
+        "d72_decode_pipeline",
+        "r_charlotte_rollover_hook",
+        "r_charlotte_event_records",
+        "r_charlotte_ingest_decode",
+        "r_charlotte_batch_pipeline",
+        "r_charlotte_text_mode",
     ):
-        assert must in window[:27], f"{must} missing from slots 1-27"
-    # The verdict-named r07 backfill.
-    assert window[27:29] == ["a134_selfjoin_size", "d133_equidepth_stats"]
+        assert must in window[1:12], f"{must} missing from slots 2-12"
+    # The verdict-named r08 backfill leads slots 13-16.
+    assert window[12:16] == [
+        "a160_hll_intersection",
+        "a31_approx_count_distinct",
+        "a32_approx_quantiles",
+        "d1_scan_rowcounts",
+    ]
     for must in (
-        "d135_distribution_windows",
-        "d140_k_anonymity",
-        "d146_association_rules",
-        "d153_time_travel",
-        "d155_growth_accounting",
+        "d157_url_curation",
+        "d25_global_agg",
+        "d3_jdbc_scan",
+        "d14_inner_equijoin",
+        "d18_left_anti_join",
     ):
-        assert must in window[27:], f"{must} fell out of the driver window"
+        assert must in window[12:], f"{must} fell out of the driver window"
     # Every window slot must be hash-checkable: the whole rows-only
     # class was retired in r7 (all queries carry oracles).
     reg = load_all_queries()
     rows_only = [n for n in window if reg[n].oracle is None]
     assert not rows_only, f"rows-only slots: {rows_only}"
-    # Nothing already driver-green in r08-r11 may occupy a slot.
-    for stale in ("d157_url_curation", "d25_global_agg", "d165_char_entropy",
-                  "d181_lsh_arrival_loop", "d88_pii_redaction",
-                  "d183_curation_dag", "d33_ranking_functions",
-                  "d105_fuzzy_reconcile", "q3_shipping_priority"):
+    # Nothing already driver-green in r09-r12 may occupy a slot.
+    for stale in ("d165_char_entropy", "d181_lsh_arrival_loop",
+                  "d88_pii_redaction", "d183_curation_dag",
+                  "d33_ranking_functions", "d105_fuzzy_reconcile",
+                  "q3_shipping_priority", "d188_bpe_merges",
+                  "d212_cluster_chaining_audit", "a134_selfjoin_size",
+                  "d135_distribution_windows"):
         assert stale not in window, f"{stale} wastes a window slot"
 
 
-def test_window_is_greedy_most_stale(tmp_path):
+def _rotation_violations(
+    window: list[str], rest: list[str], latest: dict[str, int]
+) -> list[str]:
+    """Greedy most-stale rotation invariants over driver evidence.
+
+    Returns a list of violation strings (empty = window is a valid
+    greedy most-stale selection and the post-boundary list leads with
+    exactly the one-window leftover debt, never-checked rows first).
+    Pure function so both round phases can be unit-tested directly
+    (VERDICT r12 #2).
+    """
+    violations: list[str] = []
+    out_never = [n for n in rest if n not in latest]
+
+    in_checked = [latest[n] for n in window if n in latest]
+    out_rounds = [latest[n] for n in rest if n in latest]
+    if in_checked and out_rounds and max(in_checked) > min(out_rounds):
+        violations.append(
+            "window holds a query with newer evidence than one outside it: "
+            f"max(in)={max(in_checked)} > min(out)={min(out_rounds)}"
+        )
+
+    # Debt that ties with the window's stalest row must clear next round.
+    stalest = max(in_checked) if in_checked else (
+        min(out_rounds) if out_rounds else 0
+    )
+    debt = out_never + [n for n in rest if latest.get(n, stalest + 1) <= stalest]
+    if len(debt) > len(window):
+        violations.append(f"stale debt exceeds one window: {len(debt)}")
+    # The post-boundary list must lead with exactly that debt —
+    # never-checked first — so the next rotation inherits it by taking
+    # the next DRIVER_WINDOW names.
+    elif rest[: len(debt)] != debt:
+        violations.append(
+            "post-boundary list does not lead with the stale leftovers: "
+            f"{rest[:len(debt)]} != {debt}"
+        )
+    return violations
+
+
+def _commit_time_evidence(
+    window: list[str], per_round: dict[int, set[str]]
+) -> dict[str, int]:
+    """Latest evidence round per query AS OF window-commit time.
+
+    The greedy most-stale invariant is only satisfiable at round START:
+    the moment the driver writes this round's CORRECTNESS artifact, the
+    still-current window "holds newer evidence than the leftovers
+    outside it" by construction (VERDICT r12 "What's wrong" #1 — the
+    test went red at the end of every round). Phase detection: if the
+    NEWEST artifact's key set equals the current window, the driver has
+    already run on this window, so staleness is evaluated against the
+    rounds strictly BEFORE it (the pre-run state the rotation was
+    committed under). Otherwise (round start / mid-round) all evidence
+    counts.
+    """
+    if not per_round:
+        return {}
+    newest = max(per_round)
+    rounds = (
+        [r for r in per_round if r < newest]
+        if per_round[newest] == set(window)
+        else list(per_round)
+    )
+    latest: dict[str, int] = {}
+    for rnd in rounds:
+        for k in per_round[rnd]:
+            latest[k] = max(latest.get(k, 0), rnd)
+    return latest
+
+
+def test_window_is_greedy_most_stale():
     """Rotation-debt schedule (VERDICT r11 #4): the driver window must
     be a greedy most-stale-first selection over driver evidence, so
     each round's rotation auto-inherits the leftovers of the previous
-    one (the 11 r07-evidence rows left out of the r12 window lead the
-    post-boundary list and MUST enter the r13 window).
+    one (the 12 r08-evidence rows left out of the r13 window lead the
+    post-boundary list and MUST enter the r14 window).
 
-    Invariants, computed from the committed CORRECTNESS_r*.json files:
+    Invariants, computed from the committed CORRECTNESS_r*.json files
+    at WINDOW-COMMIT time (see _commit_time_evidence — this round's own
+    driver artifact must not age the rows outside the window):
       1. every never-driver-checked query is inside the window OR leads
          the post-boundary list (a row added mid-round, AFTER the
          window was committed to clearing older debt — it has no
@@ -92,37 +177,69 @@ def test_window_is_greedy_most_stale(tmp_path):
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parent.parent
-    latest: dict[str, int] = {}
+    per_round: dict[int, set[str]] = {}
     for f in glob.glob(str(root / "CORRECTNESS_r*.json")):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
-        for k in json.load(open(f)):
-            latest[k] = max(latest.get(k, 0), rnd)
-    assert latest, "no CORRECTNESS artifacts found"
+        per_round[rnd] = set(json.load(open(f)))
+    assert per_round, "no CORRECTNESS artifacts found"
 
     names = list(load_all_queries())
     window, rest = names[:DRIVER_WINDOW], names[DRIVER_WINDOW:]
+    latest = _commit_time_evidence(window, per_round)
+    assert latest, "no pre-window CORRECTNESS evidence found"
+    violations = _rotation_violations(window, rest, latest)
+    assert not violations, "; ".join(violations)
 
-    out_never = [n for n in rest if n not in latest]
 
-    in_checked = [latest[n] for n in window if n in latest]
-    out_rounds = [latest[n] for n in rest if n in latest]
-    if in_checked and out_rounds:
-        assert max(in_checked) <= min(out_rounds), (
-            "window holds a query with newer evidence than one outside it: "
-            f"max(in)={max(in_checked)} > min(out)={min(out_rounds)}"
-        )
+def test_rotation_invariants_round_start_phase():
+    """Unit case, round-start phase (VERDICT r12 #2): the newest
+    artifact covers the PREVIOUS window, so all evidence counts — and a
+    window that skips stale debt is still caught."""
+    per_round = {1: {"a", "b"}, 2: {"c", "d"}}
+    window = ["a", "b"]  # r1 evidence: the stalest rows — valid greedy
+    rest = ["c", "d"]
+    latest = _commit_time_evidence(window, per_round)
+    assert latest == {"a": 1, "b": 1, "c": 2, "d": 2}
+    assert _rotation_violations(window, rest, latest) == []
+    # A window occupying a slot with r2 evidence while an r1 row waits
+    # outside is NOT greedy most-stale.
+    bad_window, bad_rest = ["a", "c"], ["b", "d"]
+    latest = _commit_time_evidence(bad_window, per_round)
+    assert _rotation_violations(bad_window, bad_rest, latest)
 
-    # Debt that ties with the window's stalest row must clear next round.
-    stalest = max(in_checked) if in_checked else min(out_rounds)
-    debt = out_never + [n for n in rest if latest.get(n, stalest + 1) <= stalest]
-    assert len(debt) <= DRIVER_WINDOW, f"stale debt exceeds one window: {len(debt)}"
-    # And the post-boundary list must lead with exactly that debt —
-    # never-checked first — so the next rotation inherits it by taking
-    # the next DRIVER_WINDOW names.
-    assert rest[: len(debt)] == debt, (
-        "post-boundary list does not lead with the stale leftovers: "
-        f"{rest[:len(debt)]} != {debt}"
+
+def test_rotation_invariants_round_end_phase():
+    """Unit case, round-end phase (VERDICT r12 #2): the newest artifact
+    IS the current window, so staleness is evaluated pre-run — the
+    just-verified window must not read as newer than the leftovers, but
+    a window that genuinely skipped stale debt still fails."""
+    # Window {a,b} held r1 evidence at commit time; the driver then
+    # wrote round-3 evidence for exactly that window.
+    per_round = {1: {"a", "b"}, 2: {"c", "d"}, 3: {"a", "b"}}
+    window, rest = ["a", "b"], ["c", "d"]
+    latest = _commit_time_evidence(window, per_round)
+    assert latest == {"a": 1, "b": 1, "c": 2, "d": 2}, (
+        "round-3 evidence must be excluded: it postdates window commit"
     )
+    assert _rotation_violations(window, rest, latest) == []
+    # Same phase, but the committed window had skipped the stale row
+    # "b" (r1) in favour of "c" (r2): still a violation after the
+    # phase correction.
+    per_round_bad = {1: {"a", "b"}, 2: {"c", "d"}, 3: {"a", "c"}}
+    bad_window, bad_rest = ["a", "c"], ["b", "d"]
+    latest = _commit_time_evidence(bad_window, per_round_bad)
+    assert latest == {"a": 1, "b": 1, "c": 2, "d": 2}
+    assert _rotation_violations(bad_window, bad_rest, latest)
+    # Never-checked rows must lead the post-boundary list even in the
+    # end phase (a row added mid-round, e.g. d215 at r12): "c" is a
+    # checked row tying the window's stalest tier, "x" has no evidence.
+    per_round_new = {1: {"a", "b", "c"}, 2: {"a", "b"}}
+    window2, rest2 = ["a", "b"], ["x", "c"]  # x never checked, leads
+    latest2 = _commit_time_evidence(window2, per_round_new)
+    assert latest2 == {"a": 1, "b": 1, "c": 1}
+    assert _rotation_violations(window2, rest2, latest2) == []
+    rest2_bad = ["c", "x"]  # never-checked row NOT leading
+    assert _rotation_violations(window2, rest2_bad, latest2)
 
 
 def test_spark_entry_exposes_ordered_queries():
