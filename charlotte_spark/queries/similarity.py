@@ -1558,19 +1558,31 @@ def d214_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _D215_TAU = 0.9999  # d118's SemDeDup threshold — only (near-)exact copies
 _D215_NATURAL = {0: (4, 0), 1: (8, 1), 2: (8, 5)}  # round -> (mod, rem)
-# round -> [(vec_id offset, mod, rem)] exact-copy injections. Chosen so
-# every drop class is non-vacuous by construction AND the round-2
-# dup_index drops REQUIRE the index to have grown in round 1:
-#   r1 +1e6 of %20==0  -> copies of BOOTSTRAP keeps   => dup_index r1
-#   r1 +2e6 of %40==2  -> novel (originals never indexed) => kept r1
-#   r1 +3e6 of %40==2  -> identical to the +2e6 twin   => dup_batch r1
-#   r2 +4e6 of %40==2  -> copies of the +2e6 ROUND-1 APPENDS
-#                         => dup_index r2 (the growth proof)
-#   r2 +5e6/+6e6 of %40==6 -> novel twin pair          => kept + dup_batch r2
+# round -> [(base multiplier, mod, rem)] exact-copy injections; an
+# injected arrival gets vec_id = original + mult * base where
+# base = max(vec_id) + 1 is derived FROM THE CORPUS (ADVICE r12: the
+# old fixed 1e6..6e6 offsets collide once the table exceeds ~1M rows —
+# e.g. a round-2 +4e6 copy of v equals a round-1 +2e6 append of
+# v+2e6 — and colliding arrival ids are collapsed by the rn=1
+# assignment, silently dropping arrivals and voiding the
+# by-construction non-vacuity guarantees). Per-spec multiples of base
+# keep every injected range disjoint from the corpus and from each
+# other at ANY scale. Classes (mult k = the k-th injection):
+#   r1 k=1 of %20==0  -> copies of BOOTSTRAP keeps   => dup_index r1
+#   r1 k=2 of %40==2  -> novel (originals never indexed) => kept r1
+#   r1 k=3 of %40==2  -> identical to the k=2 twin   => dup_batch r1
+#   r2 k=4 of %40==2  -> copies of the k=2 ROUND-1 APPENDS
+#                        => dup_index r2 (the growth proof)
+#   r2 k=5/k=6 of %40==6 -> novel twin pair          => kept + dup_batch r2
 _D215_COPIES = {
-    1: [(1_000_000, 20, 0), (2_000_000, 40, 2), (3_000_000, 40, 2)],
-    2: [(4_000_000, 40, 2), (5_000_000, 40, 6), (6_000_000, 40, 6)],
+    1: [(1, 20, 0), (2, 40, 2), (3, 40, 2)],
+    2: [(4, 40, 2), (5, 40, 6), (6, 40, 6)],
 }
+# Bounded exact-side sample for cross-cell miss accounting (VERDICT
+# r12 #3): per round, the <= 4 lowest-id arrivals of every cell are
+# re-scored against ALL keeps of the prior index generation — <= 4K
+# probe rows by construction (the d184 recall3 discipline).
+_D215_PROBES_PER_CELL = 4
 
 
 def _d215_oracle() -> str:
@@ -1604,12 +1616,43 @@ def _d215_oracle() -> str:
             f" WHERE vec_id % {mod} = {rem}"
         )
     for r, specs in _D215_COPIES.items():
-        for off, mod, rem in specs:
+        for mult, mod, rem in specs:
             arr_parts.append(
-                f"SELECT {r}, vec_id + {off}, v FROM e"
+                f"SELECT {r}, vec_id + {mult} * u.base, v FROM e CROSS JOIN u"
                 f" WHERE vec_id % {mod} = {rem}"
             )
     arr_sql = "\n        UNION ALL ".join(arr_parts)
+
+    # Cross-cell miss accounting (VERDICT r12 #3): per round, the <= 4
+    # lowest-id arrivals per cell re-scored against ALL keeps of the
+    # prior index generation (any cell); missed = recorded 'kept' but a
+    # cos >= tau twin exists somewhere in the index.
+    miss_parts = []
+    for r, prev in ((0, "i_empty"), (1, "i0"), (2, "i1")):
+        cos_pi = sql_cosine("p2.v", "i.v")
+        miss_parts.append(f"""
+    p{r} AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT vec_id, v, cell,
+                   row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS prn
+            FROM a{r}
+        ) WHERE prn <= {_D215_PROBES_PER_CELL}
+    ),
+    m{r} AS (
+        SELECT {r} AS round_id, CAST(p.cell AS INT) AS cell,
+               count(*) AS n_probes,
+               CAST(coalesce(sum(CASE WHEN f.status = 'kept'
+                                       AND t.p_id IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_missed_twin
+        FROM p{r} p
+        JOIN f{r} f ON f.vec_id = p.vec_id
+        LEFT JOIN (SELECT DISTINCT p2.vec_id AS p_id
+                   FROM p{r} p2 JOIN {prev} i ON {cos_pi} >= {_D215_TAU}) t
+          ON t.p_id = p.vec_id
+        GROUP BY p.cell
+    )""")
+    miss_sql = ",".join(miss_parts)
 
     dg = sql_two_level_digest(
         "status",
@@ -1630,6 +1673,7 @@ def _d215_oracle() -> str:
         WHERE vec_id < {_D184_K}
     ),
     e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    u AS (SELECT CAST(max(vec_id) + 1 AS BIGINT) AS base FROM embeddings),
     arr AS (
         {arr_sql}
     ),
@@ -1659,24 +1703,32 @@ def _d215_oracle() -> str:
         SELECT 1, CAST(cell AS INT), vec_id, status, kept_id FROM f1
         UNION ALL
         SELECT 2, CAST(cell AS INT), vec_id, status, kept_id FROM f2
+    ),{miss_sql},
+    miss AS (
+        SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2
     ),
     ledger AS ({dg})
-    SELECT CAST(round_id AS INT) AS round_id, cell,
-           n_arrivals, n_dup_index, n_dup_batch, n_kept,
-           CAST(sum(n_kept) OVER (PARTITION BY cell ORDER BY round_id)
+    SELECT CAST(l.round_id AS INT) AS round_id, l.cell,
+           l.n_arrivals, l.n_dup_index, l.n_dup_batch, l.n_kept,
+           CAST(sum(l.n_kept) OVER (PARTITION BY l.cell ORDER BY l.round_id)
                 AS BIGINT) AS index_after,
-           digest
-    FROM ledger ORDER BY round_id, cell
+           m.n_probes, m.n_missed_twin,
+           {sql_round("m.n_missed_twin * 1.0 / m.n_probes", 4)}
+               AS missed_twin_rate,
+           l.digest
+    FROM ledger l
+    LEFT JOIN miss m ON m.round_id = l.round_id AND m.cell = l.cell
+    ORDER BY l.round_id, l.cell
     """
 
 
-def _d215_batch(emb: DataFrame, r: int) -> DataFrame:
+def _d215_batch(emb: DataFrame, r: int, base: int) -> DataFrame:
     mod, rem = _D215_NATURAL[r]
     b = emb.filter(F.col("vec_id") % mod == rem).select("vec_id", "v")
-    for off, m2, r2 in _D215_COPIES.get(r, []):
+    for mult, m2, r2 in _D215_COPIES.get(r, []):
         b = b.unionByName(
             emb.filter(F.col("vec_id") % m2 == r2).select(
-                (F.col("vec_id") + off).alias("vec_id"), "v"
+                (F.col("vec_id") + F.lit(mult * base)).alias("vec_id"), "v"
             )
         )
     return b
@@ -1729,6 +1781,62 @@ def _d215_flags(assigned: DataFrame, idx: DataFrame) -> DataFrame:
     )
 
 
+def _d215_miss_stats(
+    assigned: DataFrame, status: DataFrame, idx: DataFrame
+) -> DataFrame:
+    """Sampled EXACT side for cross-cell miss accounting (VERDICT r12
+    #3): the cell-keyed probe in `_d215_flags` can never see a twin
+    whose keep landed in a DIFFERENT cell, so — like d184's per-probe
+    recall3 — a bounded probe subset (the ≤ `_D215_PROBES_PER_CELL`
+    lowest-id arrivals per cell, ≤ 4K rows by construction) is
+    re-scored against ALL keeps of the prior index generation, any
+    cell. A probe whose recorded status is 'kept' but which has a
+    cos ≥ τ twin ANYWHERE in the index is a missed twin (an in-cell
+    twin would have forced dup_index, so every hit here is genuinely
+    cross-cell). Returns (cell, n_probes, n_missed_twin); the exact
+    join broadcasts the bounded probe side over one index scan —
+    O(probes × index) work on a ≤ 4K-row build side, never
+    index × index."""
+    wp = W.partitionBy("cell").orderBy("vec_id")
+    probes = (
+        assigned.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= _D215_PROBES_PER_CELL)
+        .select("vec_id", "v", "cell")
+    )
+    twins = (
+        idx.select(F.col("vec_id").alias("i_id"), F.col("v").alias("iv"))
+        .join(
+            F.broadcast(
+                probes.select(
+                    F.col("vec_id").alias("p_id"), F.col("v").alias("pv")
+                )
+            ),
+            cosine(F.col("pv"), F.col("iv")) >= _D215_TAU,
+        )
+        .select("p_id")
+        .distinct()
+    )
+    return (
+        probes.join(status.select("vec_id", "status"), "vec_id")
+        .join(
+            twins.withColumn("_tw", F.lit(1)).withColumnRenamed(
+                "p_id", "vec_id"
+            ),
+            "vec_id",
+            "left",
+        )
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.sum(
+                (
+                    (F.col("status") == "kept") & F.col("_tw").isNotNull()
+                ).cast("int")
+            ).alias("n_missed_twin"),
+        )
+    )
+
+
 @query(
     "d215_semantic_dedup_arrival",
     tags=("D215", "D118", "D184", "D187"),
@@ -1755,8 +1863,23 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires cross-round index growth (the d184/d187 discipline; see
     _D215_COPIES).
 
+    Cross-cell miss accounting (VERDICT r12 #3): like any IVF dedup,
+    the cell-keyed probe never compares twins that land in DIFFERENT
+    cells, so each round also re-scores a bounded probe subset (the
+    ≤ 4 lowest-id arrivals per cell) against ALL keeps of the prior
+    generation — any cell — and the ledger reports ``n_probes`` /
+    ``n_missed_twin`` / ``missed_twin_rate`` per (round, cell). For
+    THIS query's exact-copy injections the measured rate is 0 by
+    IVF-assignment consistency (an exact copy has identical cosines to
+    every centroid, so it lands in its original's cell — the same
+    deterministic tie-break on both engines); the metric exists to
+    catch near-twins straddling a cell boundary at scale, and
+    tests/test_property.py::test_d215_miss_accounting_fires proves the
+    machinery counts a constructed cross-cell twin.
+
     Output: one ledger row per (round, cell) — arrival/drop/keep
-    counts, the per-cell index size after the round, and a two-level
+    counts, the per-cell index size after the round, the sampled
+    cross-cell miss columns, and a two-level
     membership digest over ``vec_id|status|kept_id`` payloads, so a
     wrong drop reason or wrong collapse target fails the hash even
     when counts coincide. The ledger is computed entirely FROM the
@@ -1787,6 +1910,9 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
+    # Injection offset unit, derived from the corpus (ADVICE r12 —
+    # see _D215_COPIES). bounded: 1-row global max aggregate.
+    base = int(emb.agg(F.max("vec_id")).first()[0]) + 1
     emb.filter(F.col("vec_id") < _D184_K).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     ).write.mode("overwrite").parquet(f"{root}/centroids")
@@ -1797,7 +1923,7 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the assignment WRITE is the lineage cut (the d184 pattern):
         # the persisted batch feeds the index probe, the within-batch
         # pass and the keeps append as parquet reads
-        _assign_cells(_d215_batch(emb, r), cents).write.mode(
+        _assign_cells(_d215_batch(emb, r, base), cents).write.mode(
             "overwrite"
         ).parquet(f"{root}/assign/round_id={r}")
         a = spark.read.parquet(f"{root}/assign/round_id={r}").select(
@@ -1806,10 +1932,15 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         _d215_flags(a, idx).write.mode("overwrite").parquet(
             f"{root}/status/round_id={r}"
         )
+        st = spark.read.parquet(f"{root}/status/round_id={r}")
+        # bounded exact side vs the PRIOR generation (the state the
+        # round's dup_index decision probed) — persisted like status,
+        # so the final ledger plan stays a pure state read
+        _d215_miss_stats(a, st, idx).write.mode("overwrite").parquet(
+            f"{root}/miss/round_id={r}"
+        )
         keeps = a.join(
-            spark.read.parquet(f"{root}/status/round_id={r}")
-            .filter(F.col("status") == "kept")
-            .select("vec_id"),
+            st.filter(F.col("status") == "kept").select("vec_id"),
             "vec_id",
         ).select("vec_id", "v", "cell")
         idx.unionByName(keeps).write.mode("overwrite").parquet(
@@ -1843,11 +1974,18 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_alias="n_arrivals",
         sum_cols={"n_dup_index": "_di", "n_dup_batch": "_db", "n_kept": "_kk"},
     )
+    miss = spark.read.parquet(f"{root}/miss").select(
+        F.col("round_id").cast("int").alias("round_id"),
+        F.col("cell").cast("int").alias("cell"),
+        "n_probes",
+        "n_missed_twin",
+    )
     # bounded: <= rounds x K ledger rows; per-cell cumulative keeps =
     # the index size after each round
     w_cell = W.partitionBy("cell").orderBy("round_id")
     return (
         led.withColumn("index_after", F.sum("n_kept").over(w_cell))
+        .join(miss, ["round_id", "cell"], "left")
         .select(
             "round_id",
             "cell",
@@ -1856,6 +1994,11 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_batch",
             "n_kept",
             "index_after",
+            "n_probes",
+            "n_missed_twin",
+            pround(F.col("n_missed_twin") / F.col("n_probes"), 4).alias(
+                "missed_twin_rate"
+            ),
             "digest",
         )
         .orderBy("round_id", "cell")

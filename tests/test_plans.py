@@ -400,8 +400,10 @@ def test_every_collect_site_is_bounded():
     # .toPandas() is banned outright in the package (Arrow batches
     # belong in mapInPandas/applyInPandas, never a driver gather).
     allowed_first = {
-        "aggregates.py": 1,  # a90: freqItems sketch row (<= 1/support items)
-        "dedup.py": 1,       # CC engine convergence test: 1-row sum(chg) agg
+        "aggregates.py": 1,   # a90: freqItems sketch row (<= 1/support items)
+        "dedup.py": 2,        # CC engine convergence + post-loop fixpoint:
+                              # both 1-row sum(chg) aggs
+        "similarity.py": 1,   # d215: 1-row max(vec_id) injection-offset base
     }
     found_first: dict[str, int] = {}
     banned: dict[str, int] = {}

@@ -1184,3 +1184,57 @@ def test_fused_prefix_chain_three_stages(spark):
     )
     want = {r["k"]: (r["r1"], r["r2"], r["r3"], r["rn"]) for r in naive.collect()}
     assert got == want
+
+
+def test_d215_miss_accounting_fires(spark):
+    """d215's cross-cell miss accounting (VERDICT r12 #3) must COUNT a
+    twin that straddles a cell boundary — the registered query measures
+    0 because exact copies assign consistently, so this constructs the
+    miss: u = e0 + 0.995*e1 lands in cell 0 (kept there as a prior-
+    generation index entry), its near-twin u' = 0.995*e0 + e1 lands in
+    cell 1 (cos(u, u') = 1.99/1.990025 ≈ 0.999987 ≥ τ=0.9999), so the
+    cell-keyed probe keeps u' and the sampled exact side must report it
+    as a missed twin. A third, orthogonal arrival (e2 → cell 0 by the
+    tie-break) must NOT be counted."""
+    from charlotte_spark.queries.similarity import (
+        _assign_cells,
+        _d215_flags,
+        _d215_miss_stats,
+    )
+
+    dim = 64
+
+    def onehot(i, scale=1.0):
+        return [scale if j == i else 0.0 for j in range(dim)]
+
+    def mix(i, wi, j, wj):
+        return [
+            (wi if k == i else 0.0) + (wj if k == j else 0.0)
+            for k in range(dim)
+        ]
+
+    cents = spark.createDataFrame(
+        [(0, onehot(0)), (1, onehot(1))], "cell long, cv array<double>"
+    )
+    u = mix(0, 1.0, 1, 0.995)   # prior keep, cell 0
+    up = mix(0, 0.995, 1, 1.0)  # arrival twin, assigns to cell 1
+    idx = spark.createDataFrame(
+        [(100, u, 0)], "vec_id long, v array<double>, cell long"
+    )
+    batch = spark.createDataFrame(
+        [(200, up), (300, onehot(2))], "vec_id long, v array<double>"
+    )
+    assigned = _assign_cells(batch, cents)
+    got_cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert got_cells == {200: 1, 300: 0}, got_cells
+
+    status = _d215_flags(assigned, idx)
+    st = {r["vec_id"]: r["status"] for r in status.collect()}
+    # the in-cell probe CANNOT see u (cell 0) from u' (cell 1)
+    assert st == {200: "kept", 300: "kept"}, st
+
+    miss = {
+        r["cell"]: (r["n_probes"], r["n_missed_twin"])
+        for r in _d215_miss_stats(assigned, status, idx).collect()
+    }
+    assert miss == {1: (1, 1), 0: (1, 0)}, miss
