@@ -53,13 +53,22 @@ FIXTURE_DIR = _scratch_root("CHARLOTTE_U2_TMP", "charlotte_u2")
 
 
 def u2_fixture(n_files: int = 3, events_per_file: int = 40) -> dict:
-    """Two-sensor spool layout + map files, deterministic, cached."""
-    sig = f"v4_{n_files}x{events_per_file}"
+    """Two-sensor spool layout + map files, deterministic, cached.
+
+    The layout is SHARED-PARENT-SHAPED (<parent>/<sensor_name>/, one
+    common prefix) — the evolution-safe deployment d185 proves is the
+    only one that can grow sensors across a checkpoint restart, and
+    the engine's own default fixture should model the layout it
+    recommends (VERDICT r12 #6: the old <base>/a|b naming made every
+    CLI/pipeline test take the warned legacy union path).
+    ``spools_legacy`` preserves that non-shared shape for the tests
+    that cover the legacy union path explicitly."""
+    sig = f"v5_{n_files}x{events_per_file}"
     base = f"{FIXTURE_DIR}/{sig}"
     marker = f"{base}/_READY"
     spools = {
-        "sensor_a": {"directories": [f"{base}/a"], "prefix": "snort.u2"},
-        "sensor_b": {"directories": [f"{base}/b"], "prefix": "snort.u2"},
+        "sensor_a": {"directories": [f"{base}/sensor_a"], "prefix": "snort.u2"},
+        "sensor_b": {"directories": [f"{base}/sensor_b"], "prefix": "snort.u2"},
     }
     paths = {
         "sig_map": f"{base}/sid-msg.map",
@@ -68,10 +77,13 @@ def u2_fixture(n_files: int = 3, events_per_file: int = 40) -> dict:
     }
     if not os.path.exists(marker):
         write_spool(
-            f"{base}/a", n_files=n_files, events_per_file=events_per_file, sensor_id=1
+            f"{base}/sensor_a",
+            n_files=n_files,
+            events_per_file=events_per_file,
+            sensor_id=1,
         )
         write_spool(
-            f"{base}/b",
+            f"{base}/sensor_b",
             n_files=max(1, n_files - 1),
             events_per_file=events_per_file,
             sensor_id=2,
@@ -97,7 +109,14 @@ def u2_fixture(n_files: int = 3, events_per_file: int = 40) -> dict:
             for fname in os.listdir(d):
                 epoch = int(fname.rsplit(".", 1)[-1])
                 os.utime(f"{d}/{fname}", (epoch, epoch))
-    return {"spools": spools, **paths}
+    # Same files under config names that do NOT match the directory
+    # basenames — the genuinely legacy (non-shared-parent) shape, for
+    # the tests that pin the union-path warning.
+    spools_legacy = {
+        "sensor_one": spools["sensor_a"],
+        "sensor_two": spools["sensor_b"],
+    }
+    return {"spools": spools, "spools_legacy": spools_legacy, **paths}
 
 
 _STREAMED_STAR: dict[int, SnorbyDB] = {}

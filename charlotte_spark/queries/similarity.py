@@ -1734,15 +1734,13 @@ def _d215_batch(emb: DataFrame, r: int, base: int) -> DataFrame:
     return b
 
 
-def _d215_flags(assigned: DataFrame, idx: DataFrame) -> DataFrame:
-    """Keep/drop decision for one arrival batch vs the persisted keeps
-    index: dup_index ⇔ some index keep in the SAME CELL at cos ≥ τ
-    (kept_id = the minimum such keep); else dup_batch ⇔ some lower-id
-    same-cell BATCH member at cos ≥ τ (the d118 rule — the reference
-    member's own fate does not matter, so the decision is one join, not
-    a recursion); else kept. Both passes are cell-keyed equi-joins —
-    never all-pairs across cells, never a corpus scan."""
-    di = (
+def _d215_index_probe(assigned: DataFrame, idx: DataFrame) -> DataFrame:
+    """The recurring per-arrival cost of the loop: probe the persisted
+    keeps index for a same-cell cos ≥ τ twin — ONE cell-keyed equi-join,
+    never all-pairs across cells, never a corpus scan. Factored out of
+    `_d215_flags` so tools/scale_arrival.py measures the shipped probe.
+    Returns (vec_id, _ik = minimum matching keep id)."""
+    return (
         assigned.select("vec_id", "v", "cell")
         .join(
             idx.select(
@@ -1754,6 +1752,17 @@ def _d215_flags(assigned: DataFrame, idx: DataFrame) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.min("i_id").alias("_ik"))
     )
+
+
+def _d215_flags(assigned: DataFrame, idx: DataFrame) -> DataFrame:
+    """Keep/drop decision for one arrival batch vs the persisted keeps
+    index: dup_index ⇔ some index keep in the SAME CELL at cos ≥ τ
+    (kept_id = the minimum such keep); else dup_batch ⇔ some lower-id
+    same-cell BATCH member at cos ≥ τ (the d118 rule — the reference
+    member's own fate does not matter, so the decision is one join, not
+    a recursion); else kept. Both passes are cell-keyed equi-joins —
+    never all-pairs across cells, never a corpus scan."""
+    di = _d215_index_probe(assigned, idx)
     lo = assigned.select(
         "cell", F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
     )

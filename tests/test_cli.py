@@ -150,15 +150,29 @@ def test_shared_parent_config_gets_single_source_plan(spark, tmp_path):
 def test_non_shared_config_unions_and_warns(spark):
     """A config whose directory names don't carry the sensor identity
     keeps the literal R4 union shape, and a streaming caller is warned
-    that day-2 spool growth needs a new checkpoint."""
+    that day-2 spool growth needs a new checkpoint. The default
+    fixture is shared-parent-shaped since r13 (VERDICT r12 #6), so the
+    legacy shape under test is its ``spools_legacy`` view (same files,
+    config names that don't match the directory basenames) — and the
+    default shape must NOT warn."""
+    import warnings
+
     from charlotte_spark.sources.u2_spark import read_spools, shared_parent_layout
 
     fx = u2_fixture()
-    assert shared_parent_layout(fx["spools"]) is None
+    assert shared_parent_layout(fx["spools_legacy"]) is None
     with pytest.warns(UserWarning, match="NEW checkpoint"):
-        stream = read_spools(spark, fx["spools"], streaming=True)
+        stream = read_spools(spark, fx["spools_legacy"], streaming=True)
     plan = stream._jdf.queryExecution().analyzed().toString()
     assert plan.count("StreamingRelation") == 2
+
+    # the engine's own default fixture takes the evolution-safe path
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        clean = read_spools(spark, fx["spools"], streaming=True)
+    assert clean._jdf.queryExecution().analyzed().toString().count(
+        "StreamingRelation"
+    ) == 1
 
 
 def test_cli_day2_sensor_growth_same_checkpoint(spark, tmp_path):

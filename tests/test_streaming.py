@@ -174,10 +174,10 @@ def test_rollover_listener_fires_per_file(spark):
     from charlotte_spark.sources.u2_spark import RolloverListener, read_spools
 
     fx = u2_fixture()
-    # maxFilesPerTrigger applies per unioned source, so each micro-batch
-    # consumes one file from EACH directory: the rollover count is the
-    # deepest directory's file count
-    n_files = max(
+    # the shared-parent fixture compiles to ONE source, so
+    # maxFilesPerTrigger=1 makes each micro-batch exactly one spool
+    # file across all sensors: one rollover per file
+    n_files = sum(
         len(os.listdir(d))
         for cfg in fx["spools"].values()
         for d in cfg["directories"]
@@ -414,9 +414,19 @@ def test_cid_sequencer_state_stays_o_sensors(spark):
     q.awaitTermination()
 
     assert len(series) >= 3, f"fixture should yield >=3 micro-batches: {len(series)}"
-    n_sensors = series[0]["state_rows"]
-    assert all(s["state_rows"] == n_sensors for s in series), (
-        f"sequencer state rows drifted: {[s['state_rows'] for s in series]}"
+    # State is O(sensors SEEN), never O(events): with the shared-parent
+    # single source, mtime order delivers sensor_a's files before
+    # sensor_b's first appearance, so rows may STEP UP once per new
+    # sensor — but must be monotone-bounded by the sensor count and
+    # flat between first appearances (the old per-source union fed one
+    # file per sensor per batch, masking the step).
+    n_sensors = len(fx["spools"])
+    rows = [s["state_rows"] for s in series]
+    assert all(a <= b for a, b in zip(rows, rows[1:])), (
+        f"sequencer state rows non-monotone: {rows}"
+    )
+    assert rows[-1] == n_sensors and max(rows) <= n_sensors, (
+        f"sequencer state rows exceed sensor count: {rows}"
     )
     sizes = [s["state_bytes"] for s in series]
     assert max(sizes) <= 1.5 * min(sizes), (
