@@ -973,3 +973,78 @@ def d174_mergeable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 d174_mergeable_moments.__doc__ = d174_mergeable_moments.__doc__.format(cut=_IVM_CUT)
+
+
+# ---------------------------------------------------------------------------
+# D218: shuffle-salting planner (actionable per-key salt factors)
+# ---------------------------------------------------------------------------
+
+_D218_TARGET_TASKS = 128  # balance target: no (key, salt) bucket above total/128
+
+
+@query(
+    "d218_salt_planner",
+    tags=("D218", "D87", "D132"),
+    oracle=f"""
+    WITH g AS (
+        SELECT l_suppkey AS key, count(*) AS n
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (
+        SELECT key, n, sum(n) OVER () AS total,
+               greatest(1.0, ceil(sum(n) OVER () / {float(_D218_TARGET_TASKS)}))
+                   AS cap
+        FROM g
+    )
+    SELECT CAST(key AS BIGINT) AS key, CAST(n AS BIGINT) AS n,
+           {sql_round("n * 1.0 / total", 6)} AS share,
+           CAST(ceil(n / cap) AS INT) AS salt_factor,
+           CAST(ceil(n / ceil(n / cap)) AS BIGINT) AS max_per_bucket
+    FROM t ORDER BY n DESC, key
+    """,
+)
+def d218_salt_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-salting PLANNER: D132 profiles key skew and D87 executes
+    a salted join — this row closes the loop with the artifact an
+    operator actually feeds a pipeline config: per join key, the salt
+    factor that caps every (key, salt) shuffle bucket at
+    total/{_D218_TARGET_TASKS} rows, plus the projected post-salt
+    bucket size. salt_factor = ceil(n / cap) means a uniform key stays
+    at 1 (no replication cost) while a hot key is split just enough to
+    restore balance — the replication-factor-vs-balance tradeoff made
+    explicit and queryable.
+
+    Plan shape: ONE groupBy(key) shuffle to O(keys) rows, then the
+    total rides a whole-partition window frame over the GROUPED frame
+    (O(keys) rows — bounded by the supplier dimension, never the fact
+    table) and everything else is scalar arithmetic on the key row.
+    At 100 TB the fact scan + map-side-combined count dominate; the
+    planner output is KB-scale and broadcastable straight back into a
+    D87-style salted join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # bounded: whole-partition frame over the O(keys) grouped frame
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = g.select(
+        "key",
+        "n",
+        F.sum("n").over(w).alias("total"),
+        F.greatest(
+            F.lit(1.0),
+            F.ceil(F.sum("n").over(w) / F.lit(float(_D218_TARGET_TASKS))).cast(
+                "double"
+            ),
+        ).alias("cap"),
+    )
+    salt = F.ceil(F.col("n") / F.col("cap"))
+    return t.select(
+        F.col("key").cast("long").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        pround(F.col("n") / F.col("total"), 6).alias("share"),
+        salt.cast("int").alias("salt_factor"),
+        F.ceil(F.col("n") / salt).cast("long").alias("max_per_bucket"),
+    ).orderBy(F.col("n").desc(), "key")

@@ -1579,10 +1579,17 @@ _D215_COPIES = {
     2: [(4, 40, 2), (5, 40, 6), (6, 40, 6)],
 }
 # Bounded exact-side sample for cross-cell miss accounting (VERDICT
-# r12 #3): per round, the <= 4 lowest-id arrivals of every cell are
-# re-scored against ALL keeps of the prior index generation — <= 4K
-# probe rows by construction (the d184 recall3 discipline).
+# r12 #3): per round, the <= 4 lowest-id arrivals of each of the <= 8
+# lowest sampled cells are re-scored against ALL keeps of the prior
+# index generation — <= 32 probe rows by construction REGARDLESS of K
+# (the d184 recall3 discipline). The cell cap matters at scale: K
+# grows with the index in a real IVF deployment (K ~ N/density), so a
+# per-cell-only sample would cost O(4K x N) ~ N^2 per round — measured
+# as exactly that creep by tools/scale_arrival.py before the cap; with
+# the constant probe total the exact side is one O(32 x N) index scan
+# per round, the same class as generation compaction.
 _D215_PROBES_PER_CELL = 4
+_D215_PROBE_CELLS = 8
 
 
 def _d215_oracle() -> str:
@@ -1636,6 +1643,8 @@ def _d215_oracle() -> str:
             SELECT vec_id, v, cell,
                    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS prn
             FROM a{r}
+            WHERE cell IN (SELECT DISTINCT cell FROM a{r}
+                           ORDER BY cell LIMIT {_D215_PROBE_CELLS})
         ) WHERE prn <= {_D215_PROBES_PER_CELL}
     ),
     m{r} AS (
@@ -1799,16 +1808,26 @@ def _d215_miss_stats(
     recall3 — a bounded probe subset (the ≤ `_D215_PROBES_PER_CELL`
     lowest-id arrivals per cell, ≤ 4K rows by construction) is
     re-scored against ALL keeps of the prior index generation, any
-    cell. A probe whose recorded status is 'kept' but which has a
-    cos ≥ τ twin ANYWHERE in the index is a missed twin (an in-cell
-    twin would have forced dup_index, so every hit here is genuinely
-    cross-cell). Returns (cell, n_probes, n_missed_twin); the exact
-    join broadcasts the bounded probe side over one index scan —
-    O(probes × index) work on a ≤ 4K-row build side, never
-    index × index."""
+    cell. The sample is additionally capped to the
+    `_D215_PROBE_CELLS` lowest sampled cells, so the probe TOTAL is a
+    constant (≤ 32) independent of K — see the constant's comment for
+    the at-scale O(K·N) creep this prevents. A probe whose recorded
+    status is 'kept' but which has a cos ≥ τ twin ANYWHERE in the
+    index is a missed twin (an in-cell twin would have forced
+    dup_index, so every hit here is genuinely cross-cell). Returns
+    (cell, n_probes, n_missed_twin); the exact join broadcasts the
+    constant-size probe side over one index scan — O(32 × index) work
+    per round, never index × index."""
     wp = W.partitionBy("cell").orderBy("vec_id")
+    cells = (
+        assigned.select("cell")
+        .distinct()
+        .orderBy("cell")
+        .limit(_D215_PROBE_CELLS)
+    )
     probes = (
-        assigned.withColumn("prn", F.row_number().over(wp))
+        assigned.join(F.broadcast(cells), "cell")
+        .withColumn("prn", F.row_number().over(wp))
         .filter(F.col("prn") <= _D215_PROBES_PER_CELL)
         .select("vec_id", "v", "cell")
     )
@@ -1875,8 +1894,9 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-cell miss accounting (VERDICT r12 #3): like any IVF dedup,
     the cell-keyed probe never compares twins that land in DIFFERENT
     cells, so each round also re-scores a bounded probe subset (the
-    ≤ 4 lowest-id arrivals per cell) against ALL keeps of the prior
-    generation — any cell — and the ledger reports ``n_probes`` /
+    ≤ 4 lowest-id arrivals per cell over the ≤ 8 lowest sampled cells
+    — a ≤ 32-probe constant independent of K) against ALL keeps of the
+    prior generation — any cell — and the ledger reports ``n_probes`` /
     ``n_missed_twin`` / ``missed_twin_rate`` per (round, cell). For
     THIS query's exact-copy injections the measured rate is 0 by
     IVF-assignment consistency (an exact copy has identical cosines to

@@ -1056,3 +1056,120 @@ def a211_horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_5pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D216: differentially-private noisy release (deterministic Laplace)
+# ---------------------------------------------------------------------------
+
+_DP_EPS_COUNT = 0.5   # epsilon spent on the per-group count release
+_DP_EPS_SUM = 0.5     # epsilon spent on the clipped char-sum release
+_DP_CLIP = 2000.0     # per-doc n_chars contribution clip (sum sensitivity)
+_DP_GRID = 1_000_000  # uniform grid for the inverse-CDF draw
+
+
+def _dp_uniform(key, seed: str):
+    """Deterministic u in (-0.5, 0.5), u != 0, derived from the group
+    key: (h % grid + 0.5) / grid - 0.5 with the portable md5 hash, so
+    the 'draw' replays identically across engines, retries, and
+    speculative re-execution — the property a distributed DP release
+    actually needs (a stateful RNG would double-spend epsilon on every
+    replayed task)."""
+    h = portable_hash_long(key, seed)
+    return (h % _DP_GRID + F.lit(0.5)) / F.lit(float(_DP_GRID)) - F.lit(0.5)
+
+
+def _sql_dp_uniform(key: str, seed: str) -> str:
+    return (
+        f"(({sql_hash_long(key, seed)} % {_DP_GRID} + 0.5)"
+        f" / {float(_DP_GRID)} - 0.5)"
+    )
+
+
+def _dp_laplace(u, scale: float):
+    """Inverse-CDF Laplace: -scale * sign(u) * ln(1 - 2|u|)."""
+    return (
+        F.lit(-scale) * F.signum(u) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    )
+
+
+def _sql_dp_laplace(u: str, scale: float) -> str:
+    return f"(-{scale} * sign({u}) * ln(1.0 - 2.0 * abs({u})))"
+
+
+_D216_U1 = _sql_dp_uniform("source || '|' || lang", "dp216c")
+_D216_U2 = _sql_dp_uniform("source || '|' || lang", "dp216s")
+
+
+@query(
+    "d216_dp_noisy_release",
+    tags=("D216", "D140", "D208"),
+    oracle=f"""
+    WITH g AS (
+        SELECT source, lang,
+               count(*) AS n,
+               sum(least(CAST(n_chars AS DOUBLE), {_DP_CLIP})) AS clipped_chars
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang,
+           {sql_round(f"n + {_sql_dp_laplace(_D216_U1, 1.0 / _DP_EPS_COUNT)}", 4)}
+               AS noisy_n,
+           {sql_round(
+               "greatest(0.0, clipped_chars + "
+               + _sql_dp_laplace(_D216_U2, _DP_CLIP / _DP_EPS_SUM) + ")", 4)}
+               AS noisy_chars,
+           CAST({_DP_EPS_COUNT + _DP_EPS_SUM} AS DOUBLE) AS epsilon_total
+    FROM g ORDER BY source, lang
+    """,
+)
+def d216_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private corpus-statistics release: per
+    (source, lang) the released count and clipped character volume,
+    each protected by the Laplace mechanism (Dwork et al. 2006, public
+    knowledge) — count at sensitivity 1 (one doc joins one group),
+    char volume at sensitivity `_DP_CLIP` via per-doc contribution
+    clipping (the D208 discipline), with basic composition
+    epsilon_total = eps_count + eps_sum reported alongside. The true
+    counts never appear in the output — this is the shape of a stats
+    release a training-data platform publishes about a private corpus.
+
+    The Laplace draw is DETERMINISTIC: u is derived from the group key
+    via the portable md5 hash and pushed through the inverse CDF
+    (u != 0 and |u| < 0.5 by construction of the grid offset). On a
+    cluster this is the property that matters: task retries,
+    speculative execution, and exactly-once replays regenerate the
+    SAME noise instead of silently spending fresh epsilon per attempt,
+    and no driver-side RNG state exists at all.
+
+    Plan shape: ONE groupBy(source, lang) shuffle computes both true
+    statistics; the noise is a scalar projection of the group key
+    (rides the same row, no second pass, no collect); output is
+    O(groups) — KB-scale for any corpus. ln at query time follows the
+    tf-idf/entropy precedent (identical IEEE doubles in, ≤1-ulp
+    divergence out, absorbed by the 4-decimal portable rounding)."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.concat_ws("|", F.col("source"), F.col("lang"))
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.least(F.col("n_chars").cast("double"), F.lit(_DP_CLIP))).alias(
+            "clipped_chars"
+        ),
+    )
+    u1 = _dp_uniform(key, "dp216c")
+    u2 = _dp_uniform(key, "dp216s")
+    return g.select(
+        "source",
+        "lang",
+        pround(F.col("n") + _dp_laplace(u1, 1.0 / _DP_EPS_COUNT), 4).alias(
+            "noisy_n"
+        ),
+        pround(
+            F.greatest(
+                F.lit(0.0),
+                F.col("clipped_chars")
+                + _dp_laplace(u2, _DP_CLIP / _DP_EPS_SUM),
+            ),
+            4,
+        ).alias("noisy_chars"),
+        F.lit(_DP_EPS_COUNT + _DP_EPS_SUM).alias("epsilon_total"),
+    ).orderBy("source", "lang")

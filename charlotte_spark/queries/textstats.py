@@ -1416,3 +1416,88 @@ def d202_tokenizer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# D217: tokenizer fertility / compression audit per language
+# ---------------------------------------------------------------------------
+
+_D217_BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+@query(
+    "d217_tokenizer_fertility",
+    tags=("D217", "D69", "D71", "D193"),
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                   AS bpe_toks,
+               len(list_filter(string_split(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' '), x -> length(x) > 0))
+                   AS ws_toks
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bpe_toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(ws_toks) AS BIGINT) AS n_ws_words,
+           {sql_round("sum(bpe_toks) * 1.0 / sum(ws_toks)", 4)} AS fertility,
+           {sql_round("sum(n_chars) * 1.0 / sum(bpe_toks)", 4)} AS chars_per_token,
+           {sql_round("sum(bpe_toks) * 1.0 / count(*)", 2)} AS tokens_per_doc
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def d217_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: fertility = subword
+    (BPE-ish pre-tokenizer) tokens per whitespace word — THE standard
+    multilingual-tokenizer health metric (a language whose fertility
+    runs far above the corpus median pays proportionally more sequence
+    length per sentence and trains on fewer effective documents per
+    token budget) — plus chars-per-token (compression rate) and
+    tokens-per-doc. Composes D69's two tokenizations (the BPE-ish
+    regex pre-tokenizer and the normalized whitespace split) with
+    D71's language buckets; the per-language report is what decides
+    vocab re-balancing before a D188 retrain.
+
+    Plan shape: both token counts are per-row JVM regex projections
+    (regexp_count / size(filter(split())) — no explode, no UDF), then
+    ONE groupBy(lang) shuffle over O(langs) groups; output is O(langs)
+    rows. At 100 TB this is one corpus scan with a map-side-combined
+    aggregate — the scan dominates, exactly as it should."""
+    d = load_table(spark, sf_dir, "documents")
+    ntext = F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")
+    t = d.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.regexp_count("text", F.lit(_D217_BPE_RE)).alias("bpe_toks"),
+        F.size(
+            F.filter(F.split(ntext, " "), lambda x: F.length(x) > 0)
+        ).alias("ws_toks"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("bpe_toks").cast("long").alias("n_bpe_tokens"),
+            F.sum("ws_toks").cast("long").alias("n_ws_words"),
+            F.sum("n_chars").alias("_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_bpe_tokens",
+            "n_ws_words",
+            pround(F.col("n_bpe_tokens") / F.col("n_ws_words"), 4).alias(
+                "fertility"
+            ),
+            pround(F.col("_chars") / F.col("n_bpe_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+            pround(F.col("n_bpe_tokens") / F.col("n_docs"), 2).alias(
+                "tokens_per_doc"
+            ),
+        )
+        .orderBy("lang")
+    )

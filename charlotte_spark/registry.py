@@ -159,8 +159,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     # lead so the r14 rotation inherits them (pinned by
     # tests/test_registry_order.py::test_window_is_greedy_most_stale);
     # then the r09/r10/r11/r12-evidence blocks, newest evidence last.
-    # A query added mid-round (no evidence yet) goes ABOVE this comment
-    # block, directly after the boundary.
+    # A query added mid-round (no evidence yet) goes directly BELOW
+    # this comment block, before the r08 leftovers (never-checked rows
+    # are the stalest debt and must lead).
+    "d216_dp_noisy_release",
+    "d217_tokenizer_fertility",
+    "d218_salt_planner",
     "d19_cross_join",
     "d20_range_join",
     "d21_asof_join",

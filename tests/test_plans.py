@@ -1941,3 +1941,50 @@ def test_semdedup_arrival_reads_only_persisted_state(spark, sf_dir):
         "index probe / within-batch pass must never scan cross-cell"
     )
     assert "CartesianProduct" not in p["plan"]
+
+
+def test_dp_release_single_shuffle_no_python(audits):
+    """d216: ONE groupBy(source, lang) aggregate plus the presentation
+    sort — the Laplace noise is a scalar projection of the group key
+    (no second pass, no join, no Python, no window)."""
+    a = audits("d216_dp_noisy_release")
+    assert a["n_exchanges"] <= 4, f"{a['n_exchanges']} exchanges"
+    assert not a["sort_merge_join"]
+    assert not a["broadcast_hash_join"]
+    assert not a["nested_loop_join"]
+    assert "EvalPython" not in a["plan"]
+    assert "Window" not in a["plan"]
+
+
+def test_tokenizer_fertility_one_scan_map_side(audits):
+    """d217: both token counts are per-row regex projections folded by
+    ONE map-side-combined groupBy(lang) — one documents scan, partial
+    aggregation present, no explode, no join, no Python."""
+    a = audits("d217_tokenizer_fertility")
+    doc_scans = [s for s in a["scans"] if "documents" in s["path"]]
+    assert len(doc_scans) == 1, f"{len(doc_scans)} documents scans"
+    assert a["partial_aggregate"], "lang rollup must partial-aggregate"
+    assert "Generate" not in a["plan"], "token counts must not explode"
+    assert not (a["sort_merge_join"] or a["broadcast_hash_join"]
+                or a["nested_loop_join"])
+    assert "EvalPython" not in a["plan"]
+
+
+def test_salt_planner_windows_grouped_frame_only(audits):
+    """d218: the fact scan folds to O(keys) via a partial-aggregated
+    groupBy BEFORE the whole-partition total window runs — the window
+    must sit above the aggregate (never over fact rows), and there are
+    no joins or Python anywhere."""
+    a = audits("d218_salt_planner")
+    assert a["partial_aggregate"], "per-key count must partial-aggregate"
+    plan = a["plan"]
+    assert "Window" in plan
+    # the window's child chain must contain the HashAggregate, i.e. the
+    # aggregate appears AFTER (deeper than) the window node in the
+    # formatted tree
+    assert plan.index("Window") < plan.rindex("HashAggregate"), (
+        "total window must run over the grouped frame, not fact rows"
+    )
+    assert not (a["sort_merge_join"] or a["broadcast_hash_join"]
+                or a["nested_loop_join"])
+    assert "EvalPython" not in a["plan"]
