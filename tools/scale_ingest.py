@@ -49,6 +49,12 @@ def build_fixture(events_per_file: int, n_files: int) -> dict:
     spools = {}
     t0 = time.time()
     total = 0
+    # the spool parent is DEDICATED (nothing but sensor dirs under it):
+    # the single parent-glob source reads <parent>/*, so a db/ckpt or a
+    # stale differently-named spool dir under the same parent would be
+    # picked up as a phantom sensor (hit on first run: leftover
+    # spool_{s} dirs doubled the sensor count)
+    shutil.rmtree(f"{BASE}/spools", ignore_errors=True)
     for s in range(1, N_SENSORS + 1):
         # shared-parent layout (<parent>/<sensor_name>/) — the
         # evolution-safe shape the engine recommends and, since r13,
@@ -57,8 +63,7 @@ def build_fixture(events_per_file: int, n_files: int) -> dict:
         # per micro-batch across all sensors (pre-r13 the per-sensor
         # union consumed one file per sensor per batch — ingest
         # figures across that boundary are not directly comparable).
-        d = f"{BASE}/sensor_{s}"
-        shutil.rmtree(d, ignore_errors=True)
+        d = f"{BASE}/spools/sensor_{s}"
         write_spool(
             d,
             n_files=n_files,
