@@ -1397,3 +1397,215 @@ def d198_rle_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("st")
     )
+
+
+# ---------------------------------------------------------------------------
+# D219: Hilbert-curve layout audit (vs z-order)
+# ---------------------------------------------------------------------------
+
+
+def hilbert_stages(x0: str, y0: str) -> list[tuple[str, str, str]]:
+    """Unrolled xy2d Hilbert-index stages over a 2^_Z_BITS grid — the
+    canonical iterative rotate/flip walk (public-domain bit algorithm,
+    e.g. the Wikipedia 'Hilbert curve' C version), one (x', y',
+    d-increment) expression triple per bit plane. The SAME SQL text
+    runs in Spark and DuckDB: only `&`, comparisons and CASE — no
+    dialect-specific shifts, no XOR operator (the (3*rx)^ry term is a
+    4-way CASE). Stage i consumes columns hx{i}/hy{i} and emits
+    hx{i+1}/hy{i+1} plus the d term for s = 2^(_Z_BITS-1-i); staging
+    through real columns keeps each Catalyst subtree an attribute
+    reference (the d195 plan-compile lesson)."""
+    n = 1 << _Z_BITS
+    out = []
+    x, y = x0, y0
+    for i in range(_Z_BITS):
+        s = 1 << (_Z_BITS - 1 - i)
+        rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+        dterm = (
+            f"{s * s} * (CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+            f" WHEN {rx} = 0 THEN 1 WHEN {ry} = 0 THEN 3 ELSE 2 END)"
+        )
+        # rot(): if ry==0 {{ if rx==1 flip both to n-1-v; swap }}
+        nx = (
+            f"(CASE WHEN {ry} = 1 THEN {x}"
+            f" WHEN {rx} = 1 THEN {n - 1} - {y} ELSE {y} END)"
+        )
+        ny = (
+            f"(CASE WHEN {ry} = 1 THEN {y}"
+            f" WHEN {rx} = 1 THEN {n - 1} - {x} ELSE {x} END)"
+        )
+        out.append((nx, ny, dterm))
+        x, y = f"hx{i + 1}", f"hy{i + 1}"
+    return out
+
+
+def _hilbert_oracle_ctes() -> str:
+    """DuckDB CTE chain h0..h{_Z_BITS} computing hd from (x, y)."""
+    parts = ["h0 AS (SELECT *, x AS hx0, y AS hy0, 0 AS hd0 FROM base)"]
+    for i, (nx, ny, dterm) in enumerate(hilbert_stages("hx0", "hy0")):
+        nx = nx.replace("hx0", f"hx{i}").replace("hy0", f"hy{i}")
+        ny = ny.replace("hx0", f"hx{i}").replace("hy0", f"hy{i}")
+        dterm = dterm.replace("hx0", f"hx{i}").replace("hy0", f"hy{i}")
+        parts.append(
+            f"h{i + 1} AS (SELECT *, {nx} AS hx{i + 1}, {ny} AS hy{i + 1},"
+            f" hd{i} + {dterm} AS hd{i + 1} FROM h{i})"
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "d219_hilbert_layout",
+    tags=("D219", "D142", "D190"),
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               o_custkey % 256 AS x,
+               (epoch_us(o_orderdate) // {_DAY_US}) % 256 AS y
+        FROM orders
+    ),
+    {_hilbert_oracle_ctes()},
+    t AS (
+        SELECT x, y,
+               ntile({_Z_FILES}) OVER (ORDER BY hd{_Z_BITS}, o_orderkey) AS hf,
+               ntile({_Z_FILES}) OVER (ORDER BY {_interleave_sql("x", "y", "duckdb")}, o_orderkey) AS zf
+        FROM h{_Z_BITS}
+    ),
+    layouts AS (
+        SELECT 'h' AS layout, hf AS f, x, y FROM t
+        UNION ALL
+        SELECT 'z' AS layout, zf AS f, x, y FROM t
+    ),
+    ext AS (
+        SELECT layout, f, min(x) AS mnx, max(x) AS mxx,
+               min(y) AS mny, max(y) AS mxy
+        FROM layouts GROUP BY layout, f
+    ),
+    hits AS (
+        SELECT CAST(count(DISTINCT f) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN layout = 'h' AND mnx <= 127 AND mxx >= 64
+                              AND mny <= 127 AND mxy >= 64 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS files_hit_hilbert,
+               CAST(sum(CASE WHEN layout = 'z' AND mnx <= 127 AND mxx >= 64
+                              AND mny <= 127 AND mxy >= 64 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS files_hit_zorder
+        FROM ext
+    )
+    SELECT n_files, files_hit_hilbert, files_hit_zorder,
+           {sql_round("files_hit_hilbert * 1.0 / files_hit_zorder", 4)}
+               AS hilbert_vs_z_ratio
+    FROM hits
+    """,
+)
+def d219_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering audit — the OTHER half of the layout
+    decision D142 measures for z-order: bucket orders into the same
+    256x256 (customer-bucket, day-bucket) grid, compute the Hilbert
+    index with the canonical unrolled rotate/flip walk, split into 64
+    'files' under Hilbert order vs Morton (z) order, and count how
+    many files the middle-quarter 2-D rectangle hits under each given
+    per-file min/max stats. Hilbert preserves locality strictly better
+    than Morton in the worst case (no diagonal jumps), which is why
+    lakehouse OPTIMIZE implementations offer both; this row measures
+    the actual pruning difference on this table so the layout choice
+    is data-driven, not folklore.
+
+    Plan shape: the Hilbert index is {_Z_BITS} chained column stages
+    (pure CASE/mask arithmetic, whole-stage codegen'd; staged through
+    real columns so the plan stays linear — the d195 compile lesson);
+    each file split is the distributed two-phase prefix rank
+    (operators.prefix, no single-partition sort); the two rankings
+    chain so orders is scanned ONCE; extents for both layouts come off
+    one exploded groupBy. Verified bit-for-bit against a pure-Python
+    reference walk AND the Hilbert adjacency property in
+    tests/test_property.py::test_hilbert_index_matches_reference."""
+
+    def ntile_of(rn: Column, n: Column, b: int) -> Column:
+        q = F.floor(n / b).cast("long")
+        r = (n % b).cast("long")
+        boundary = r * (q + 1)
+        return (
+            F.when(rn <= boundary, F.floor((rn - 1) / (q + 1)) + 1)
+            .otherwise(r + F.floor((rn - boundary - 1) / q) + 1)
+            .cast("int")
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (
+            F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {_DAY_US}") % 256
+        ).alias("y"),
+    )
+    h = (
+        base.withColumn("hx0", F.col("x"))
+        .withColumn("hy0", F.col("y"))
+        .withColumn("hd0", F.lit(0))
+    )
+    for i, (nx, ny, dterm) in enumerate(hilbert_stages("hx0", "hy0")):
+        nx = nx.replace("hx0", f"hx{i}").replace("hy0", f"hy{i}")
+        ny = ny.replace("hx0", f"hx{i}").replace("hy0", f"hy{i}")
+        dterm = dterm.replace("hx0", f"hx{i}").replace("hy0", f"hy{i}")
+        h = (
+            h.withColumn(f"hx{i + 1}", F.expr(nx))
+            .withColumn(f"hy{i + 1}", F.expr(ny))
+            .withColumn(f"hd{i + 1}", F.col(f"hd{i}") + F.expr(dterm))
+        )
+    h = h.select(
+        "o_orderkey",
+        "x",
+        "y",
+        F.col(f"hd{_Z_BITS}").alias("hd"),
+        F.expr(_interleave_sql("x", "y", "spark")).alias("z"),
+    )
+    rh = ordered_prefix(
+        h, ["hd", "o_orderkey"], row_number="rn", count_total="n"
+    ).select(
+        "o_orderkey", "x", "y", "z",
+        ntile_of(F.col("rn"), F.col("n"), _Z_FILES).alias("hf"),
+    )
+    t = ordered_prefix(
+        rh, ["z", "o_orderkey"], row_number="rn", count_total="n"
+    ).select(
+        "x", "y", "hf", ntile_of(F.col("rn"), F.col("n"), _Z_FILES).alias("zf")
+    )
+    layouts = t.select(
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                F.struct(F.lit("h").alias("layout"), F.col("hf").alias("f")),
+                F.struct(F.lit("z").alias("layout"), F.col("zf").alias("f")),
+            )
+        ).alias("a"),
+    ).select("x", "y", F.col("a.layout").alias("layout"), F.col("a.f").alias("f"))
+    ext = layouts.groupBy("layout", "f").agg(
+        F.min("x").alias("mnx"),
+        F.max("x").alias("mxx"),
+        F.min("y").alias("mny"),
+        F.max("y").alias("mxy"),
+    )
+    overlap = (
+        (F.col("mnx") <= 127)
+        & (F.col("mxx") >= 64)
+        & (F.col("mny") <= 127)
+        & (F.col("mxy") >= 64)
+    )
+    hits = ext.agg(
+        F.count_distinct("f").cast("long").alias("n_files"),
+        F.sum(F.when((F.col("layout") == "h") & overlap, 1).otherwise(0))
+        .cast("long")
+        .alias("files_hit_hilbert"),
+        F.sum(F.when((F.col("layout") == "z") & overlap, 1).otherwise(0))
+        .cast("long")
+        .alias("files_hit_zorder"),
+    )
+    return hits.select(
+        "n_files",
+        "files_hit_hilbert",
+        "files_hit_zorder",
+        pround(
+            F.col("files_hit_hilbert") / F.col("files_hit_zorder"), 4
+        ).alias("hilbert_vs_z_ratio"),
+    )

@@ -2032,3 +2032,148 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round_id", "cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# D220: nearest-neighbor similarity histogram (the tau-selection artifact)
+# ---------------------------------------------------------------------------
+
+_D220_BINS = 20  # 0.05-wide cosine bins over [0, 1); bin -1 = isolated
+
+
+@query(
+    "d220_nn_similarity_histogram",
+    tags=("D220", "D118", "D184", "D68"),
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding AS cv FROM embeddings
+        WHERE vec_id < {_D184_K}
+    ),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    asg AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {sql_cosine("e.v", "c.cv")} DESC,
+                                               c.cell) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    nn AS (
+        SELECT a.vec_id,
+               max(CASE WHEN b.vec_id <> a.vec_id
+                        THEN {sql_cosine("a.v", "b.v")} END) AS nn_cos
+        FROM asg a
+        JOIN asg b ON b.cell = a.cell
+        GROUP BY a.vec_id
+    ),
+    binned AS (
+        SELECT CASE WHEN nn_cos IS NULL THEN -1
+                    ELSE CAST(greatest(0, least({_D220_BINS - 1},
+                         floor(nn_cos * {_D220_BINS}))) AS INT) END AS bin,
+               count(*) AS n
+        FROM nn GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS total FROM binned)
+    SELECT bin,
+           {sql_round(f"CASE WHEN bin >= 0 THEN bin / {float(_D220_BINS)} ELSE -1.0 END", 4)} AS bin_lo,
+           CAST(n AS BIGINT) AS n,
+           {sql_round("n * 1.0 / total", 4)} AS share,
+           {sql_round(
+               "sum(CASE WHEN bin >= 0 THEN n ELSE 0 END)"
+               " OVER (ORDER BY bin DESC) * 1.0 / total", 4)} AS cum_share_ge
+    FROM binned CROSS JOIN tot
+    ORDER BY bin
+    """,
+)
+def d220_nn_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor cosine histogram — the plot you actually look
+    at to CHOOSE the semantic-dedup threshold (d118/d215's τ) and the
+    near-dup cutoffs: per vector, the exact nearest-neighbor cosine
+    within its IVF cell, folded into 0.05-wide bins with per-bin share
+    and the descending cumulative share (``cum_share_ge`` = the
+    fraction of the corpus a threshold at that bin's floor would flag
+    as having a near-twin). Vectors alone in their cell land in the
+    sentinel bin -1 instead of silently vanishing, so the shares sum
+    to 1 and the isolated mass is visible.
+
+    Plan shape: bounded K-row assignment (the d184/d215 discipline),
+    then ONE cell-keyed self equi-join — O(Σ per-cell n²) cosine
+    folds, never all-pairs across cells; a real deployment sizes K so
+    per-cell density is constant, making this one corpus-linear pass
+    (the same rule tools/scale_arrival.py measures for d215). The
+    histogram fold is a groupBy onto ≤ {_D220_BINS + 1} rows; the
+    cumulative share rides a window over that bounded frame. Cosines
+    are bit-identical across engines (same fold order), so the bin
+    floor is portable."""
+    from ..session import reliable_checkpoint
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < _D184_K).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    # checkpoint the assignment: it feeds BOTH sides of the self-join,
+    # and without the cut the corpus scan + K-row assignment recompute
+    # per reference
+    asg = reliable_checkpoint(_assign_cells(emb, cents))
+    nbr = asg.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), "cell"
+    )
+    # self always matches the cell join, so a singleton cell still
+    # yields its row — the self-exclusion lives INSIDE the max() and a
+    # lone vector gets nn_cos NULL without a reinstatement join
+    nn = (
+        asg.join(nbr, "cell")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("b_id") != F.col("vec_id"),
+                    cosine(F.col("v"), F.col("bv")),
+                )
+            ).alias("nn_cos")
+        )
+    )
+    binned = (
+        nn.select(
+            F.when(F.col("nn_cos").isNull(), F.lit(-1))
+            .otherwise(
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(_D220_BINS - 1),
+                        F.floor(F.col("nn_cos") * _D220_BINS),
+                    ),
+                ).cast("int")
+            )
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # bounded: <= _D220_BINS + 1 histogram rows
+    w_tot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_cum = W.orderBy(F.col("bin").desc())  # bounded: <= 21 bin rows
+    return (
+        binned.withColumn("total", F.sum("n").over(w_tot))
+        .select(
+            "bin",
+            pround(
+                F.when(F.col("bin") >= 0, F.col("bin") / float(_D220_BINS))
+                .otherwise(F.lit(-1.0)),
+                4,
+            ).alias("bin_lo"),
+            F.col("n").cast("long").alias("n"),
+            pround(F.col("n") / F.col("total"), 4).alias("share"),
+            pround(
+                F.sum(
+                    F.when(F.col("bin") >= 0, F.col("n")).otherwise(0)
+                ).over(w_cum)
+                / F.col("total"),
+                4,
+            ).alias("cum_share_ge"),
+        )
+        .orderBy("bin")
+    )

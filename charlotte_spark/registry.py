@@ -165,6 +165,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d216_dp_noisy_release",
     "d217_tokenizer_fertility",
     "d218_salt_planner",
+    "d219_hilbert_layout",
+    "d220_nn_similarity_histogram",
     "d19_cross_join",
     "d20_range_join",
     "d21_asof_join",

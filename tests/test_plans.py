@@ -1988,3 +1988,33 @@ def test_salt_planner_windows_grouped_frame_only(audits):
     assert not (a["sort_merge_join"] or a["broadcast_hash_join"]
                 or a["nested_loop_join"])
     assert "EvalPython" not in a["plan"]
+
+
+def test_hilbert_audit_same_shape_as_zorder(audits):
+    """d219: same plan discipline as d142 — the Hilbert index is pure
+    staged column arithmetic (no Python, no join to compute it), the
+    two rankings chain over one materialized lineage, and the
+    two-layout explode is ONE Generate."""
+    a = audits("d219_hilbert_layout")
+    assert len([s for s in a["scans"] if "orders" in s["path"]]) <= 1, (
+        "orders must be scanned at most once (inside the prefix persist)"
+    )
+    assert not (a["sort_merge_join"] or a["nested_loop_join"])
+    assert "InMemoryTableScan" in a["plan"], "prefix input must be persisted"
+    assert a["plan"].count("Generate") <= 2
+    assert "EvalPython" not in a["plan"]
+
+
+def test_nn_histogram_cell_keyed_self_join(audits):
+    """d220: the exact NN pass is ONE cell-keyed self equi-join (never
+    a cartesian across cells); the only nested-loop is the bounded
+    K-row centroid assignment; the histogram fold partial-aggregates;
+    no Python anywhere."""
+    a = audits("d220_nn_similarity_histogram")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["partial_aggregate"]
+    assert "EvalPython" not in a["plan"]
+    # the assignment is checkpointed, so the self-join reads the cut —
+    # no BNLJ (the K-row assignment) may survive into the result plan
+    assert "BroadcastNestedLoopJoin" not in a["plan"]
+    assert "InMemoryTableScan" in a["plan"] or "Scan ExistingRDD" in a["plan"]

@@ -1238,3 +1238,78 @@ def test_d215_miss_accounting_fires(spark):
         for r in _d215_miss_stats(assigned, status, idx).collect()
     }
     assert miss == {1: (1, 1), 0: (1, 0)}, miss
+
+
+def test_hilbert_index_matches_reference(spark):
+    """d219's unrolled SQL Hilbert walk must equal the canonical
+    iterative xy2d reference bit-for-bit, and the resulting curve must
+    be CONTINUOUS (consecutive d values are grid neighbors — the
+    property that makes Hilbert ordering strictly locality-preserving,
+    and the one a transcription error breaks instantly)."""
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.queries.dataops import _Z_BITS, hilbert_stages
+
+    n = 1 << _Z_BITS
+
+    def xy2d(x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    import random
+
+    rng = random.Random(219)
+    pts = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    pts += [(0, 0), (n - 1, 0), (0, n - 1), (n - 1, n - 1), (64, 127)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    h = df.withColumn("hx0", F.col("x")).withColumn("hy0", F.col("y")).withColumn(
+        "hd0", F.lit(0)
+    )
+    for i, (nx, ny, dterm) in enumerate(hilbert_stages("hx0", "hy0")):
+        nx = nx.replace("hx0", f"hx{i}").replace("hy0", f"hy{i}")
+        ny = ny.replace("hx0", f"hx{i}").replace("hy0", f"hy{i}")
+        dterm = dterm.replace("hx0", f"hx{i}").replace("hy0", f"hy{i}")
+        h = (
+            h.withColumn(f"hx{i + 1}", F.expr(nx))
+            .withColumn(f"hy{i + 1}", F.expr(ny))
+            .withColumn(f"hd{i + 1}", F.col(f"hd{i}") + F.expr(dterm))
+        )
+    got = {
+        (r["x"], r["y"]): r[f"hd{_Z_BITS}"]
+        for r in h.select("x", "y", f"hd{_Z_BITS}").collect()
+    }
+    for (x, y), d in got.items():
+        assert d == xy2d(x, y), f"({x},{y}): sql={d} ref={xy2d(x, y)}"
+
+    # continuity: d and d+1 map to grid neighbors (reference d2xy walk)
+    def d2xy(d):
+        x = y = 0
+        t = d
+        s = 1
+        while s < n:
+            rx = 1 & (t // 2)
+            ry = 1 & (t ^ rx)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            x += s * rx
+            y += s * ry
+            t //= 4
+            s *= 2
+        return x, y
+
+    for d in [0, 1, 255, 4095, 65534] + [rng.randrange(n * n - 1) for _ in range(50)]:
+        (x1, y1), (x2, y2) = d2xy(d), d2xy(d + 1)
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, f"curve jumps at d={d}"
+        assert xy2d(x1, y1) == d and xy2d(x2, y2) == d + 1
