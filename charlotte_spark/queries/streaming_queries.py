@@ -880,3 +880,157 @@ def a172_streaming_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# D221: streaming token-bucket rate limiter (admission control)
+# ---------------------------------------------------------------------------
+
+_TB_CAP = 2                      # bucket capacity (tokens)
+# one whole token per six elapsed hours — sized to the events table's
+# inter-arrival distribution (median per-user gap ~7h) so BOTH decision
+# classes are non-vacuous at every SF (sf0.01: ~7.5k admitted / ~2.4k
+# throttled)
+_TB_REFILL_US = 21_600_000_000
+
+
+@query(
+    "d221_token_bucket_throttle",
+    tags=("D221", "D82", "D58"),
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, epoch_us(ts) AS tus,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    sim AS (
+        SELECT user_id, rn, tus,
+               {_TB_CAP - 1} AS tokens, 1 AS admitted
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn, o.tus,
+               CASE WHEN least({_TB_CAP}, s.tokens + (o.tus - s.tus) // {_TB_REFILL_US}) > 0
+                    THEN least({_TB_CAP}, s.tokens + (o.tus - s.tus) // {_TB_REFILL_US}) - 1
+                    ELSE least({_TB_CAP}, s.tokens + (o.tus - s.tus) // {_TB_REFILL_US}) END,
+               CASE WHEN least({_TB_CAP}, s.tokens + (o.tus - s.tus) // {_TB_REFILL_US}) > 0
+                    THEN 1 ELSE 0 END
+        FROM sim s JOIN ordered o
+          ON o.user_id = s.user_id AND o.rn = s.rn + 1
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(admitted) AS BIGINT) AS n_admitted,
+           CAST(count(*) - sum(admitted) AS BIGINT) AS n_throttled,
+           CAST(arg_max(tokens, rn) AS BIGINT) AS tokens_left
+    FROM sim GROUP BY user_id ORDER BY user_id
+    """,
+)
+def d221_token_bucket_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key token-bucket rate limiter — the admission
+    control an ingestion pipeline puts in front of a hot key: each
+    user's bucket holds {_TB_CAP} tokens, refills one WHOLE token per six
+    elapsed hours between arrivals (integer arithmetic — exactly
+    portable, no float recurrence; sized to the table's ~7h median
+    per-user gap so both classes are exercised), an arrival with a positive balance
+    is admitted and pays one token, an arrival on empty is throttled.
+    Built on applyInPandasWithState (the D82 arbitrary-state API):
+    state per user is one (t_prev, tokens, n_events, n_admitted)
+    tuple — O(active keys), never O(stream); the per-user summary row
+    flushes on EVENT-TIME TIMEOUT once the watermark passes the last
+    arrival (the d82 sentinel discipline), so the output is exactly
+    one row per user.
+
+    The token recurrence is non-associative (the cap clamp), so the
+    per-group batch runs a scalar loop over its Arrow-delivered
+    arrivals — the honest cost of an online limiter (~1e6 decisions/s
+    per core; admission control is never the scan bottleneck). Within
+    a batch arrivals are processed in event-time order; across batches
+    state carries (t_prev, tokens) forward, which IS the operational
+    semantics of an online limiter (it sees arrival order). The
+    single-trigger replay makes arrival order == event-time order, so
+    the batch oracle — a per-user recursive-CTE simulation of the
+    identical integer recurrence — reproduces the stream bit-for-bit
+    (stream-equals-batch, the d82 proof shape)."""
+    out = run_to_memory(_token_bucket_pipeline(_replay(spark, sf_dir)), "append")
+    return out.filter(F.col("user_id") >= 0).orderBy("user_id")
+
+
+
+def _token_bucket_pipeline(stream):
+    """Build the d221 limiter over any events stream (factored so the
+    multi-batch state-carry test drives the SAME operator)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def throttle(key, pdfs, state: GroupState):
+        user_id = key[0]
+        if state.hasTimedOut:
+            _tp, tok, n, adm = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "n_admitted": [adm],
+                    "n_throttled": [n - adm],
+                    "tokens_left": [tok],
+                }
+            )
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        ts = np.sort(
+            np.concatenate(
+                [
+                    p["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+                    for p in parts
+                ]
+            )
+        )
+        if state.exists:
+            tp, tok, n, adm = state.get
+        else:
+            tp, tok, n, adm = int(ts[0]), _TB_CAP, 0, 0
+        for t in ts.tolist():
+            tok = min(_TB_CAP, tok + (t - tp) // _TB_REFILL_US)
+            if tok > 0:
+                tok -= 1
+                adm += 1
+            n += 1
+            tp = t
+        state.update((int(tp), int(tok), int(n), int(adm)))
+        state.setTimeoutTimestamp(int(ts[-1]) // 1000 + 60_001)
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("n_admitted", LongType()),
+            StructField("n_throttled", LongType()),
+            StructField("tokens_left", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("t_prev", LongType()),
+            StructField("tokens", LongType()),
+            StructField("n", LongType()),
+            StructField("adm", LongType()),
+        ]
+    )
+    # same discipline as d82: no pre-groupBy filter (it would push below
+    # the watermark node and drop the sentinel before it advances the
+    # watermark); the sentinel's own group is excluded after the sink
+    return (
+        stream.withWatermark("ts", "40 days")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            throttle, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -167,6 +167,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d218_salt_planner",
     "d219_hilbert_layout",
     "d220_nn_similarity_histogram",
+    "d221_token_bucket_throttle",
     "d19_cross_join",
     "d20_range_join",
     "d21_asof_join",

@@ -444,3 +444,39 @@ def test_cid_sequencer_state_stays_o_sensors(spark):
         assert r["n"] == r["nd"] and r["mn"] == 1 and r["mx"] == r["n"], (
             f"cid sequence not dense for sid={r['sid']}"
         )
+
+
+def test_token_bucket_state_carries_across_batches(spark):
+    """d221: with chronological chunks delivered one file per trigger,
+    the limiter's cross-batch state (t_prev, tokens, counters) must
+    reproduce the single-trigger answer exactly — the stream-equals-
+    batch proof for the non-associative token recurrence."""
+    from charlotte_spark.queries.streaming_queries import (
+        _token_bucket_pipeline,
+        run_to_memory,
+    )
+    from charlotte_spark.streaming.harness import DEFAULT_SENTINEL_TS, events_stream
+
+    sf = "/root/testdata/sf0.001"
+    multi = events_stream(
+        spark, sf, n_chunks=6, shuffle_chunks=False,
+        sentinel_ts=DEFAULT_SENTINEL_TS, max_files_per_trigger=1,
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["n_admitted"], r["n_throttled"], r["tokens_left"])
+        for r in run_to_memory(_token_bucket_pipeline(multi), "append")
+        .filter("user_id >= 0")
+        .collect()
+    }
+    single = events_stream(
+        spark, sf, n_chunks=6, shuffle_chunks=False,
+        sentinel_ts=DEFAULT_SENTINEL_TS,
+    )
+    want = {
+        r["user_id"]: (r["n_events"], r["n_admitted"], r["n_throttled"], r["tokens_left"])
+        for r in run_to_memory(_token_bucket_pipeline(single), "append")
+        .filter("user_id >= 0")
+        .collect()
+    }
+    assert got == want
+    assert sum(v[2] for v in want.values()) > 0, "throttle class vacuous"
