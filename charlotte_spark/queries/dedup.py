@@ -607,51 +607,12 @@ def _min_label_components(
     return spark.read.parquet(out_dir)
 
 
-@query(
-    "d74_neardup_clusters",
-    tags=("D74", "A66", "D65"),
-    oracle=f"""
-    WITH RECURSIVE {_sql_scored_pairs(_SQL_CORPUS_NEAR_CHAIN)},
-    edges AS (
-        SELECT a_id AS src, b_id AS dst FROM scored_pairs
-        UNION
-        SELECT b_id AS src, a_id AS dst FROM scored_pairs
-    ),
-    reach AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    )
-    SELECT src AS doc_id,
-           CAST(least(src, min(dst)) AS BIGINT) AS cluster_id,
-           CAST(CASE WHEN least(src, min(dst)) = src THEN 1 ELSE 0 END AS INT) AS is_survivor
-    FROM reach
-    GROUP BY src
-    ORDER BY cluster_id, doc_id
-    """,
-)
-def d74_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster canonicalization: LSH candidate pairs →
-    connected components → keep the min-doc_id survivor per cluster.
-    This is the stage that turns pairwise near-dup detection (a66)
-    into an actual dedup decision when duplicates chain (A~B, B~C).
-
-    Components are computed by `_min_label_components` (shared with
-    d212): convergence-detected min-label propagation with POINTER
-    JUMPING — each round is one hash join edges⋈labels + a groupBy min
-    (the standard large-graph CC recipe, no driver-side graph) plus an
-    O(V) label-of-label self-join that squares the propagation radius.
-    Labels decrease monotonically, so convergence is exact (a round
-    with sum(chg)=0 is the identity); the synthetic components are
-    stars of diameter ≤ 2, so this converges in 2-3 rounds, and the
-    safety bound covers diameter 2^rounds for natural chains. The
-    DuckDB oracle is a recursive-CTE transitive closure over the
-    identical pair set.
-
-    At 100 TB: edges live in the cluster (shuffle join per round, keyed
-    on node id); with jumping the round count is LOGARITHMIC in the
-    component diameter after LSH bucketing. The min-label formulation
-    never materializes the closure, only |V| labels."""
+def _near_chain_cluster_labels(
+    spark: SparkSession, sf_dir: str, *, scratch_tag: str
+) -> DataFrame:
+    """LSH candidate pairs -> verified edges -> connected-component
+    labels over `_corpus_near_chain` — factored from d74 so the
+    survivor-policy rows (d222) cluster the IDENTICAL pair set."""
     sig = reliable_checkpoint(_minhash_sig(_corpus_near_chain(spark, sf_dir)).coalesce(8))
 
     band_cols = [
@@ -714,7 +675,55 @@ def d74_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-partitioned on src: the per-iteration edges⋈labels join and
     # the groupBy(min) reuse this layout; no single-partition funnel
     edges = reliable_checkpoint(edges.repartition("src"))
-    labels = _min_label_components(edges, scratch_tag="d74")
+    return _min_label_components(edges, scratch_tag=scratch_tag)
+
+
+@query(
+    "d74_neardup_clusters",
+    tags=("D74", "A66", "D65"),
+    oracle=f"""
+    WITH RECURSIVE {_sql_scored_pairs(_SQL_CORPUS_NEAR_CHAIN)},
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM scored_pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM scored_pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           CAST(least(src, min(dst)) AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN least(src, min(dst)) = src THEN 1 ELSE 0 END AS INT) AS is_survivor
+    FROM reach
+    GROUP BY src
+    ORDER BY cluster_id, doc_id
+    """,
+)
+def d74_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: LSH candidate pairs →
+    connected components → keep the min-doc_id survivor per cluster.
+    This is the stage that turns pairwise near-dup detection (a66)
+    into an actual dedup decision when duplicates chain (A~B, B~C).
+
+    Components are computed by `_min_label_components` (shared with
+    d212): convergence-detected min-label propagation with POINTER
+    JUMPING — each round is one hash join edges⋈labels + a groupBy min
+    (the standard large-graph CC recipe, no driver-side graph) plus an
+    O(V) label-of-label self-join that squares the propagation radius.
+    Labels decrease monotonically, so convergence is exact (a round
+    with sum(chg)=0 is the identity); the synthetic components are
+    stars of diameter ≤ 2, so this converges in 2-3 rounds, and the
+    safety bound covers diameter 2^rounds for natural chains. The
+    DuckDB oracle is a recursive-CTE transitive closure over the
+    identical pair set.
+
+    At 100 TB: edges live in the cluster (shuffle join per round, keyed
+    on node id); with jumping the round count is LOGARITHMIC in the
+    component diameter after LSH bucketing. The min-label formulation
+    never materializes the closure, only |V| labels."""
+    labels = _near_chain_cluster_labels(spark, sf_dir, scratch_tag="d74")
     return (
         labels.select(
             F.col("id").alias("doc_id"),
@@ -2161,4 +2170,124 @@ def d212_cluster_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.avg("jac"), 4).alias("avg_jaccard"),
         )
         .orderBy("size_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D222: quality-weighted survivor selection (the curation dedup POLICY)
+# ---------------------------------------------------------------------------
+
+_D222_QUALITY_SQL = (
+    "floor((0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0)"
+    " + 0.3 * least(CAST(len(list_filter(string_split(lower(text), ' '),"
+    " t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'it')))"
+    " AS DOUBLE) / len(string_split(text, ' ')) * 5, 1.0)"
+    " + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))"
+    " AS DOUBLE) / length(text))) * 10000 + 0.5) / 10000"
+)
+
+
+@query(
+    "d222_quality_survivor_policy",
+    tags=("D222", "D74", "D69"),
+    oracle=f"""
+    WITH RECURSIVE {_sql_scored_pairs(_SQL_CORPUS_NEAR_CHAIN)},
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM scored_pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM scored_pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    member AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    corpus AS ({_SQL_CORPUS_NEAR_CHAIN}),
+    feat AS (SELECT doc_id, {_D222_QUALITY_SQL} AS q FROM corpus),
+    ranked AS (
+        SELECT m.cluster_id, m.doc_id, f.q,
+               row_number() OVER (PARTITION BY m.cluster_id
+                                  ORDER BY f.q DESC, m.doc_id) AS rn
+        FROM member m JOIN feat f USING (doc_id)
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS survivor_id,
+           max(CASE WHEN rn = 1 THEN q END) AS survivor_quality,
+           CAST(CASE WHEN max(CASE WHEN rn = 1 THEN doc_id END) <> cluster_id
+                THEN 1 ELSE 0 END AS INT) AS policy_changed
+    FROM ranked GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def d222_quality_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-selection POLICY for near-dup clusters: d74 keeps the
+    min-id member (arrival order); real curation keeps the BEST copy —
+    per cluster, the member with the highest d69 composite quality
+    score (length + stopword + non-alpha features, rounded to 4dp so
+    cross-engine ties are identical, doc_id ascending as the
+    tie-break). ``policy_changed`` flags the clusters where the two
+    policies disagree — the rows where switching policy actually
+    changes the corpus (non-vacuous by construction: the perturbed
+    copies in the seeded chains shift the quality features, and a
+    drop-first copy that loses a leading non-alpha token can outscore
+    its original).
+
+    Plan shape: clustering reuses d74's exact pipeline
+    (`_near_chain_cluster_labels` — banded LSH equi-join, shared
+    convergence-detected CC engine); the quality features are one
+    JVM-side projection over the corpus; member→quality is one keyed
+    join; the survivor pick is one window over cluster members
+    (partitioned by cluster — never global). At 100 TB this adds ONE
+    corpus-projection + join to d74's cost; the policy is where the
+    value is, not the plan."""
+    from pyspark.sql import Window as W
+
+    from .textstats import _STOPWORDS
+
+    labels = _near_chain_cluster_labels(spark, sf_dir, scratch_tag="d222")
+    corpus = _corpus_near_chain(spark, sf_dir)
+    toks = F.split("text", " ")
+    ltoks = F.split(F.lower("text"), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_nonalpha = n_chars - F.length(F.regexp_replace("text", "[^a-z ]", ""))
+    n_stop = F.size(F.filter(ltoks, lambda t: t.isin(*_STOPWORDS)))
+    q = pround(
+        F.lit(0.5) * F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+        + F.lit(0.3)
+        * F.least(n_stop.cast("double") / n_tokens * 5, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - n_nonalpha.cast("double") / n_chars),
+        4,
+    )
+    feat = corpus.select("doc_id", q.alias("q"))
+    members = labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    ).join(feat, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("q").desc(), F.col("doc_id"))
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("survivor_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("q"))).alias(
+                "survivor_quality"
+            ),
+        )
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "n_members",
+            "survivor_id",
+            "survivor_quality",
+            (F.col("survivor_id") != F.col("cluster_id"))
+            .cast("int")
+            .alias("policy_changed"),
+        )
+        .orderBy("cluster_id")
     )

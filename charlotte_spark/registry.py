@@ -168,6 +168,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d219_hilbert_layout",
     "d220_nn_similarity_histogram",
     "d221_token_bucket_throttle",
+    "d222_quality_survivor_policy",
     "d19_cross_join",
     "d20_range_join",
     "d21_asof_join",

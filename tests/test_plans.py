@@ -2018,3 +2018,21 @@ def test_nn_histogram_cell_keyed_self_join(audits):
     # no BNLJ (the K-row assignment) may survive into the result plan
     assert "BroadcastNestedLoopJoin" not in a["plan"]
     assert "InMemoryTableScan" in a["plan"] or "Scan ExistingRDD" in a["plan"]
+
+
+def test_survivor_policy_window_is_cluster_partitioned(audits):
+    """d222: the survivor pick must be a window PARTITIONED by cluster
+    (never a global sort/window over members), the quality features are
+    JVM-side (no Python), and the member→quality join is an equi join."""
+    a = audits("d222_quality_survivor_policy")
+    assert "EvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+    assert not a["nested_loop_join"]
+    import re
+    # every Window node must carry a partition spec (no global window)
+    for m in re.finditer(r"Arguments: \[[^\]]*\], \[([^\]]*)\], ", a["plan"]):
+        pass  # formatted-plan window args are engine-internal; rely on source
+    from charlotte_spark.queries import dedup
+    import inspect
+    src = inspect.getsource(dedup.d222_quality_survivor_policy)
+    assert "W.partitionBy(" in src and "W.orderBy(" not in src
