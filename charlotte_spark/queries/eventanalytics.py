@@ -670,3 +670,102 @@ def d205_liveness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D223: time-decayed heavy hitters (the recency-weighted leaderboard)
+# ---------------------------------------------------------------------------
+
+_D223_HALFLIFE_US = 7 * 86_400_000_000  # 7-day half-life
+_D223_TOPK = 20
+
+
+@query(
+    "d223_decayed_heavy_hitters",
+    tags=("D223", "A90", "D119"),
+    oracle=f"""
+    WITH t AS (SELECT max(epoch_us(ts)) AS t_ref FROM events),
+    scored AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               {sql_round(
+                   "sum(pow(2.0, -CAST(t.t_ref - epoch_us(ts) AS DOUBLE)"
+                   f" / {float(_D223_HALFLIFE_US)}))", 4)} AS decayed
+        FROM events CROSS JOIN t
+        GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT user_id, n_events, decayed,
+               row_number() OVER (ORDER BY decayed DESC, user_id) AS rnk_decayed,
+               row_number() OVER (ORDER BY n_events DESC, user_id) AS rnk_raw
+        FROM scored
+    )
+    SELECT CAST(rnk_decayed AS INT) AS rnk, user_id,
+           CAST(n_events AS BIGINT) AS n_events, decayed,
+           CAST(rnk_raw AS INT) AS rnk_raw,
+           CAST(CASE WHEN rnk_decayed <> rnk_raw THEN 1 ELSE 0 END AS INT)
+               AS rank_moved
+    FROM ranked WHERE rnk_decayed <= {_D223_TOPK}
+    ORDER BY rnk
+    """,
+)
+def d223_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted heavy hitters — the abuse/ops leaderboard that
+    A90's frequency-only heavy hitters cannot express: each event
+    contributes 2^(-(age)/halflife) at the corpus reference time (7-day
+    half-life), so a key flooding NOW outranks a key with a bigger but
+    stale total. Reports the decayed top-{_D223_TOPK} with each key's
+    raw-count rank and a rank_moved flag — the rows where recency
+    weighting actually changes the decision. Scores are rounded to 4dp
+    BEFORE ranking so cross-engine float-sum ordering cannot flip ties
+    (user_id ascending breaks them identically on both sides).
+
+    Plan shape: the reference time is a 1-row aggregate broadcast back
+    (scalar build side); the decayed sum is one map-side-combined
+    groupBy(user_id) — exponential decay against a FIXED reference is
+    a plain per-row weight, so no sequential state is needed (unlike
+    the step-by-step EWMA in D119); the two rankings ride windows over
+    the O(keys) grouped frame. At 100 TB: one events scan + one keyed
+    shuffle; the leaderboard is KB-scale. A production deployment
+    maintains the same statistic incrementally (decayed sums are
+    mergeable: rescale both sides to the newer reference), which is
+    the D161/D174 mergeable-rollup shape."""
+    e = load_table(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    t_ref = e.agg(F.max(tus).alias("t_ref"))
+    scored = (
+        e.select(F.col("user_id"), tus.alias("tus"))
+        .join(F.broadcast(t_ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(
+                F.sum(
+                    F.pow(
+                        F.lit(2.0),
+                        -(F.col("t_ref") - F.col("tus")).cast("double")
+                        / F.lit(float(_D223_HALFLIFE_US)),
+                    )
+                ),
+                4,
+            ).alias("decayed"),
+        )
+    )
+    # bounded: windows run over the O(keys) grouped frame
+    w_d = W.orderBy(F.col("decayed").desc(), F.col("user_id"))  # bounded: O(keys) grouped frame
+    w_r = W.orderBy(F.col("n_events").desc(), F.col("user_id"))  # bounded: O(keys) grouped frame
+    ranked = scored.withColumn("rnk", F.row_number().over(w_d)).withColumn(
+        "rnk_raw", F.row_number().over(w_r)
+    )
+    return (
+        ranked.filter(F.col("rnk") <= _D223_TOPK)
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            "decayed",
+            F.col("rnk_raw").cast("int").alias("rnk_raw"),
+            (F.col("rnk") != F.col("rnk_raw")).cast("int").alias("rank_moved"),
+        )
+        .orderBy("rnk")
+    )

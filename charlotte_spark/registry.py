@@ -169,6 +169,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d220_nn_similarity_histogram",
     "d221_token_bucket_throttle",
     "d222_quality_survivor_policy",
+    "d223_decayed_heavy_hitters",
     "d19_cross_join",
     "d20_range_join",
     "d21_asof_join",

@@ -2036,3 +2036,15 @@ def test_survivor_policy_window_is_cluster_partitioned(audits):
     import inspect
     src = inspect.getsource(dedup.d222_quality_survivor_policy)
     assert "W.partitionBy(" in src and "W.orderBy(" not in src
+
+
+def test_decayed_hitters_scalar_broadcast_single_scan(audits):
+    """d223: one events scan feeding a map-side-combined groupBy; the
+    reference time is a 1-row scalar broadcast (no keys); the rankings
+    run over the O(keys) grouped frame; no Python."""
+    a = audits("d223_decayed_heavy_hitters")
+    ev_scans = [s for s in a["scans"] if "events" in s["path"]]
+    assert len(ev_scans) <= 2, f"{len(ev_scans)} events scans"  # data + 1-row t_ref
+    assert a["partial_aggregate"]
+    assert "EvalPython" not in a["plan"]
+    assert not a["sort_merge_join"] and not a["nested_loop_join"]
