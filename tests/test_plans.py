@@ -2047,4 +2047,9 @@ def test_decayed_hitters_scalar_broadcast_single_scan(audits):
     assert len(ev_scans) <= 2, f"{len(ev_scans)} events scans"  # data + 1-row t_ref
     assert a["partial_aggregate"]
     assert "EvalPython" not in a["plan"]
-    assert not a["sort_merge_join"] and not a["nested_loop_join"]
+    assert not a["sort_merge_join"]
+    # the reference-time join is keyless with a 1-row build side — it
+    # plans as a BroadcastNestedLoopJoin by construction; nothing else
+    # may (the formatted plan prints each node twice: tree + detail)
+    assert a["plan"].count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in a["plan"]
