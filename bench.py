@@ -114,7 +114,11 @@ def bench_ingest(spark) -> dict:
         if os.path.exists(ckpt):
             shutil.rmtree(ckpt)
         t0 = time.perf_counter()
-        run_streaming_pipeline(spark, db, ckpt, max_files_per_trigger=3)
+        # 6 >= total fixture files: ONE micro-batch, matching the
+        # pre-r13 per-source-union protocol (3/source then meant all 5
+        # files in batch 0; the r13 shared-parent single source would
+        # split 3+2 and pay a phantom extra micro-batch of overhead)
+        run_streaming_pipeline(spark, db, ckpt, max_files_per_trigger=6)
         secs.append(time.perf_counter() - t0)
     dt = _median(secs)
     return {"ingest_events": n_events, "ingest_sec": round(dt, 3),
