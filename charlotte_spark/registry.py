@@ -170,6 +170,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d221_token_bucket_throttle",
     "d222_quality_survivor_policy",
     "d223_decayed_heavy_hitters",
+    "a224_join_size_estimate",
     "d19_cross_join",
     "d20_range_join",
     "d21_asof_join",

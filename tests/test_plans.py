@@ -2053,3 +2053,23 @@ def test_decayed_hitters_scalar_broadcast_single_scan(audits):
     # may (the formatted plan prints each node twice: tree + detail)
     assert a["plan"].count("BroadcastNestedLoopJoin") <= 2
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_join_size_estimator_sample_filter_pushes_down(audits):
+    """a224: the ESTIMATOR path must filter on the key hash BEFORE its
+    aggregation — the sampled scans carry a pushed/planned filter so
+    the production path shuffles ~1/S of the rows; per-key counts
+    partial-aggregate; no Python; the 1-row folds are the only keyless
+    joins."""
+    a = audits("a224_join_size_estimate")
+    assert a["partial_aggregate"]
+    assert "EvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+    # the sampled side's hash filter appears as a Filter above the scan
+    # (md5 isn't parquet-pushable, but it must sit below the aggregate)
+    assert a["plan"].count("Filter") >= 2, "sample filters missing"
+    import re
+    # no Filter may appear ABOVE a HashAggregate in the same subtree
+    # chain for the sampled branches — approximate by checking the
+    # filter expression references the raw key hash, not an agg output
+    assert re.search(r"Filter.*md5|md5.*Filter", a["plan"], re.S)
