@@ -1313,3 +1313,61 @@ def test_hilbert_index_matches_reference(spark):
         (x1, y1), (x2, y2) = d2xy(d), d2xy(d + 1)
         assert abs(x1 - x2) + abs(y1 - y2) == 1, f"curve jumps at d={d}"
         assert xy2d(x1, y1) == d and xy2d(x2, y2) == d + 1
+
+
+def test_dp_laplace_draw_is_calibrated(spark):
+    """d216's deterministic hash→inverse-CDF draw must actually BE
+    Laplace(scale): over many synthetic group keys, the noise sample's
+    mean ≈ 0 and mean |noise| ≈ scale (the Laplace MAD identity), and
+    the draw is reproducible call-to-call — the property that makes
+    retries epsilon-free."""
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.queries.statsops import _dp_laplace, _dp_uniform
+
+    scale = 2.0
+    keys = spark.range(4000).select(F.col("id").cast("string").alias("k"))
+    noise = keys.select(
+        _dp_laplace(_dp_uniform(F.col("k"), "cal216"), scale).alias("x")
+    )
+    row = noise.agg(
+        F.avg("x").alias("mu"),
+        F.avg(F.abs(F.col("x"))).alias("mad"),
+        F.max(F.abs(F.col("x"))).alias("mx"),
+    ).collect()[0]
+    # Laplace(b): E[X]=0, E|X|=b; 4000 draws put the sample mean within
+    # ~4*b*sqrt(2)/sqrt(n) ≈ 0.18 of 0 and the MAD within ~10% of b
+    assert abs(row["mu"]) < 0.2, f"noise mean {row['mu']}"
+    assert abs(row["mad"] - scale) < 0.2 * scale, f"MAD {row['mad']} vs {scale}"
+    assert row["mx"] < scale * 20, "inverse CDF blew up near |u|=0.5"
+    # reproducibility: the identical expression yields identical values
+    again = noise.agg(F.avg("x"), F.avg(F.abs(F.col("x")))).collect()[0]
+    assert (again[0], again[1]) == (row["mu"], row["mad"])
+
+
+def test_salt_planner_caps_every_bucket(spark):
+    """d218's arithmetic must deliver its contract on any key skew:
+    after splitting key k into salt_factor(k) buckets, NO bucket
+    exceeds cap = ceil(total / target), and uniform keys keep
+    salt_factor == 1 (no replication cost)."""
+    import math
+    import random
+
+    from charlotte_spark.queries.reshape import _D218_TARGET_TASKS
+
+    rng = random.Random(218)
+    # heavy skew: one key with half the mass, a hot tier, a uniform tail
+    counts = {0: 50_000}
+    for k in range(1, 6):
+        counts[k] = rng.randrange(5_000, 15_000)
+    for k in range(6, 200):
+        counts[k] = rng.randrange(50, 400)
+    total = sum(counts.values())
+    cap = max(1.0, math.ceil(total / _D218_TARGET_TASKS))
+    for k, n in counts.items():
+        salt = math.ceil(n / cap)
+        max_bucket = math.ceil(n / salt)
+        assert max_bucket <= cap, (k, n, salt, max_bucket, cap)
+    uniform_cap = max(1.0, math.ceil(total / _D218_TARGET_TASKS))
+    for k in range(6, 200):
+        assert math.ceil(counts[k] / uniform_cap) == 1, "tail key got salted"
