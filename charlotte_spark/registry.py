@@ -92,76 +92,16 @@ def query(
 # correctness gate checks the FIRST 50 entries of ``queries()`` each
 # round (CORRECTNESS_r01-r11 keys == list(queries())[:50]), so insertion
 # order decides which SURVEY rows get driver evidence. Round-12 rotation
-# Driver-window rotation for ROUND 13 (VERDICT r12, Next-round #1):
-# slots 1-12 are the only remaining rotation debt — D215 (added after
-# the r12 window was fixed; never driver-checked) plus the 11
-# r07-evidence rows the r12 window could not fit. Slots 13-50 backfill
-# with 38 of the 50 oldest (r08-evidence) rows, starting with the four
-# the verdict named; the 12 r08 leftovers lead the post-boundary list
-# so the r14 rotation inherits them automatically.
+# Driver-window rotation for ROUND 14 (VERDICT r13, Next-round #1):
+# slots 1-9 are the nine rows added in r13 after that round's window
+# was fixed (local-oracle-green only — the sole rotation debt with no
+# driver evidence), slots 10-21 the 12 r08-evidence leftovers the r13
+# window could not fit, slots 22-50 the 29 oldest r09-evidence rows.
+# Green rows take driver-confirmed coverage to 247/247 SURVEY rows
+# with no evidence older than r9; the 21 r09 leftovers lead the
+# post-boundary list so the r15 rotation inherits them automatically.
 DRIVER_ORDER: tuple[str, ...] = (
-    # ---- r13 window slot 1: the r12 addition (never driver-checked) ----
-    "d215_semantic_dedup_arrival",
-    # ---- r13 window slots 2-12: the 11 r07-evidence leftovers ----
-    "d156_revenue_concentration",
-    "d126_transform_with_state",
-    "d58_cid_sequencer_stream",
-    "d60_foreachbatch_upsert",
-    "d68_topk_bruteforce",
-    "d72_decode_pipeline",
-    "r_charlotte_rollover_hook",
-    "r_charlotte_event_records",
-    "r_charlotte_ingest_decode",
-    "r_charlotte_batch_pipeline",
-    "r_charlotte_text_mode",
-    # ---- r13 window slots 13-50: the 38 oldest r08-evidence rows ----
-    "a160_hll_intersection",
-    "a31_approx_count_distinct",
-    "a32_approx_quantiles",
-    "d1_scan_rowcounts",
-    "d157_url_curation",
-    "d158_boilerplate_lines",
-    "d159_curation_scorecard",
-    "d161_incremental_rollup",
-    "d162_streaming_psi_drift",
-    "d163_bloom_semijoin_reduction",
-    "d164_vocab_coverage_curve",
-    "d25_global_agg",
-    "d26_count_distinct",
-    "d27_rollup",
-    "d27_cube",
-    "d28_filtered_agg",
-    "d29_collect_list_set",
-    "d30_first_last_ordered",
-    "d32x_exact_percentile",
-    "d3_jdbc_scan",
-    "d5_jdbc_sink",
-    "d6_file_stream_checkpoint",
-    "d1_scan_checksum_lineitem",
-    "d2_csv_json_scan",
-    "d4_partitioned_parquet_sink",
-    "d7_select_rename",
-    "d8_computed_projection",
-    "d9_predicates",
-    "d10_null_semantics",
-    "d11_in_list",
-    "d12_like_regexp",
-    "d13_distinct",
-    "d14_inner_equijoin",
-    "d15_broadcast_dim_join",
-    "d16_left_outer_join",
-    "d16_full_outer_join",
-    "d17_left_semi_join",
-    "d18_left_anti_join",
-    # ---- 50-slot window boundary ----
-    # Post-boundary: greedy most-stale order over CORRECTNESS_r* evidence
-    # (ties keep prior relative order) — the 12 r08-evidence leftovers
-    # lead so the r14 rotation inherits them (pinned by
-    # tests/test_registry_order.py::test_window_is_greedy_most_stale);
-    # then the r09/r10/r11/r12-evidence blocks, newest evidence last.
-    # A query added mid-round (no evidence yet) goes directly BELOW
-    # this comment block, before the r08 leftovers (never-checked rows
-    # are the stalest debt and must lead).
+    # ---- r14 window slots 1-9: the nine r13 additions (never driver-checked) ----
     "d216_dp_noisy_release",
     "d217_tokenizer_fertility",
     "d218_salt_planner",
@@ -171,6 +111,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d222_quality_survivor_policy",
     "d223_decayed_heavy_hitters",
     "a224_join_size_estimate",
+    # ---- r14 window slots 10-21: the 12 r08-evidence leftovers ----
     "d19_cross_join",
     "d20_range_join",
     "d21_asof_join",
@@ -183,6 +124,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q21_waiting_supplier",
+    # ---- r14 window slots 22-50: the 29 oldest r09-evidence rows ----
     "d165_char_entropy",
     "d166_containment_ratio",
     "d167_grouped_split",
@@ -212,6 +154,15 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d48_explode",
     "d49_map_functions",
     "d50_json_functions",
+    # ---- 50-slot window boundary ----
+    # Post-boundary: greedy most-stale order over CORRECTNESS_r* evidence
+    # (ties keep prior relative order) — the 21 r09-evidence leftovers
+    # lead so the r15 rotation inherits them (pinned by
+    # tests/test_registry_order.py::test_window_is_greedy_most_stale);
+    # then the r10/r11/r12-evidence blocks, the r13-evidence block last.
+    # A query added mid-round (no evidence yet) goes directly BELOW
+    # this comment block, before the r09 leftovers (never-checked rows
+    # are the stalest debt and must lead).
     "d51_hash_encoding",
     "d52_ip_str_to_long",
     "d53_tumbling_window",
@@ -383,6 +334,56 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d153_time_travel",
     "d154_bounce_dwell",
     "d155_growth_accounting",
+    "d215_semantic_dedup_arrival",
+    "d156_revenue_concentration",
+    "d126_transform_with_state",
+    "d58_cid_sequencer_stream",
+    "d60_foreachbatch_upsert",
+    "d68_topk_bruteforce",
+    "d72_decode_pipeline",
+    "r_charlotte_rollover_hook",
+    "r_charlotte_event_records",
+    "r_charlotte_ingest_decode",
+    "r_charlotte_batch_pipeline",
+    "r_charlotte_text_mode",
+    "a160_hll_intersection",
+    "a31_approx_count_distinct",
+    "a32_approx_quantiles",
+    "d1_scan_rowcounts",
+    "d157_url_curation",
+    "d158_boilerplate_lines",
+    "d159_curation_scorecard",
+    "d161_incremental_rollup",
+    "d162_streaming_psi_drift",
+    "d163_bloom_semijoin_reduction",
+    "d164_vocab_coverage_curve",
+    "d25_global_agg",
+    "d26_count_distinct",
+    "d27_rollup",
+    "d27_cube",
+    "d28_filtered_agg",
+    "d29_collect_list_set",
+    "d30_first_last_ordered",
+    "d32x_exact_percentile",
+    "d3_jdbc_scan",
+    "d5_jdbc_sink",
+    "d6_file_stream_checkpoint",
+    "d1_scan_checksum_lineitem",
+    "d2_csv_json_scan",
+    "d4_partitioned_parquet_sink",
+    "d7_select_rename",
+    "d8_computed_projection",
+    "d9_predicates",
+    "d10_null_semantics",
+    "d11_in_list",
+    "d12_like_regexp",
+    "d13_distinct",
+    "d14_inner_equijoin",
+    "d15_broadcast_dim_join",
+    "d16_left_outer_join",
+    "d16_full_outer_join",
+    "d17_left_semi_join",
+    "d18_left_anti_join",
 )
 
 # How many leading entries of queries() the driver's correctness gate

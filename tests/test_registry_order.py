@@ -26,56 +26,61 @@ def test_enumeration_puts_driver_order_first():
 
 
 def test_window_covers_fixes_and_never_verified_rows():
-    """Round-13 rotation (VERDICT r12 #1): slot 1 is D215 (the r12
-    addition, never driver-checked), slots 2-12 the 11 r07-evidence
-    leftovers, slots 13-50 backfill with 38 of the 50 oldest
-    (r08-evidence) rows starting with the four the verdict named.
-    Green rows take driver-confirmed coverage to 238/238 SURVEY rows
-    and retire all pre-r8 evidence."""
+    """Round-14 rotation (VERDICT r13 #1): slots 1-9 are the nine r13
+    additions (never driver-checked), slots 10-21 the 12 r08-evidence
+    leftovers the r13 window could not fit, slots 22-50 the 29 oldest
+    r09-evidence rows. Green rows take driver-confirmed coverage to
+    247/247 SURVEY rows with no evidence older than r9."""
     window = list(load_all_queries())[:DRIVER_WINDOW]
-    assert window[0] == "d215_semantic_dedup_arrival"
-    # The 11 r07-evidence rows occupy slots 2-12.
-    for must in (
-        "d156_revenue_concentration",
-        "d126_transform_with_state",
-        "d58_cid_sequencer_stream",
-        "d60_foreachbatch_upsert",
-        "d68_topk_bruteforce",
-        "d72_decode_pipeline",
-        "r_charlotte_rollover_hook",
-        "r_charlotte_event_records",
-        "r_charlotte_ingest_decode",
-        "r_charlotte_batch_pipeline",
-        "r_charlotte_text_mode",
-    ):
-        assert must in window[1:12], f"{must} missing from slots 2-12"
-    # The verdict-named r08 backfill leads slots 13-16.
-    assert window[12:16] == [
-        "a160_hll_intersection",
-        "a31_approx_count_distinct",
-        "a32_approx_quantiles",
-        "d1_scan_rowcounts",
+    # The nine never-driver-checked r13 additions occupy slots 1-9.
+    assert window[:9] == [
+        "d216_dp_noisy_release",
+        "d217_tokenizer_fertility",
+        "d218_salt_planner",
+        "d219_hilbert_layout",
+        "d220_nn_similarity_histogram",
+        "d221_token_bucket_throttle",
+        "d222_quality_survivor_policy",
+        "d223_decayed_heavy_hitters",
+        "a224_join_size_estimate",
     ]
+    # The 12 r08-evidence leftovers occupy slots 10-21.
     for must in (
-        "d157_url_curation",
-        "d25_global_agg",
-        "d3_jdbc_scan",
-        "d14_inner_equijoin",
-        "d18_left_anti_join",
+        "d19_cross_join",
+        "d20_range_join",
+        "d21_asof_join",
+        "d22_interval_join",
+        "d23_self_join",
+        "d24_groupby_multi_agg",
+        "d84_bucketed_colocated_join",
+        "d87_salted_skew_join",
+        "q1_pricing_summary",
+        "q2_min_cost_supplier",
+        "q9_product_type_profit",
+        "q21_waiting_supplier",
     ):
-        assert must in window[12:], f"{must} fell out of the driver window"
+        assert must in window[9:21], f"{must} missing from slots 10-21"
+    # r09-evidence backfill fills slots 22-50.
+    for must in (
+        "d165_char_entropy",
+        "a66_minhash_lsh_neardup",
+        "a83_hll_sketch_union",
+        "d50_json_functions",
+    ):
+        assert must in window[21:], f"{must} fell out of the driver window"
     # Every window slot must be hash-checkable: the whole rows-only
     # class was retired in r7 (all queries carry oracles).
     reg = load_all_queries()
     rows_only = [n for n in window if reg[n].oracle is None]
     assert not rows_only, f"rows-only slots: {rows_only}"
-    # Nothing already driver-green in r09-r12 may occupy a slot.
-    for stale in ("d165_char_entropy", "d181_lsh_arrival_loop",
+    # Nothing already driver-green in r10-r13 may occupy a slot.
+    for stale in ("d215_semantic_dedup_arrival", "d181_lsh_arrival_loop",
                   "d88_pii_redaction", "d183_curation_dag",
                   "d33_ranking_functions", "d105_fuzzy_reconcile",
                   "q3_shipping_priority", "d188_bpe_merges",
                   "d212_cluster_chaining_audit", "a134_selfjoin_size",
-                  "d135_distribution_windows"):
+                  "d156_revenue_concentration", "a160_hll_intersection",
+                  "d14_inner_equijoin"):
         assert stale not in window, f"{stale} wastes a window slot"
 
 
