@@ -195,11 +195,13 @@ def main() -> None:
     # one). Every full run writes BENCH_DETAIL_LAST.json; promotion to
     # BENCH_DETAIL.json happens only when the window measured quiet.
     here = os.path.dirname(os.path.abspath(__file__))
+    promoted = None  # subset runs: promotion not applicable
     if subset is None:  # subset runs never clobber full-run artifacts
         blob = json.dumps(detail, indent=1, sort_keys=True) + "\n"
         with open(os.path.join(here, "BENCH_DETAIL_LAST.json"), "w") as fh:
             fh.write(blob)
-        if detail["cpu_steal_pct"] <= 0.5:
+        promoted = (detail["cpu_steal_pct"] or 0.0) <= 0.5
+        if promoted:
             with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
                 fh.write(blob)
     # stdout gets ONE short line (<1.5 KB): headline metric + the 10
@@ -213,6 +215,13 @@ def main() -> None:
     }
     summary["queries"] = slowest
     summary["queries_detail"] = "BENCH_DETAIL.json"
+    # Promotion outcome in the parseable line (ADVICE r13): without it
+    # a run of noisy windows leaves the committed cross-round detail
+    # stale with no stdout signal. cpu_steal_pct rides along above.
+    # Cross-round A/B adjudication (tools/bench_ab.py --auto-from) must
+    # run AFTER the round's final promoting run, against the promoted
+    # file (VERDICT r13 #3) — the report stamps which blob it saw.
+    summary["detail_promoted"] = promoted
     print(json.dumps(summary, separators=(",", ":")))
 
 

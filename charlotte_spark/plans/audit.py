@@ -25,9 +25,82 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def _top_level_brackets(s: str) -> list[str]:
+    """Split ``[a], [b, [c]], [d]`` into top-level bracket groups."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+def extract_windows(plan: str) -> list[dict]:
+    """Window (WindowExec) nodes with their partition spec.
+
+    An unpartitioned Window moves ALL input rows to one partition — the
+    class of plan that silently stops scaling (VERDICT r13 missing #3).
+    The formatted node prints ``Arguments: [fns], [partition], [order]``
+    with empty specs OMITTED, so two bracket groups are ambiguous:
+    ``[fns], [order]`` (unpartitioned, the hazard) vs ``[fns],
+    [partition]`` (partitioned, no order — the w_all whole-group fold).
+    Order specs always carry a sort direction (``x ASC NULLS FIRST``),
+    partition specs never do — that token disambiguates. AQE prints
+    cached subtrees twice; callers interested in the *set* of window
+    shapes should dedupe (the audit reports distinct specs).
+    """
+    out, seen = [], set()
+    # Split at LINE-START node headers only: "(N) " also occurs inside
+    # expressions ("count(1) windowspecdefinition(...)"), which would
+    # truncate the Arguments line mid-function.
+    for seg in re.split(r"(?m)^\(\d+\) ", plan):
+        head = seg.split("\n", 1)[0].strip()
+        # "Window" / "Window [codegen id : N]" — but not WindowGroupLimit
+        # (a rank-limit pushdown helper, bounded by construction).
+        if not head.split()[:1] == ["Window"]:
+            continue
+        m = re.search(r"Arguments: (.*)", seg)
+        if not m:
+            continue
+        groups = _top_level_brackets(m.group(1))
+
+        def _is_order_spec(g: str) -> bool:
+            return bool(re.search(r"\b(ASC|DESC) NULLS (FIRST|LAST)", g))
+
+        if len(groups) >= 3:
+            part_group = groups[1]
+        elif len(groups) == 2 and not _is_order_spec(groups[1]):
+            part_group = groups[1]  # partitioned, no order (w_all fold)
+        else:
+            part_group = ""
+        partition_cols = [
+            re.sub(r"#\d+L?", "", c).strip()
+            for c in part_group.split(",")
+            if c.strip()
+        ]
+        key = (groups[0] if groups else "", tuple(partition_cols))
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(
+            {
+                "functions": (groups[0] if groups else "")[:120],
+                "partition_cols": partition_cols,
+                "partitioned": bool(partition_cols),
+            }
+        )
+    return out
+
+
 def audit_plan(df: DataFrame) -> dict:
     """Extract the scale-relevant facts from a physical plan."""
     p = formatted_plan(df)
+    windows = extract_windows(p)
     scans = []
     # formatted explain prints one block per scan node; parse each block
     for seg in re.split(r"\(\d+\) ", p):
@@ -60,6 +133,10 @@ def audit_plan(df: DataFrame) -> dict:
         or "CartesianProduct" in p,
         "partial_aggregate": bool(
             re.search(r"HashAggregate.*?Functions \[\d+\]: \[partial_", p, re.S)
+        ),
+        "windows": windows,
+        "n_unpartitioned_windows": sum(
+            1 for w in windows if not w["partitioned"]
         ),
         "n_exchanges": len(re.findall(r"\bExchange\b|\(Exchange", p)),
         "plan": p,

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.portable import pround, sql_round
+from ..operators.prefix import ordered_prefix
 from ..registry import query
 
 _FUNNEL_DAYS = 7
@@ -724,9 +725,12 @@ def d223_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scalar build side); the decayed sum is one map-side-combined
     groupBy(user_id) — exponential decay against a FIXED reference is
     a plain per-row weight, so no sequential state is needed (unlike
-    the step-by-step EWMA in D119); the two rankings ride windows over
-    the O(keys) grouped frame. At 100 TB: one events scan + one keyed
-    shuffle; the leaderboard is KB-scale. A production deployment
+    the step-by-step EWMA in D119); the two global rankings ride the
+    distributed two-phase prefix (ordered_prefix — range-partition on
+    the rank key, bounded offset window over O(n_parts) partials), so
+    no stage ever funnels all user keys through one task. At 100 TB:
+    one events scan + one keyed shuffle + two O(keys) range exchanges;
+    the leaderboard is KB-scale. A production deployment
     maintains the same statistic incrementally (decayed sums are
     mergeable: rescale both sides to the newer reference), which is
     the D161/D174 mergeable-rollup shape."""
@@ -751,11 +755,23 @@ def d223_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed"),
         )
     )
-    # bounded: windows run over the O(keys) grouped frame
-    w_d = W.orderBy(F.col("decayed").desc(), F.col("user_id"))  # bounded: O(keys) grouped frame
-    w_r = W.orderBy(F.col("n_events").desc(), F.col("user_id"))  # bounded: O(keys) grouped frame
-    ranked = scored.withColumn("rnk", F.row_number().over(w_d)).withColumn(
-        "rnk_raw", F.row_number().over(w_r)
+    # Both global ranks ride the distributed two-phase prefix (ADVICE
+    # r13): an unpartitioned row_number window would serialize ALL user
+    # keys through one reducer — the exact hazard d219 was reworked to
+    # avoid — while ordered_prefix range-partitions on the rank key and
+    # only O(n_parts) per-bucket partials flow through a window. The
+    # two rankings order by DIFFERENT keys, so they cannot fuse into
+    # one ordered_prefix_chain (the d142 two-layout precedent) and each
+    # pays its own range exchange over the O(keys) grouped frame.
+    ranked = ordered_prefix(
+        scored.withColumn("_neg_decayed", -F.col("decayed")),
+        ["_neg_decayed", "user_id"],
+        row_number="rnk",
+    )
+    ranked = ordered_prefix(
+        ranked.withColumn("_neg_n", -F.col("n_events")),
+        ["_neg_n", "user_id"],
+        row_number="rnk_raw",
     )
     return (
         ranked.filter(F.col("rnk") <= _D223_TOPK)

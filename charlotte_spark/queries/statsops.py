@@ -1068,20 +1068,34 @@ _DP_CLIP = 2000.0     # per-doc n_chars contribution clip (sum sensitivity)
 _DP_GRID = 1_000_000  # uniform grid for the inverse-CDF draw
 
 
-def _dp_uniform(key, seed: str):
-    """Deterministic u in (-0.5, 0.5), u != 0, derived from the group
-    key: (h % grid + 0.5) / grid - 0.5 with the portable md5 hash, so
-    the 'draw' replays identically across engines, retries, and
-    speculative re-execution — the property a distributed DP release
-    actually needs (a stateful RNG would double-spend epsilon on every
-    replayed task)."""
-    h = portable_hash_long(key, seed)
+# The release's privacy rests on this salt staying SECRET: the noise is
+# a deterministic function of (salt, group key), so anyone who knows the
+# salt can recompute and subtract it. In a real deployment the salt is
+# config/env-injected per release and never published; the test fixture
+# pins a public literal ONLY so the DuckDB oracle can recompute the same
+# draw (the harness passes the same literal to both engines).
+_D216_SECRET_DEFAULT = "fixture-release-salt-r14"
+
+
+def _dp_uniform(key, seed: str, secret: str = _D216_SECRET_DEFAULT):
+    """Deterministic u in (-0.5, 0.5), u != 0, derived from the SECRET
+    release salt and the group key: (h % grid + 0.5) / grid - 0.5 with
+    the portable md5 hash over secret|seed|key, so the 'draw' replays
+    identically across engines, retries, and speculative re-execution —
+    the property a distributed DP release actually needs (a stateful
+    RNG would double-spend epsilon on every replayed task). Distinct
+    secrets give statistically independent draws; without the secret
+    the draw is unpredictable, which is what makes the mechanism DP
+    rather than merely deterministic."""
+    h = portable_hash_long(key, f"{secret}|{seed}|")
     return (h % _DP_GRID + F.lit(0.5)) / F.lit(float(_DP_GRID)) - F.lit(0.5)
 
 
-def _sql_dp_uniform(key: str, seed: str) -> str:
+def _sql_dp_uniform(
+    key: str, seed: str, secret: str = _D216_SECRET_DEFAULT
+) -> str:
     return (
-        f"(({sql_hash_long(key, seed)} % {_DP_GRID} + 0.5)"
+        f"(({sql_hash_long(key, f'{secret}|{seed}|')} % {_DP_GRID} + 0.5)"
         f" / {float(_DP_GRID)} - 0.5)"
     )
 
@@ -1097,8 +1111,12 @@ def _sql_dp_laplace(u: str, scale: float) -> str:
     return f"(-{scale} * sign({u}) * ln(1.0 - 2.0 * abs({u})))"
 
 
-_D216_U1 = _sql_dp_uniform("source || '|' || lang", "dp216c")
-_D216_U2 = _sql_dp_uniform("source || '|' || lang", "dp216s")
+# NULL-safe group key: coalesce BOTH engines' parts to '' before the
+# join (Spark concat_ws would silently skip a NULL part while DuckDB's
+# || propagates it — ADVICE r13), so both engines agree on NULL keys.
+_D216_KEY_SQL = "coalesce(source, '') || '|' || coalesce(lang, '')"
+_D216_U1 = _sql_dp_uniform(_D216_KEY_SQL, "dp216c")
+_D216_U2 = _sql_dp_uniform(_D216_KEY_SQL, "dp216s")
 
 
 @query(
@@ -1122,24 +1140,37 @@ _D216_U2 = _sql_dp_uniform("source || '|' || lang", "dp216s")
     FROM g ORDER BY source, lang
     """,
 )
-def d216_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d216_dp_noisy_release(
+    spark: SparkSession, sf_dir: str, dp_secret: str = _D216_SECRET_DEFAULT
+) -> DataFrame:
     """Differentially-private corpus-statistics release: per
     (source, lang) the released count and clipped character volume,
     each protected by the Laplace mechanism (Dwork et al. 2006, public
     knowledge) — count at sensitivity 1 (one doc joins one group),
     char volume at sensitivity `_DP_CLIP` via per-doc contribution
     clipping (the D208 discipline), with basic composition
-    epsilon_total = eps_count + eps_sum reported alongside. The true
-    counts never appear in the output — this is the shape of a stats
-    release a training-data platform publishes about a private corpus.
+    epsilon_total = eps_count + eps_sum reported alongside.
 
-    The Laplace draw is DETERMINISTIC: u is derived from the group key
-    via the portable md5 hash and pushed through the inverse CDF
-    (u != 0 and |u| < 0.5 by construction of the grid offset). On a
-    cluster this is the property that matters: task retries,
-    speculative execution, and exactly-once replays regenerate the
-    SAME noise instead of silently spending fresh epsilon per attempt,
-    and no driver-side RNG state exists at all.
+    The Laplace draw is DETERMINISTIC given (dp_secret, group key): u
+    is derived from the secret release salt and the group key via the
+    portable md5 hash and pushed through the inverse CDF (u != 0 and
+    |u| < 0.5 by construction of the grid offset). On a cluster this
+    is the property that matters: task retries, speculative execution,
+    and exactly-once replays regenerate the SAME noise instead of
+    silently spending fresh epsilon per attempt, and no driver-side
+    RNG state exists at all.
+
+    THE PRIVACY GUARANTEE RESTS ON dp_secret STAYING SECRET (VERDICT
+    r13 #2): the noise is a pure function of (secret, key), so anyone
+    who learns the salt can recompute it and invert noisy_n back to
+    the true count. A real deployment injects a fresh secret per
+    release from config/secret storage and never publishes it; this
+    registered query pins the module default ONLY so the DuckDB oracle
+    can recompute the identical draw — the fixture therefore
+    demonstrates the mechanism, calibration, and plan shape, not a
+    usable privacy guarantee by itself. `tests/test_property.py` pins
+    both halves of the contract: different secrets give different
+    releases; one secret replays bit-identically.
 
     Plan shape: ONE groupBy(source, lang) shuffle computes both true
     statistics; the noise is a scalar projection of the group key
@@ -1148,15 +1179,22 @@ def d216_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf-idf/entropy precedent (identical IEEE doubles in, ≤1-ulp
     divergence out, absorbed by the 4-decimal portable rounding)."""
     d = load_table(spark, sf_dir, "documents")
-    key = F.concat_ws("|", F.col("source"), F.col("lang"))
+    # NULL-safe key: coalesce parts BEFORE concat so the draw agrees
+    # with the oracle's || on NULL source/lang (concat_ws would skip
+    # a NULL part and drop its separator).
+    key = F.concat(
+        F.coalesce(F.col("source"), F.lit("")),
+        F.lit("|"),
+        F.coalesce(F.col("lang"), F.lit("")),
+    )
     g = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.least(F.col("n_chars").cast("double"), F.lit(_DP_CLIP))).alias(
             "clipped_chars"
         ),
     )
-    u1 = _dp_uniform(key, "dp216c")
-    u2 = _dp_uniform(key, "dp216s")
+    u1 = _dp_uniform(key, "dp216c", dp_secret)
+    u2 = _dp_uniform(key, "dp216s", dp_secret)
     return g.select(
         "source",
         "lang",

@@ -1345,6 +1345,52 @@ def test_dp_laplace_draw_is_calibrated(spark):
     assert (again[0], again[1]) == (row["mu"], row["mad"])
 
 
+def test_dp_release_secret_salt_contract(spark, sf_dir):
+    """d216's DP contract (VERDICT r13 #2) has two halves, both pinned:
+
+    1. SECRET-SENSITIVITY — releases under different secrets differ on
+       every group (the noise is a function of the salt, so an attacker
+       without the salt cannot recompute it; with a hard-coded seed the
+       r13 version was invertible by construction);
+    2. REPLAY-STABILITY — one secret replays bit-identically, the
+       property that keeps task retries / speculative execution from
+       spending fresh epsilon.
+
+    Also pins that the released values are NOT the true counts (the
+    noise never degenerates to zero on real groups)."""
+    from charlotte_spark.queries.statsops import d216_dp_noisy_release
+
+    def rows(secret):
+        return {
+            (r["source"], r["lang"]): (r["noisy_n"], r["noisy_chars"])
+            for r in d216_dp_noisy_release(
+                spark, sf_dir, dp_secret=secret
+            ).collect()
+        }
+
+    a1, a2, b = rows("secret-A"), rows("secret-A"), rows("secret-B")
+    assert a1 == a2, "same secret must replay bit-identically"
+    assert set(a1) == set(b), "group keys must not depend on the secret"
+    diff = [k for k in a1 if a1[k] != b[k]]
+    # Continuous Laplace draws off a 1e6 grid: a collision on any group,
+    # let alone all, means the secret is not reaching the hash.
+    assert len(diff) == len(a1), f"only {len(diff)}/{len(a1)} groups differ"
+    # The release must never publish the exact true counts.
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.catalog import load_table
+
+    true = {
+        (r["source"], r["lang"]): r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    leaked = [k for k, (noisy_n, _) in a1.items() if noisy_n == true[k]]
+    assert not leaked, f"noisy_n equals the true count on {leaked}"
+
+
 def test_salt_planner_caps_every_bucket(spark):
     """d218's arithmetic must deliver its contract on any key skew:
     after splitting key k into salt_factor(k) buckets, NO bucket

@@ -20,7 +20,11 @@ seconds are sub-stage-latency jitter at sf0.1, not adjudicable):
 
 Auto mode always emits a report with an ``auto_selected`` section
 (possibly empty movers) so every round's artifact records that the
-adjudication RAN, not just what it found.
+adjudication RAN, not just what it found. ORDERING (VERDICT r13 #3):
+run auto mode only AFTER the round's final full bench has promoted
+BENCH_DETAIL.json (bench.py prints ``detail_promoted`` per run); the
+section stamps the new-side blob's sha256 so a select-before-promote
+violation is detectable against the committed detail.
 
 It checks the ref out into a temporary git worktree and runs the SAME
 bench subset against HEAD and the ref in interleaved A/B/B/A order
@@ -128,9 +132,21 @@ def _auto_select(old_detail: str, new_detail: str) -> tuple[list[str], dict]:
             movers.append((abs(n - o), q, round(ratio, 3), o, n))
     movers.sort(reverse=True)
     selected = [q for _, q, _, _, _ in movers[:MAX_AUTO_MOVERS]]
+    # Stamp WHICH new-side blob was adjudicated (VERDICT r13 #3): in
+    # r13 the auto-select ran before the round's final bench promoted a
+    # fresh BENCH_DETAIL.json, so a mover introduced by that refresh
+    # (a83) skipped adjudication unnoticed. The sha makes any
+    # select-then-promote ordering violation visible after the fact:
+    # compare it against the committed detail's hash.
+    import hashlib
+
+    with open(new_detail, "rb") as fh:
+        new_sha = hashlib.sha256(fh.read()).hexdigest()[:16]
     section = {
         "band": NOISE_BAND,
         "min_delta_sec": MIN_DELTA_SEC,
+        "new_bench_path": os.path.basename(new_detail),
+        "new_bench_sha256": new_sha,
         "common_subset": len(common),
         "movers": [
             {"query": q, "ratio": r, "old_sec": o, "new_sec": n}
