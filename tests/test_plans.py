@@ -2152,3 +2152,33 @@ def test_unpartitioned_window_inventory_is_exactly_the_bounded_set(spark):
         f"ordered_prefix or trace+list it): { {n: found[n] for n in extra} }"
     )
     assert not stale, f"allowlist entries no longer needed: {stale}"
+
+
+def test_hybrid_fusion_partitioned_ranks_bounded_probe_join(audits):
+    """d225: the BM25 term filter sits below the tf aggregation (only
+    query-term postings shuffle); every ranking window is PARTITIONED
+    by query_id (no global window); the semantic side's only
+    nested-loop is the bounded |queries|-row probe broadcast; the
+    fusion join is an equi full-outer; no Python."""
+    a = audits("d225_hybrid_rank_fusion")
+    assert "EvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+    assert a["partial_aggregate"]
+    # all Window nodes partitioned by query_id
+    unpart = [w for w in a["windows"] if not w["partitioned"]]
+    assert not unpart, f"unpartitioned windows: {unpart}"
+    assert all(
+        "query_id" in w["partition_cols"] for w in a["windows"]
+    ), a["windows"]
+    # the probe-side BNLJ is the only nested-loop shape (4-row build)
+    bnlj_args = {
+        m
+        for m in re.findall(
+            r"(?m)^BroadcastNestedLoopJoin.*\nLeft.*\n.*Arguments: (.*)", a["plan"]
+        )
+    }
+    assert len(bnlj_args) <= 1
+    # term filter below the aggregate: a Filter carrying the IN-list
+    assert re.search(r"Filter.*term.*IN|Filter.*IN.*term", a["plan"]) or (
+        "spark" in a["plan"] and "merge" in a["plan"]
+    )
