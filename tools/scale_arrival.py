@@ -78,8 +78,10 @@ def _root() -> str:
     return f"{_scratch_root('CHARLOTTE_ARR_TMP', 'charlotte_arrival')}/{os.getpid()}"
 
 
-def _docs_replicated(spark, scale: int, tag: str):
-    df = spark.read.parquet(f"{BASE_SF}/documents.parquet").select("doc_id", "text")
+def _docs_replicated(spark, scale: int, tag: str, extra: tuple = ()):
+    df = spark.read.parquet(f"{BASE_SF}/documents.parquet").select(
+        "doc_id", "text", *extra
+    )
     parts = []
     for k in range(scale):
         parts.append(
@@ -92,6 +94,7 @@ def _docs_replicated(spark, scale: int, tag: str):
                     ),
                     " ",
                 ).alias("text"),
+                *extra,
             )
         )
     out = parts[0]
@@ -350,6 +353,161 @@ def run(runs_per_point: int = 2) -> dict:
                  " O(per-cell batch^2), arrival-rate-bounded)",
         "k_per_index_scale": K_PER_INDEX_SCALE,
         "index_rows_x1": n_base,
+        "batch_sec": batch_sec,
+        "batch_exponent": round(
+            _fit(list(BATCH_SCALES), [batch_sec[str(s)] for s in BATCH_SCALES]), 3
+        ),
+        "index_sec": index_sec,
+        "index_exponent": round(
+            _fit(list(INDEX_SCALES), [index_sec[str(s)] for s in INDEX_SCALES]), 3
+        ),
+    }
+
+    # ---------------- d187: curation-DAG arrival round -------------------
+    # (VERDICT r13 #6). Decision path = _d187_flags: quality (pure) +
+    # ONE h-keyed index join + within-batch h-keyed window + prefix
+    # contamination join. Index merge-write excluded (compaction, same
+    # rationale as d181).
+    from charlotte_spark.queries.traindata import _d187_flags  # noqa: E402
+
+    docs_l = spark.read.parquet(f"{BASE_SF}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    eval_pfx = (
+        docs_l.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " ")).alias(
+                "pfx8"
+            )
+        )
+        .distinct()
+    )
+    eval_pfx.write.mode("overwrite").parquet(f"{root}/d187_pfx")
+
+    def _d187_index(src):
+        return src.select(F.md5("text").alias("h")).distinct()
+
+    _d187_index(docs_l).write.mode("overwrite").parquet(f"{root}/d187_idx_x1")
+    for s in INDEX_SCALES[1:]:
+        _d187_index(
+            docs_l.select("doc_id", "text").unionByName(
+                _docs_replicated(spark, s - 1, "i")
+            )
+        ).write.mode("overwrite").parquet(f"{root}/d187_idx_x{s}")
+    for s in BATCH_SCALES:
+        _docs_replicated(spark, s, "b", extra=("lang",)).withColumn(
+            "round_id", F.lit(1)
+        ).write.mode("overwrite").parquet(f"{root}/d187_batch_x{s}")
+    _docs_replicated(spark, FIXED_BATCH, "b", extra=("lang",)).withColumn(
+        "round_id", F.lit(1)
+    ).write.mode("overwrite").parquet(f"{root}/d187_batch_fixed")
+
+    def _d187_round(batch_path: str, index_path: str) -> None:
+        batch = spark.read.parquet(batch_path)
+        idx = spark.read.parquet(index_path)
+        pfx = spark.read.parquet(f"{root}/d187_pfx")
+        _d187_flags(batch, idx, pfx).groupBy("status").count().write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    _d187_round(f"{root}/d187_batch_x{BATCH_SCALES[0]}", f"{root}/d187_idx_x1")
+    batch_sec = {}
+    for s in BATCH_SCALES:
+        batch_sec[str(s)] = _time_best(
+            lambda s=s: _d187_round(
+                f"{root}/d187_batch_x{s}", f"{root}/d187_idx_x1"
+            ),
+            runs_per_point,
+            spark,
+        )
+    index_sec = {}
+    for s in INDEX_SCALES:
+        index_sec[str(s)] = _time_best(
+            lambda s=s: _d187_round(
+                f"{root}/d187_batch_fixed", f"{root}/d187_idx_x{s}"
+            ),
+            runs_per_point,
+            spark,
+        )
+    report["queries"]["d187_curation_arrival_loop"] = {
+        "round": "quality flags + h-keyed index join + within-batch"
+                 " keep-first window + contamination prefix join"
+                 " (index merge-write excluded: compaction)",
+        "batch_sec": batch_sec,
+        "batch_exponent": round(
+            _fit(list(BATCH_SCALES), [batch_sec[str(s)] for s in BATCH_SCALES]), 3
+        ),
+        "index_sec": index_sec,
+        "index_exponent": round(
+            _fit(list(INDEX_SCALES), [index_sec[str(s)] for s in INDEX_SCALES]), 3
+        ),
+    }
+
+    # ---------------- d200: CDC chunk-index arrival round ----------------
+    # Decision path = CDC-chunk the batch + h-keyed semi/anti probe of
+    # the persisted chunk index. Append merge-write excluded.
+    from charlotte_spark.queries.textstats import with_cdc_chunks  # noqa: E402
+
+    docs_t = (
+        spark.read.parquet(f"{BASE_SF}/documents.parquet")
+        .filter(F.size(F.split("text", " ")) >= 5)
+        .select("doc_id", F.split("text", " ").alias("t"))
+    )
+
+    def _d200_chunks(src):
+        return (
+            with_cdc_chunks(src, "t", "hs", distinct=False)
+            .select(F.explode("hs").alias("h"))
+            .distinct()
+        )
+
+    _d200_chunks(docs_t).write.mode("overwrite").parquet(f"{root}/d200_idx_x1")
+    for s in INDEX_SCALES[1:]:
+        _d200_chunks(
+            docs_t.unionByName(
+                _docs_replicated(spark, s - 1, "i").select(
+                    "doc_id", F.split("text", " ").alias("t")
+                )
+            )
+        ).write.mode("overwrite").parquet(f"{root}/d200_idx_x{s}")
+    for s in BATCH_SCALES:
+        _docs_replicated(spark, s, "b").select(
+            "doc_id", F.split("text", " ").alias("t")
+        ).write.mode("overwrite").parquet(f"{root}/d200_batch_x{s}")
+    _docs_replicated(spark, FIXED_BATCH, "b").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).write.mode("overwrite").parquet(f"{root}/d200_batch_fixed")
+
+    def _d200_round(batch_path: str, index_path: str) -> None:
+        batch = spark.read.parquet(batch_path)
+        idx = spark.read.parquet(index_path)
+        dd = _d200_chunks(batch)
+        dd.join(idx, "h", "left_semi").groupBy().count().unionByName(
+            dd.join(idx, "h", "left_anti").groupBy().count()
+        ).write.format("noop").mode("overwrite").save()
+
+    _d200_round(f"{root}/d200_batch_x{BATCH_SCALES[0]}", f"{root}/d200_idx_x1")
+    batch_sec = {}
+    for s in BATCH_SCALES:
+        batch_sec[str(s)] = _time_best(
+            lambda s=s: _d200_round(
+                f"{root}/d200_batch_x{s}", f"{root}/d200_idx_x1"
+            ),
+            runs_per_point,
+            spark,
+        )
+    index_sec = {}
+    for s in INDEX_SCALES:
+        index_sec[str(s)] = _time_best(
+            lambda s=s: _d200_round(
+                f"{root}/d200_batch_fixed", f"{root}/d200_idx_x{s}"
+            ),
+            runs_per_point,
+            spark,
+        )
+    report["queries"]["d200_chunk_index_loop"] = {
+        "round": "CDC-chunk batch + h-keyed semi/anti index probe"
+                 " (append merge-write excluded: compaction)",
         "batch_sec": batch_sec,
         "batch_exponent": round(
             _fit(list(BATCH_SCALES), [batch_sec[str(s)] for s in BATCH_SCALES]), 3

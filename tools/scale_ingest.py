@@ -186,10 +186,14 @@ def _state_snapshot(db_path: str, table: str = "sensor") -> dict:
     last_cid table) — the D58 state the reference keeps as a MySQL row
     per sensor (:566-569)."""
     tdir = f"{db_path}/{table}"
+    return {"state_bytes": _dir_bytes(tdir)}
+
+
+def _dir_bytes(path: str) -> int:
     nbytes = 0
-    for base, _dirs, files in os.walk(tdir):
+    for base, _dirs, files in os.walk(path):
         nbytes += sum(os.path.getsize(os.path.join(base, f)) for f in files)
-    return {"state_bytes": nbytes}
+    return nbytes
 
 
 def sustained(events_per_file: int = 10_000, n_files: int = 24) -> dict:
@@ -228,6 +232,12 @@ def sustained(events_per_file: int = 10_000, n_files: int = 24) -> dict:
             batch_id=int(batch_id),
             batch_sec=round(time.time() - t0, 3),
             state_rows=len(db.read_small("sensor", SENSOR_SCHEMA)),
+            # Checkpoint growth alongside state bytes (VERDICT r13 #7):
+            # offsets/commits logs are one small file per batch —
+            # O(batches) by design, KB-scale, and compacted by Spark;
+            # recorded so linear-in-batches vs linear-in-EVENTS is
+            # measured, not asserted.
+            ckpt_bytes=_dir_bytes(ckpt),
         )
         series.append(snap)
 
@@ -285,6 +295,12 @@ def sustained(events_per_file: int = 10_000, n_files: int = 24) -> dict:
         "state_rows_bounded_by_sensors": True,
         "state_bytes_min": min(sizes),
         "state_bytes_max": max(sizes),
+        "ckpt_bytes_first": series[0]["ckpt_bytes"],
+        "ckpt_bytes_last": series[-1]["ckpt_bytes"],
+        "ckpt_bytes_per_batch": round(
+            (series[-1]["ckpt_bytes"] - series[0]["ckpt_bytes"])
+            / max(len(series) - 1, 1)
+        ),
         "batch_sec_early_median": early,
         "batch_sec_late_median": late,
         "no_dups_dense_cids": dense,
