@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.portable import pround, sql_round
-from ..operators.prefix import ordered_prefix
 from ..registry import query
 
 _FUNNEL_DAYS = 7
@@ -725,12 +724,13 @@ def d223_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scalar build side); the decayed sum is one map-side-combined
     groupBy(user_id) — exponential decay against a FIXED reference is
     a plain per-row weight, so no sequential state is needed (unlike
-    the step-by-step EWMA in D119); the two global rankings ride the
-    distributed two-phase prefix (ordered_prefix — range-partition on
-    the rank key, bounded offset window over O(n_parts) partials), so
-    no stage ever funnels all user keys through one task. At 100 TB:
-    one events scan + one keyed shuffle + two O(keys) range exchanges;
-    the leaderboard is KB-scale. A production deployment
+    the step-by-step EWMA in D119); the decayed top-K is a distributed
+    TakeOrdered and the survivors' raw ranks come from one broadcast
+    count-join over the grouped frame, so no stage ever funnels all
+    user keys through one task (the rank window itself runs over the
+    K-row limit result — the D117 bounded class). At 100 TB: one
+    events scan + one keyed shuffle + one O(K·keys) map-side-combined
+    comparison pass; the leaderboard is KB-scale. A production deployment
     maintains the same statistic incrementally (decayed sums are
     mergeable: rescale both sides to the newer reference), which is
     the D161/D174 mergeable-rollup shape."""
@@ -755,32 +755,55 @@ def d223_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed"),
         )
     )
-    # Both global ranks ride the distributed two-phase prefix (ADVICE
-    # r13): an unpartitioned row_number window would serialize ALL user
-    # keys through one reducer — the exact hazard d219 was reworked to
-    # avoid — while ordered_prefix range-partitions on the rank key and
-    # only O(n_parts) per-bucket partials flow through a window. The
-    # two rankings order by DIFFERENT keys, so they cannot fuse into
-    # one ordered_prefix_chain (the d142 two-layout precedent) and each
-    # pays its own range exchange over the O(keys) grouped frame.
-    ranked = ordered_prefix(
-        scored.withColumn("_neg_decayed", -F.col("decayed")),
-        ["_neg_decayed", "user_id"],
-        row_number="rnk",
+    # Neither global rank may serialize ALL user keys through one
+    # reducer (ADVICE r13 — the d219 hazard). The decayed top-K is a
+    # distributed TakeOrdered (orderBy+limit, per-partition top-K then
+    # a K-row driver merge — never a full sort); the SURVIVORS' raw
+    # ranks come from one count-join: rnk_raw(d) = 1 + |{k :
+    # (n_k, k) orders before (n_d, d)}|, computed by joining the
+    # O(keys) grouped frame against the broadcast K-row leaderboard
+    # and map-side-combining the counts — O(K·keys) cheap comparisons,
+    # no range exchange, no persist, exactly row_number's semantics.
+    # (The first rework used two ordered_prefix passes; their two
+    # range-partition materializations cost 3x the whole query at
+    # sf0.1 — BENCH_AB_r14.json — and bought nothing this shape needs:
+    # only K survivors ever need a rank.)
+    # One events scan: the O(keys) grouped frame is checkpointed and
+    # BOTH ranking branches (top-K and the count-join's probe side)
+    # read the cut — without it each branch re-runs the corpus scan.
+    from ..session import reliable_checkpoint
+
+    scored = reliable_checkpoint(scored)
+    top = scored.orderBy(F.col("decayed").desc(), F.col("user_id")).limit(
+        _D223_TOPK
     )
-    ranked = ordered_prefix(
-        ranked.withColumn("_neg_n", -F.col("n_events")),
-        ["_neg_n", "user_id"],
-        row_number="rnk_raw",
+    w_top = W.orderBy(  # bounded: K rows by the preceding limit
+        F.col("decayed").desc(), F.col("user_id")
+    )
+    top = top.withColumn("rnk", F.row_number().over(w_top))
+    others = scored.select(
+        F.col("user_id").alias("o_id"), F.col("n_events").alias("o_n")
+    )
+    ahead = (
+        others.join(
+            F.broadcast(top.select("user_id", "n_events")),
+            (F.col("o_n") > F.col("n_events"))
+            | ((F.col("o_n") == F.col("n_events")) & (F.col("o_id") < F.col("user_id"))),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n_ahead"))
     )
     return (
-        ranked.filter(F.col("rnk") <= _D223_TOPK)
+        top.join(ahead, "user_id", "left")
+        .withColumn(
+            "rnk_raw", (F.coalesce(F.col("_n_ahead"), F.lit(0)) + 1).cast("int")
+        )
         .select(
             F.col("rnk").cast("int").alias("rnk"),
             "user_id",
             F.col("n_events").cast("long").alias("n_events"),
             "decayed",
-            F.col("rnk_raw").cast("int").alias("rnk_raw"),
+            "rnk_raw",
             (F.col("rnk") != F.col("rnk_raw")).cast("int").alias("rank_moved"),
         )
         .orderBy("rnk")

@@ -2039,40 +2039,32 @@ def test_survivor_policy_window_is_cluster_partitioned(audits):
 
 
 def test_decayed_hitters_scalar_broadcast_single_scan(audits):
-    """d223: one events scan feeding a map-side-combined groupBy; the
-    reference time is a 1-row scalar broadcast (no keys); both global
-    rankings ride the distributed two-phase prefix (ADVICE r13 — no
-    unpartitioned row_number over ALL user keys); no Python."""
+    """d223: events scans feed a map-side-combined groupBy; the
+    reference time is a 1-row scalar broadcast (no keys); the decayed
+    top-K is a distributed TakeOrdered (never a full global sort); the
+    survivors' raw ranks come from a bounded K-row broadcast
+    count-join (ADVICE r13 / BENCH_AB_r14 — no unpartitioned
+    row_number over ALL user keys, and no range-partition
+    materializations either); no Python."""
     a = audits("d223_decayed_heavy_hitters")
     ev_scans = [s for s in a["scans"] if "events" in s["path"]]
-    assert len(ev_scans) <= 2, f"{len(ev_scans)} events scans"  # data + 1-row t_ref
+    # the grouped frame is checkpointed: both ranking branches read the
+    # cut, so no events scan survives into the result plan at all
+    assert len(ev_scans) == 0, f"{len(ev_scans)} events scans"
+    assert "Scan ExistingRDD" in a["plan"], "grouped frame must be checkpointed"
     assert a["partial_aggregate"]
     assert "EvalPython" not in a["plan"]
     assert not a["sort_merge_join"]
-    # the reference-time join is keyless with a 1-row build side — it
-    # plans as a BroadcastNestedLoopJoin by construction. The persisted
-    # prefix inputs re-print that subtree many times (AQE + two
-    # InMemoryRelations), so count distinct BNLJ SHAPES, not prints:
-    # only the one scalar build-side join may exist.
-    import re as _re
-    bnlj_args = {
-        _re.search(r"Arguments: (.*)", seg).group(1)
-        for seg in _re.split(r"\(\d+\) ", a["plan"])
-        if seg.startswith("BroadcastNestedLoopJoin")
-        and _re.search(r"Arguments: (.*)", seg)
-    }
-    assert len(bnlj_args) <= 1, f"distinct BNLJ shapes: {bnlj_args}"
+    assert "TakeOrderedAndProject" in a["plan"], "top-K must be TakeOrdered"
+    # two bounded-build BNLJs by construction: the keyless 1-row t_ref
+    # join and the K-row inequality count-join (each node prints twice:
+    # tree + detail)
+    assert a["plan"].count("BroadcastNestedLoopJoin") <= 4
     assert "CartesianProduct" not in a["plan"]
-    # rankings must come from ordered_prefix: the persisted range
-    # partition is in the lineage, and every unpartitioned window is
-    # the bounded O(n_parts) offset fold over _pid partials — never a
-    # row_number over the full key frame.
-    assert "InMemoryTableScan" in a["plan"], "prefix input must be persisted"
+    # the only window runs over the K-row limit result (bounded class)
     for w in a["windows"]:
         if not w["partitioned"]:
-            assert "_pid" in w["functions"], (
-                f"non-prefix unpartitioned window: {w['functions']}"
-            )
+            assert "row_number" in w["functions"], w
 
 
 def test_join_size_estimator_sample_filter_pushes_down(audits):
@@ -2114,6 +2106,7 @@ UNPARTITIONED_WINDOW_BOUNDED = {
     "d220_nn_similarity_histogram": "histogram fold over <= 64 similarity bins",
     "d173_token_budget_waterfill": "water-fill cursor over O(sources) capacity rows",
     "d95_vocab_topk": "rank over the top-100 limit result (TakeOrdered upstream)",
+    "d223_decayed_heavy_hitters": "rank over the top-20 limit result (TakeOrdered upstream)",
     "d183_curation_dag": "lag over the 8-row stage ledger",
     "d117_bm25_retrieval": "rank over the 20-row probe result",
     "d122_weighted_sample": "A-Res top-k over the k-capped candidate frame",
