@@ -19,6 +19,8 @@ via TakeOrdered.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -472,7 +474,9 @@ _D225_TOPK_PER_SYSTEM = 20
 _D225_TOPK_FUSED = 10
 
 
-def _d225_oracle() -> str:
+def _d225_cte() -> str:
+    """Shared oracle CTE stack through ``fused`` — used by both the
+    D225 fusion release and the D226 quality metrics over it."""
     from ..functions.vectors import sql_cosine as _sqlcos
 
     qterms = ", ".join(
@@ -546,7 +550,12 @@ def _d225_oracle() -> str:
                + coalesce(1.0 / ({k} + s.rs), 0.0) AS rrf_raw
         FROM lex l FULL JOIN sem s
           ON l.query_id = s.query_id AND l.doc_id = s.doc_id
-    )
+    )"""
+
+
+def _d225_oracle() -> str:
+    return f"""
+    {_d225_cte()}
     SELECT query_id, fused_rk, doc_id, rrf, rank_lex, rank_sem, n_overlap
     FROM (
         SELECT CAST(query_id AS BIGINT) AS query_id,
@@ -597,6 +606,33 @@ def d225_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     No reference parity (reference has no retrieval surface);
     VERDICT r13 Next-round #5.
     """
+    fused = _d225_fused_ranked(spark, sf_dir)
+    w_q = W.partitionBy("query_id")
+    return (
+        fused.withColumn(
+            "n_overlap",
+            F.sum(
+                (F.col("rl").isNotNull() & F.col("rs").isNotNull()).cast("int")
+            ).over(w_q),
+        )
+        .filter(F.col("fused_rk") <= _D225_TOPK_FUSED)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("fused_rk").cast("int").alias("fused_rk"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            pround("rrf_raw", 6).alias("rrf"),
+            F.coalesce(F.col("rl"), F.lit(0)).cast("int").alias("rank_lex"),
+            F.coalesce(F.col("rs"), F.lit(0)).cast("int").alias("rank_sem"),
+            F.col("n_overlap").cast("int").alias("n_overlap"),
+        )
+        .orderBy("query_id", "fused_rk")
+    )
+
+
+def _d225_fused_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full fused candidate frame (query_id, doc_id, rl, rs,
+    rrf_raw, fused_rk), unfiltered — D225 releases its top slice,
+    D226 scores it against the semantic truth set."""
     from .similarity import _emb, cosine
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -676,24 +712,110 @@ def d225_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_fuse = W.partitionBy("query_id").orderBy(
         F.col("rrf_raw").desc(), F.col("doc_id").asc()
     )
-    w_q = W.partitionBy("query_id")
+    return fused.withColumn("fused_rk", F.row_number().over(w_fuse))
+
+
+# ---------------------------------------------------------------------------
+# D226: retrieval quality metrics (recall@k / MRR / nDCG over D225)
+# ---------------------------------------------------------------------------
+
+_D226_TRUTH_K = 10  # semantic ground truth: exact-cosine top-10 per query
+_D226_EVAL_K = 10   # evaluate the fused top-10
+# IDCG for exactly TRUTH_K relevant docs, computed once driver-side and
+# embedded as the SAME literal in both engines — a SQL sum over
+# generate_series would fold doubles in engine-specific order.
+_D226_IDCG = sum(1.0 / math.log2(i + 1) for i in range(1, _D226_TRUTH_K + 1))
+
+
+def _d226_oracle() -> str:
+    return f"""
+    {_d225_cte()},
+    ranked AS (
+        SELECT query_id, doc_id, rs,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY rrf_raw DESC, doc_id
+               ) AS fused_rk
+        FROM fused
+    ),
+    hits AS (
+        SELECT query_id, fused_rk FROM ranked
+        WHERE fused_rk <= {_D226_EVAL_K}
+          AND rs IS NOT NULL AND rs <= {_D226_TRUTH_K}
+    ),
+    agg AS (
+        SELECT query_id,
+               CAST(count(*) AS INT) AS n_hits,
+               min(fused_rk) AS best_rk,
+               sum(1.0 / log2(fused_rk + 1)) AS dcg
+        FROM hits GROUP BY query_id
+    )
+    SELECT CAST(q.query_id AS BIGINT) AS query_id,
+           CAST(coalesce(a.n_hits, 0) AS INT) AS n_hits,
+           {sql_round(f"coalesce(a.n_hits, 0) * 1.0 / {_D226_TRUTH_K}", 6)}
+               AS recall_at_10,
+           {sql_round("coalesce(1.0 / a.best_rk, CAST(0.0 AS DOUBLE))", 6)}
+               AS mrr,
+           {sql_round(f"coalesce(a.dcg, 0.0) / {_D226_IDCG!r}", 4)}
+               AS ndcg_at_10
+    FROM (SELECT DISTINCT query_id FROM fused) q
+    LEFT JOIN agg a USING (query_id)
+    ORDER BY query_id
+    """
+
+
+@query("d226_retrieval_quality", tags=("D226", "D225", "D68"), oracle=_d226_oracle())
+def d226_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness over the D225 fused ranking: per
+    query, recall@{_D226_EVAL_K}, MRR, and nDCG@{_D226_EVAL_K}
+    (Jarvelin & Kekalainen 2002; all public IR metrics) against the
+    SEMANTIC ground truth — the exact-cosine top-{_D226_TRUTH_K}
+    (D68's brute-force baseline is the oracle labeler, the standard
+    trick when no human judgments exist). This is the eval loop every
+    retrieval/RAG stack runs after re-ranking changes: it quantifies
+    exactly how much the lexical fusion displaces the semantic truth
+    (recall < 1 ⇔ BM25 pushed a true neighbor out of the top slice).
+
+    Determinism: ranks are integers; recall and MRR are exact
+    rationals rounded at 6dp; DCG sums ≤{_D226_EVAL_K} binary-relevance
+    gains 1/log2(rank+1) — identical IEEE doubles per term, with the
+    ≤1-ulp sum-order divergence absorbed by the 4dp rounding (the
+    tf-idf precedent) — and IDCG (truth size is exactly
+    {_D226_TRUTH_K} by construction) is ONE driver-computed literal
+    embedded in both engines, so no cross-engine series fold exists.
+
+    Plan shape: reuses the D225 frame (same scans, same bounded
+    joins); the metrics fold is one groupBy(query_id) over the ≤
+    {_D226_EVAL_K}-row hit sets plus a left join back to the
+    O(queries) key frame — KB-scale at any corpus size."""
+    fused = _d225_fused_ranked(spark, sf_dir)
+    hits = fused.filter(
+        (F.col("fused_rk") <= _D226_EVAL_K)
+        & F.col("rs").isNotNull()
+        & (F.col("rs") <= _D226_TRUTH_K)
+    )
+    agg = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hits"),
+        F.min("fused_rk").alias("best_rk"),
+        F.sum(
+            1.0 / F.log2(F.col("fused_rk").cast("double") + 1.0)
+        ).alias("dcg"),
+    )
     return (
-        fused.withColumn("fused_rk", F.row_number().over(w_fuse))
-        .withColumn(
-            "n_overlap",
-            F.sum(
-                (F.col("rl").isNotNull() & F.col("rs").isNotNull()).cast("int")
-            ).over(w_q),
-        )
-        .filter(F.col("fused_rk") <= _D225_TOPK_FUSED)
+        fused.select("query_id")
+        .distinct()
+        .join(agg, "query_id", "left")
         .select(
             F.col("query_id").cast("long").alias("query_id"),
-            F.col("fused_rk").cast("int").alias("fused_rk"),
-            F.col("doc_id").cast("long").alias("doc_id"),
-            pround("rrf_raw", 6).alias("rrf"),
-            F.coalesce(F.col("rl"), F.lit(0)).cast("int").alias("rank_lex"),
-            F.coalesce(F.col("rs"), F.lit(0)).cast("int").alias("rank_sem"),
-            F.col("n_overlap").cast("int").alias("n_overlap"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            pround(
+                F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0 / _D226_TRUTH_K, 6
+            ).alias("recall_at_10"),
+            pround(
+                F.coalesce(1.0 / F.col("best_rk"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            pround(
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / _D226_IDCG, 4
+            ).alias("ndcg_at_10"),
         )
-        .orderBy("query_id", "fused_rk")
+        .orderBy("query_id")
     )

@@ -164,6 +164,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     # this comment block, before the r09 leftovers (never-checked rows
     # are the stalest debt and must lead).
     "d225_hybrid_rank_fusion",
+    "d226_retrieval_quality",
     "d51_hash_encoding",
     "d52_ip_str_to_long",
     "d53_tumbling_window",

@@ -2175,3 +2175,19 @@ def test_hybrid_fusion_partitioned_ranks_bounded_probe_join(audits):
     assert re.search(r"Filter.*term.*IN|Filter.*IN.*term", a["plan"]) or (
         "spark" in a["plan"] and "merge" in a["plan"]
     )
+
+
+def test_retrieval_quality_reuses_fusion_frame_bounded_fold(audits):
+    """d226: same plan discipline as d225 (the fused frame is shared
+    code) — partitioned rank windows only, bounded probe BNLJ, partial
+    aggregation; the metrics fold adds one groupBy(query_id) and a
+    left join over O(queries) keys, no new scan classes, no Python."""
+    a = audits("d226_retrieval_quality")
+    assert "EvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+    assert a["partial_aggregate"]
+    unpart = [w for w in a["windows"] if not w["partitioned"]]
+    assert not unpart, f"unpartitioned windows: {unpart}"
+    assert all(
+        "query_id" in w["partition_cols"] for w in a["windows"]
+    ), a["windows"]
