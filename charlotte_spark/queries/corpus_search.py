@@ -800,10 +800,14 @@ def d226_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 / F.log2(F.col("fused_rk").cast("double") + 1.0)
         ).alias("dcg"),
     )
+    # The query-id key frame is the compile-time query map, not a
+    # second pass over the fused pipeline (which would re-run every
+    # d225 scan — the d223 recompute lesson).
+    base = spark.createDataFrame(
+        [(q,) for q in sorted(_D225_QUERIES)], "query_id long"
+    )
     return (
-        fused.select("query_id")
-        .distinct()
-        .join(agg, "query_id", "left")
+        base.join(agg, "query_id", "left")
         .select(
             F.col("query_id").cast("long").alias("query_id"),
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
@@ -818,4 +822,160 @@ def d226_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_at_10"),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D227: two-stage passage retrieval (chunk pinpointing within fused top docs)
+# ---------------------------------------------------------------------------
+
+_D227_DOCS_K = 5     # stage-1 cut: fused top-5 docs per query
+_D227_CHUNK = 32     # d73's chunk window (tokens)
+_D227_STRIDE = 24    # d73's stride (8-token overlap)
+
+
+def _d227_oracle() -> str:
+    return f"""
+    {_d225_cte()},
+    ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY rrf_raw DESC, doc_id
+               ) AS fused_rk
+        FROM fused
+    ),
+    top AS (
+        SELECT query_id, doc_id, fused_rk FROM ranked
+        WHERE fused_rk <= {_D227_DOCS_K}
+    ),
+    qt AS (
+        SELECT query_id, list(term ORDER BY term) AS terms
+        FROM qterms GROUP BY query_id
+    ),
+    chunks AS (
+        SELECT t.query_id, t.fused_rk, t.doc_id, qt.terms,
+               CAST((s - 1) // {_D227_STRIDE} AS INT) AS chunk_idx,
+               list_slice(d.toks, s,
+                          least(s + {_D227_CHUNK - 1}, len(d.toks))) AS chunk
+        FROM top t
+        JOIN qt USING (query_id)
+        JOIN (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents) d USING (doc_id)
+        CROSS JOIN LATERAL unnest(
+            generate_series(1, len(d.toks), {_D227_STRIDE})) AS g(s)
+    ),
+    scored_chunks AS (
+        SELECT query_id, fused_rk, doc_id, chunk_idx,
+               CAST(len(list_filter(chunk,
+                    t -> list_contains(terms, t))) AS INT) AS chunk_score,
+               CAST(len(list_intersect(list_distinct(chunk), terms)) AS INT)
+                   AS n_terms_matched,
+               row_number() OVER (
+                   PARTITION BY query_id, doc_id
+                   ORDER BY len(list_filter(chunk,
+                       t -> list_contains(terms, t))) DESC, chunk_idx
+               ) AS rn,
+               CAST(count(*) OVER (PARTITION BY query_id, doc_id) AS INT)
+                   AS n_chunks
+        FROM chunks
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(fused_rk AS INT) AS fused_rk,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_idx AS INT) AS best_chunk_idx,
+           chunk_score, n_terms_matched, n_chunks
+    FROM scored_chunks WHERE rn = 1
+    ORDER BY query_id, fused_rk
+    """
+
+
+@query("d227_passage_retrieval", tags=("D227", "D225", "D73"), oracle=_d227_oracle())
+def d227_passage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: the D225 fused ranking picks the
+    top-{_D227_DOCS_K} DOCUMENTS per query (coarse stage), then ONLY
+    those documents are chunked (D73's 32-token/stride-24 windows) and
+    each chunk scored by query-term occupancy — best chunk per
+    (query, doc) with its score, distinct-terms-matched, and the doc's
+    chunk count. This is the passage-pinpointing stage a RAG stack runs
+    between retrieval and context assembly, and the output is exactly
+    what gets pasted into a prompt window.
+
+    The 100 TB property is the CANDIDATE PRUNING: chunk scoring touches
+    only |queries| x {_D227_DOCS_K} retrieved documents — a bounded
+    broadcast join against the corpus scan — never the corpus's chunks.
+    Chunking the whole corpus to score it (the naive single-stage plan)
+    is O(corpus tokens) work per query set; this is O(retrieved docs).
+
+    Exactly hash-checkable: chunk scores are integer occurrence counts
+    (no floats anywhere past the stage-1 RRF, whose determinism D225
+    pins); ties break on chunk_idx ascending, so the earliest
+    highest-occupancy window wins on both engines. A doc retrieved
+    with zero term occupancy (a purely semantic hit) still reports its
+    first chunk at score 0 — visible, not dropped.
+
+    Plan shape: stage 1 reuses the D225 frame (bounded joins,
+    partitioned windows); stage 2 is one broadcast equi-join
+    (≤ |queries| x {_D227_DOCS_K} rows build side) into the documents
+    scan, a posexplode over the ≤20 joined docs, and a window
+    PARTITIONED by (query, doc). No Python."""
+    fused = _d225_fused_ranked(spark, sf_dir)
+    top = fused.filter(F.col("fused_rk") <= _D227_DOCS_K).select(
+        "query_id", "fused_rk", "doc_id"
+    )
+    qt = (
+        spark.createDataFrame(
+            [(q, t) for q, ts in _D225_QUERIES.items() for t in ts],
+            "query_id long, term string",
+        )
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_list("term")).alias("terms"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    pairs = docs.join(F.broadcast(top), "doc_id").join(
+        F.broadcast(qt), "query_id"
+    )
+    ch = pairs.select(
+        "query_id",
+        "fused_rk",
+        "doc_id",
+        "terms",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(_D227_STRIDE))
+        ).alias("chunk_idx", "s"),
+        F.col("toks"),
+    ).withColumn("chunk", F.slice("toks", F.col("s"), _D227_CHUNK))
+    terms = F.col("terms")
+    score = F.size(
+        F.filter("chunk", lambda t: F.array_contains(terms, t))
+    ).cast("int")
+    scored = ch.select(
+        "query_id",
+        "fused_rk",
+        "doc_id",
+        "chunk_idx",
+        score.alias("chunk_score"),
+        F.size(F.array_intersect(F.array_distinct("chunk"), terms))
+        .cast("int")
+        .alias("n_terms_matched"),
+    )
+    w_best = W.partitionBy("query_id", "doc_id").orderBy(
+        F.col("chunk_score").desc(), F.col("chunk_idx").asc()
+    )
+    w_pair = W.partitionBy("query_id", "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .withColumn("n_chunks", F.count(F.lit(1)).over(w_pair).cast("int"))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("fused_rk").cast("int").alias("fused_rk"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("chunk_idx").cast("int").alias("best_chunk_idx"),
+            "chunk_score",
+            "n_terms_matched",
+            "n_chunks",
+        )
+        .orderBy("query_id", "fused_rk")
     )

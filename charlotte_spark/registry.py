@@ -165,6 +165,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     # are the stalest debt and must lead).
     "d225_hybrid_rank_fusion",
     "d226_retrieval_quality",
+    "d227_passage_retrieval",
     "d51_hash_encoding",
     "d52_ip_str_to_long",
     "d53_tumbling_window",

@@ -2191,3 +2191,20 @@ def test_retrieval_quality_reuses_fusion_frame_bounded_fold(audits):
     assert all(
         "query_id" in w["partition_cols"] for w in a["windows"]
     ), a["windows"]
+
+
+def test_passage_retrieval_prunes_to_retrieved_docs(audits):
+    """d227: stage 2 must touch only the RETRIEVED docs — the chunk
+    explode sits above a broadcast equi-join whose build side is the
+    bounded |queries| x 5 stage-1 cut, never a corpus-wide chunking;
+    ranking windows stay partitioned; no Python."""
+    a = audits("d227_passage_retrieval")
+    assert "EvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+    assert a["partial_aggregate"]
+    unpart = [w for w in a["windows"] if not w["partitioned"]]
+    assert not unpart, f"unpartitioned windows: {unpart}"
+    # the chunk generate/explode must be fed by a broadcast-hash join
+    # (the doc_id cut), and at least one Generate node exists
+    assert a["broadcast_hash_join"]
+    assert "Generate" in a["plan"]
