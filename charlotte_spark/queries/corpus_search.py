@@ -979,3 +979,222 @@ def d227_passage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "fused_rk")
     )
+
+# ---------------------------------------------------------------------------
+# D228: MMR diversified rerank (greedy maximal marginal relevance)
+# ---------------------------------------------------------------------------
+
+_D228_POOL = 12      # candidate pool: fused top-12 per query
+_D228_SELECT = 5     # diversified slate size
+_D228_LAM = 0.7      # MMR relevance weight (Carbonell/Goldstein 1998)
+_D228_OM = 0.3       # 1 - lambda, pinned as its own literal: interpolating
+#                      the PYTHON expression 1-0.7 (= 0.30000000000000004)
+#                      on one side and the SQL literal 0.3 on the other
+#                      would split engines in the last bit.
+
+
+def _d228_oracle() -> str:
+    from ..functions.vectors import sql_cosine as _sqlcos
+
+    lam, om = repr(_D228_LAM), repr(_D228_OM)
+    sql = f"""
+    {_d225_cte()},
+    ranked AS (
+        SELECT query_id, doc_id, rrf_raw,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY rrf_raw DESC, doc_id
+               ) AS fused_rk
+        FROM fused
+    ),
+    pool AS (
+        SELECT r.query_id, r.doc_id, r.fused_rk, r.rrf_raw AS rel,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM ranked r JOIN embeddings e ON e.vec_id = r.doc_id
+        WHERE r.fused_rk <= {_D228_POOL}
+    ),
+    sims AS (
+        SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+               {_sqlcos("a.v", "b.v")} AS s
+        FROM pool a JOIN pool b
+          ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+    ),
+    sel1 AS (
+        SELECT query_id, doc_id, fused_rk, rel,
+               CAST(0.0 AS DOUBLE) AS maxsim,
+               CAST({lam} AS DOUBLE) * rel AS mmr,
+               1 AS sel_rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, doc_id
+            ) AS rk FROM pool
+        ) WHERE rk = 1
+    )"""
+    prev_sels = ["sel1"]
+    for i in range(2, _D228_SELECT + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, doc_id FROM {s}" for s in prev_sels
+        )
+        sql += f""",
+    prev{i} AS ({prev}),
+    mx{i} AS (
+        SELECT s.query_id, s.da AS doc_id, max(s.s) AS maxsim
+        FROM sims s JOIN prev{i} p
+          ON p.query_id = s.query_id AND p.doc_id = s.db
+        GROUP BY s.query_id, s.da
+    ),
+    sel{i} AS (
+        SELECT query_id, doc_id, fused_rk, rel, maxsim, mmr,
+               {i} AS sel_rank
+        FROM (
+            SELECT c.query_id, c.doc_id, c.fused_rk, c.rel, mx.maxsim,
+                   CAST({lam} AS DOUBLE) * c.rel
+                   - CAST({om} AS DOUBLE) * mx.maxsim AS mmr,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY CAST({lam} AS DOUBLE) * c.rel
+                                - CAST({om} AS DOUBLE) * mx.maxsim DESC,
+                                c.doc_id
+                   ) AS rk
+            FROM pool c
+            JOIN mx{i} mx
+              ON mx.query_id = c.query_id AND mx.doc_id = c.doc_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM prev{i} p
+                WHERE p.query_id = c.query_id AND p.doc_id = c.doc_id
+            )
+        ) WHERE rk = 1
+    )"""
+        prev_sels.append(f"sel{i}")
+    union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in prev_sels)
+    sql += f"""
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(sel_rank AS INT) AS sel_rank,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(fused_rk AS INT) AS fused_rk,
+           {sql_round("rel", 6)} AS rrf,
+           {sql_round("maxsim", 6)} AS max_sim_prior,
+           {sql_round("mmr", 6)} AS mmr
+    FROM ({union})
+    ORDER BY query_id, sel_rank
+    """
+    return sql
+
+
+@query("d228_mmr_rerank", tags=("D228", "D225", "D68"), oracle=_d228_oracle())
+def d228_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware rerank of the D225 fused candidates: greedy
+    maximal marginal relevance (Carbonell & Goldstein, SIGIR 1998 —
+    public knowledge), lambda=0.7, selecting {_D228_SELECT} of the
+    fused top-{_D228_POOL} per query. Each step picks
+    argmax lambda*rel - (1-lambda)*max_sim_to_already_selected, where
+    rel is the RRF score and similarity is embedding cosine — the
+    slate-construction step a RAG stack runs so five near-identical
+    syndicated copies don't fill the whole context window.
+
+    The greedy loop is UNROLLED as {_D228_SELECT} fixed DataFrame
+    steps (the d86 fixed-iteration discipline — no Python, no driver
+    loop over data): step i is one bounded equi-join (candidates x
+    max-sim-to-selected) plus one window PARTITIONED by query_id over
+    the <={_D228_POOL}-row pool. The corpus-scale work is stage 1
+    (D225's scans); the pool-with-vectors frame is checkpointed ONCE
+    (|queries| x {_D228_POOL} rows), the pairwise-sim frame derives
+    from the cut, and the accumulated selected set (<=|queries| x
+    {_D228_SELECT} rows) is re-cut per step so lineage stays linear —
+    at 100 TB every MMR step is KB-scale arithmetic regardless of
+    corpus size.
+
+    Exactly hash-checkable: rel is the IEEE-exact RRF double (D225's
+    pin), cosines use the shared sequential-fold dot product, and
+    lambda/(1-lambda) are interpolated from the SAME Python repr into
+    both engines (0.3, not Python's 1-0.7), so MMR scores are
+    bit-identical and argmax ties break on doc_id both sides."""
+    from ..functions.vectors import cosine, to_double
+    from ..session import reliable_checkpoint
+
+    fused = _d225_fused_ranked(spark, sf_dir)
+    pool = fused.filter(F.col("fused_rk") <= _D228_POOL).select(
+        "query_id", "doc_id", "fused_rk", F.col("rrf_raw").alias("rel")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), to_double(F.col("embedding")).alias("v")
+    )
+    pool_v = reliable_checkpoint(
+        emb.join(F.broadcast(pool), "doc_id").select(
+            "query_id", "doc_id", "fused_rk", "rel", "v"
+        )
+    )
+    a = pool_v.select(
+        "query_id", F.col("doc_id").alias("da"), F.col("v").alias("va")
+    )
+    b = pool_v.select(
+        "query_id", F.col("doc_id").alias("db"), F.col("v").alias("vb")
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("da") != F.col("db"))
+        .select("query_id", "da", "db", cosine(F.col("va"), F.col("vb")).alias("s"))
+    )
+    lam, om = F.lit(_D228_LAM), F.lit(_D228_OM)
+    w_rel = W.partitionBy("query_id").orderBy(  # bounded: <=POOL rows/query
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    first = (
+        pool_v.withColumn("rk", F.row_number().over(w_rel))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            "fused_rk",
+            "rel",
+            F.lit(0.0).alias("maxsim"),
+            (lam * F.col("rel")).alias("mmr"),
+            F.lit(1).alias("sel_rank"),
+        )
+    )
+    picks = [first]
+    selected = first.select("query_id", "doc_id")
+    w_mmr = W.partitionBy("query_id").orderBy(  # bounded: <=POOL rows/query
+        F.col("mmr").desc(), F.col("doc_id").asc()
+    )
+    for i in range(2, _D228_SELECT + 1):
+        # linear lineage: each step reads the re-cut selected frame,
+        # never the previous steps' full plans
+        selected = reliable_checkpoint(selected)
+        mx = (
+            sims.join(
+                selected.withColumnRenamed("doc_id", "db"), ["query_id", "db"]
+            )
+            .groupBy("query_id", "da")
+            .agg(F.max("s").alias("maxsim"))
+            .withColumnRenamed("da", "doc_id")
+        )
+        pick = (
+            pool_v.join(selected, ["query_id", "doc_id"], "left_anti")
+            .join(mx, ["query_id", "doc_id"])
+            .withColumn("mmr", lam * F.col("rel") - om * F.col("maxsim"))
+            .withColumn("rk", F.row_number().over(w_mmr))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "doc_id",
+                "fused_rk",
+                "rel",
+                "maxsim",
+                "mmr",
+                F.lit(i).alias("sel_rank"),
+            )
+        )
+        picks.append(pick)
+        selected = selected.union(pick.select("query_id", "doc_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("sel_rank").cast("int").alias("sel_rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("fused_rk").cast("int").alias("fused_rk"),
+        pround("rel", 6).alias("rrf"),
+        pround("maxsim", 6).alias("max_sim_prior"),
+        pround("mmr", 6).alias("mmr"),
+    ).orderBy("query_id", "sel_rank")

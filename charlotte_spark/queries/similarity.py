@@ -2177,3 +2177,329 @@ def d220_nn_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# A229: product quantization recall audit (PQ codebooks + ADC vs exact)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8        # subspaces (64 dims -> 8 x 8); 8 one-byte codes per vector
+_PQ_SUBDIM = 8
+_PQ_K = 8        # codes per subspace
+_PQ_ITERS = 2    # fixed Lloyd iterations per subspace (d86 discipline)
+_PQ_PROBES = 4
+_PQ_TOPK = 10
+
+
+def _sql_sqdist(a: str, b: str, dim: int) -> str:
+    """DuckDB squared-L2 fold matching the Spark zip_with/aggregate
+    fold term-for-term (0.0-init left fold == no-init left fold)."""
+    t = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> {t} * {t}), (x, y) -> x + y)"
+    )
+
+
+def _pq_oracle() -> str:
+    slices = ", ".join(
+        f"list_slice(v, {m * _PQ_SUBDIM + 1}, {(m + 1) * _PQ_SUBDIM}) AS s{m + 1}"
+        for m in range(_PQ_M)
+    )
+    sql = f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    sub AS (SELECT vec_id, v, {slices} FROM vecs)"""
+    for m in range(1, _PQ_M + 1):
+        sql += f""",
+    cent{m}_0 AS (
+        SELECT vec_id AS cid, s{m} AS c FROM sub WHERE vec_id < {_PQ_K}
+    )"""
+        for it in range(1, _PQ_ITERS + 1):
+            d = _sql_sqdist(f"sub.s{m}", "c.c", _PQ_SUBDIM)
+            sql += f""",
+    asg{m}_{it} AS (
+        SELECT vec_id, s{m}, cid FROM (
+            SELECT sub.vec_id, sub.s{m}, c.cid,
+                   row_number() OVER (
+                       PARTITION BY sub.vec_id ORDER BY {d}, c.cid
+                   ) AS rk
+            FROM sub CROSS JOIN cent{m}_{it - 1} c
+        ) WHERE rk = 1
+    ),
+    cent{m}_{it} AS (
+        SELECT cid, list(mu ORDER BY pos) AS c FROM (
+            SELECT a.cid, t.i AS pos, avg(a.s{m}[t.i]) AS mu
+            FROM asg{m}_{it} a, range(1, {_PQ_SUBDIM + 1}) t(i)
+            GROUP BY a.cid, t.i
+        ) GROUP BY cid
+    )"""
+        dfin = _sql_sqdist(f"sub.s{m}", "c.c", _PQ_SUBDIM)
+        sql += f""",
+    code{m} AS (
+        SELECT vec_id, cid AS code FROM (
+            SELECT sub.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY sub.vec_id ORDER BY {dfin}, c.cid
+                   ) AS rk
+            FROM sub CROSS JOIN cent{m}_{_PQ_ITERS} c
+        ) WHERE rk = 1
+    ),
+    dtab{m} AS (
+        SELECT p.vec_id AS probe_id, c.cid AS code,
+               {_sql_sqdist(f"p.s{m}", "c.c", _PQ_SUBDIM)} AS d
+        FROM sub p CROSS JOIN cent{m}_{_PQ_ITERS} c
+        WHERE p.vec_id < {_PQ_PROBES}
+    )"""
+    code_joins = " ".join(
+        f"JOIN code{m} c{m} USING (vec_id)" for m in range(2, _PQ_M + 1)
+    )
+    dtab_joins = " ".join(
+        f"JOIN dtab{m} d{m} ON d{m}.code = c.k{m} AND d{m}.probe_id = d1.probe_id"
+        for m in range(2, _PQ_M + 1)
+    )
+    adc_sum = " + ".join(f"d{m}.d" for m in range(1, _PQ_M + 1))
+    ks = ", ".join(f"c{m}.code AS k{m}" for m in range(2, _PQ_M + 1))
+    de = _sql_sqdist("p.v", "q.v", _PQ_M * _PQ_SUBDIM)
+    sql += f""",
+    codes AS (
+        SELECT c1.vec_id, c1.code AS k1, {ks}
+        FROM code1 c1 {code_joins}
+    ),
+    adc AS (
+        SELECT d1.probe_id, c.vec_id, {adc_sum} AS adc
+        FROM codes c
+        JOIN dtab1 d1 ON d1.code = c.k1
+        {dtab_joins}
+        WHERE c.vec_id <> d1.probe_id
+    ),
+    adcr AS (
+        SELECT probe_id, vec_id, adc,
+               row_number() OVER (
+                   PARTITION BY probe_id ORDER BY adc, vec_id
+               ) AS rka
+        FROM adc
+    ),
+    exr AS (
+        SELECT probe_id, vec_id, de,
+               row_number() OVER (
+                   PARTITION BY probe_id ORDER BY de, vec_id
+               ) AS rke
+        FROM (
+            SELECT p.vec_id AS probe_id, q.vec_id, {de} AS de
+            FROM vecs p JOIN vecs q ON q.vec_id <> p.vec_id
+            WHERE p.vec_id < {_PQ_PROBES}
+        )
+    ),
+    hits AS (
+        SELECT e.probe_id, CAST(count(*) AS INT) AS n_hits
+        FROM exr e JOIN adcr a
+          ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+             AND a.rka <= {_PQ_TOPK}
+        WHERE e.rke <= {_PQ_TOPK}
+        GROUP BY e.probe_id
+    ),
+    nn AS (
+        SELECT probe_id, vec_id AS true_nn_id, de AS nn_de
+        FROM exr WHERE rke = 1
+    )
+    SELECT CAST(n.probe_id AS BIGINT) AS probe_id,
+           CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
+           {sql_round(f"coalesce(h.n_hits, 0) * 1.0 / {_PQ_TOPK}", 6)}
+               AS recall_at_10,
+           CAST(n.true_nn_id AS BIGINT) AS true_nn_id,
+           CAST(a.rka AS INT) AS true_nn_adc_rank,
+           {sql_round("n.nn_de", 6)} AS true_nn_dist,
+           {sql_round("a.adc", 6)} AS true_nn_adc_dist
+    FROM nn n
+    JOIN adcr a ON a.probe_id = n.probe_id AND a.vec_id = n.true_nn_id
+    LEFT JOIN hits h ON h.probe_id = n.probe_id
+    ORDER BY probe_id
+    """
+    return sql
+
+
+
+
+@query("a229_product_quantization", tags=("A229", "D86", "D68", "D184"),
+       oracle=_pq_oracle())
+def a229_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization recall audit (Jegou/Douze/Schmid, TPAMI
+    2011 — public knowledge): learn {_PQ_M} x {_PQ_K} subspace
+    codebooks by per-subspace Lloyd's ({_PQ_ITERS} fixed iterations,
+    deterministic init = the first {_PQ_K} vectors' sub-vectors — the
+    d86 discipline), encode every vector as {_PQ_M} one-byte codes
+    (8x compression of the 64-dim float corpus), then answer the
+    {_PQ_PROBES} probe queries by asymmetric distance computation
+    (ADC: distance = fixed-order sum of per-subspace table lookups)
+    and measure recall@{_PQ_TOPK} against the exact squared-L2
+    top-{_PQ_TOPK}, plus where ADC ranks each probe's TRUE nearest
+    neighbor. The A-row discipline: the approximation error is
+    measured and carried in the output (recall ~0.3-0.5 on this
+    corpus — these synthetic embeddings have little subspace
+    structure, which is exactly what the audit is for), not assumed.
+
+    Fully distributed — unlike d86's driver-literal centroids, the
+    codebooks NEVER reach the driver: the corpus is melted once into
+    (vector, subspace, sub-vector) rows, every Lloyd iteration is one
+    broadcast join against the O(M x K)-row codebook frame + one
+    argmin window PARTITIONED by (vector, subspace) + one map-side-
+    combined per-dimension mean, and ALL {_PQ_M} subspaces train in
+    the same jobs (subspace is just a key). Encoding reuses the same
+    join shape; ADC pivots the per-subspace lookup onto columns and
+    sums in FIXED order (never a float groupBy over subspaces, whose
+    sum order is engine-specific). At 100 TB: codebooks are KBs
+    (broadcast), the corpus is touched {_PQ_ITERS + 1} times
+    (persist() the melt on a real cluster), and the probe side is the
+    documented d68 bounded-BNLJ eval class (production serving takes
+    TakeOrdered top-k; the exact side IS d68's brute-force baseline).
+
+    Cross-engine determinism: every distance is the shared
+    sequential-fold squared-L2 (0.0-init left fold == DuckDB's
+    no-init list_reduce, the sql_dot precedent); centroid means
+    replay the d86 avg-per-dimension CTE; argmin/rank ties break on
+    code id / vec_id identically (min-over-struct == ORDER BY d, cid
+    LIMIT 1)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.persist()
+    melted = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("sp", "s"),
+    ).persist()
+
+    sqd = F.aggregate(
+        F.zip_with("s", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_asg = W.partitionBy("vec_id", "sp").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        """(vec_id, sp, s, cid): nearest codebook entry per sub-vector
+        — one broadcast join + one high-cardinality-key window."""
+        return (
+            melted.join(F.broadcast(cent), "sp")
+            .select("vec_id", "sp", "s", "cid", sqd.alias("d"))
+            .withColumn("rk", F.row_number().over(w_asg))
+            .filter(F.col("rk") == 1)
+        )
+
+    cent = melted.filter(F.col("vec_id") < _PQ_K).select(
+        "sp", F.col("vec_id").alias("cid"), F.col("s").alias("c")
+    )
+    for _ in range(_PQ_ITERS):
+        cent = (
+            assign(cent)
+            .select("sp", "cid", F.posexplode("s").alias("pos", "val"))
+            .groupBy("sp", "cid", "pos")
+            .agg(F.avg("val").alias("mu"))
+            .groupBy("sp", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+            .select("sp", "cid", F.col("pm.mu").alias("c"))
+        )
+    # cut the 2-generation training lineage once: the O(M x K)-row
+    # codebook is re-read by the encode join AND the probe table
+    from ..session import reliable_checkpoint
+
+    cent = reliable_checkpoint(cent)
+
+    enc = assign(cent).select("vec_id", "sp", F.col("cid").alias("code"))
+    dtab = (
+        melted.filter(F.col("vec_id") < _PQ_PROBES)
+        .withColumnRenamed("vec_id", "probe_id")
+        .join(F.broadcast(cent), "sp")
+        .select("probe_id", "sp", "cid", sqd.alias("d"))
+    )
+    # pivot the per-subspace lookups onto columns so the ADC total is a
+    # FIXED-ORDER M-term sum, never a float groupBy over subspaces
+    adc_parts = enc.join(
+        F.broadcast(dtab),
+        (enc["sp"] == dtab["sp"]) & (enc["code"] == dtab["cid"]),
+    ).select(enc["vec_id"], dtab["probe_id"], enc["sp"], dtab["d"])
+    adc_wide = adc_parts.groupBy("vec_id", "probe_id").agg(
+        *[
+            F.max(F.when(F.col("sp") == m, F.col("d"))).alias(f"d{m + 1}")
+            for m in range(_PQ_M)
+        ]
+    )
+    adc_col = F.col("d1")
+    for m in range(2, _PQ_M + 1):
+        adc_col = adc_col + F.col(f"d{m}")
+    w_adc = W.partitionBy("probe_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    adcr = (
+        adc_wide.filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", adc_col.alias("adc"))
+        .withColumn("rka", F.row_number().over(w_adc))
+    )
+    exact_pairs = emb.join(
+        F.broadcast(
+            emb.filter(F.col("vec_id") < _PQ_PROBES).select(
+                F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+            )
+        ),
+        F.col("vec_id") != F.col("probe_id"),
+    )
+    de = F.aggregate(
+        F.zip_with("v", "pv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_ex = W.partitionBy("probe_id").orderBy(F.col("de").asc(), F.col("vec_id").asc())
+    exr = (
+        exact_pairs.select("probe_id", "vec_id", de.alias("de"))
+        .withColumn("rke", F.row_number().over(w_ex))
+    )
+    hits = (
+        exr.filter(F.col("rke") <= _PQ_TOPK)
+        .join(
+            adcr.filter(F.col("rka") <= _PQ_TOPK).select("probe_id", "vec_id"),
+            ["probe_id", "vec_id"],
+        )
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    )
+    nn = exr.filter(F.col("rke") == 1).select(
+        "probe_id", F.col("vec_id").alias("true_nn_id"), F.col("de").alias("nn_de")
+    )
+    # the training chain is already materialized behind the codebook
+    # checkpoint; drop the caches so the shared session doesn't
+    # accumulate blocks across the bench inventory (d86 discipline)
+    melted.unpersist()
+    emb.unpersist()
+    return (
+        nn.join(
+            adcr.select(
+                "probe_id",
+                F.col("vec_id").alias("true_nn_id"),
+                F.col("adc").alias("nn_adc"),
+                F.col("rka").alias("nn_adc_rank"),
+            ),
+            ["probe_id", "true_nn_id"],
+        )
+        .join(hits, "probe_id", "left")
+        .select(
+            F.col("probe_id").cast("long").alias("probe_id"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            pround(
+                F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0 / _PQ_TOPK, 6
+            ).alias("recall_at_10"),
+            F.col("true_nn_id").cast("long").alias("true_nn_id"),
+            F.col("nn_adc_rank").cast("int").alias("true_nn_adc_rank"),
+            pround("nn_de", 6).alias("true_nn_dist"),
+            pround("nn_adc", 6).alias("true_nn_adc_dist"),
+        )
+        .orderBy("probe_id")
+    )

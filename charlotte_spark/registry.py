@@ -166,6 +166,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "d225_hybrid_rank_fusion",
     "d226_retrieval_quality",
     "d227_passage_retrieval",
+    "d228_mmr_rerank",
+    "a229_product_quantization",
     "d51_hash_encoding",
     "d52_ip_str_to_long",
     "d53_tumbling_window",

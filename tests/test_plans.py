@@ -2208,3 +2208,37 @@ def test_passage_retrieval_prunes_to_retrieved_docs(audits):
     # (the doc_id cut), and at least one Generate node exists
     assert a["broadcast_hash_join"]
     assert "Generate" in a["plan"]
+
+
+def test_mmr_rerank_steps_are_bounded_joins(audits):
+    """d228: every MMR step in the FINAL plan must be a bounded join +
+    a query-partitioned window over the checkpointed pool cut — no
+    corpus rescans (the corpus-scale work runs once, pre-checkpoint),
+    no Python, no cartesian, no unpartitioned windows."""
+    a = audits("d228_mmr_rerank")
+    assert "EvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+    unpart = [w for w in a["windows"] if not w["partitioned"]]
+    assert not unpart, f"unpartitioned windows: {unpart}"
+    assert all(
+        "query_id" in w["partition_cols"] for w in a["windows"]
+    ), a["windows"]
+    # the pool/selected frames enter as checkpoint cuts: the final plan
+    # must not re-scan any source parquet
+    assert not a["scans"], [s["path"] for s in a["scans"]]
+
+
+def test_pq_training_is_join_based_and_codebooks_stay_distributed(audits):
+    """a229: Lloyd iterations must be broadcast joins against the
+    KB-scale codebook frame with argmin windows PARTITIONED by the
+    high-cardinality (vec_id, sp) key — no unpartitioned windows, no
+    Python, no cartesian; the ADC sum rides pivoted columns (a
+    partial-aggregated groupBy), and the only BNLJ is the documented
+    bounded probe class."""
+    a = audits("a229_product_quantization")
+    assert "EvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+    assert a["partial_aggregate"]
+    assert a["broadcast_hash_join"]
+    unpart = [w for w in a["windows"] if not w["partitioned"]]
+    assert not unpart, f"unpartitioned windows: {unpart}"
