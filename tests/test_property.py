@@ -1417,3 +1417,136 @@ def test_salt_planner_caps_every_bucket(spark):
     uniform_cap = max(1.0, math.ceil(total / _D218_TARGET_TASKS))
     for k in range(6, 200):
         assert math.ceil(counts[k] / uniform_cap) == 1, "tail key got salted"
+
+
+def test_mmr_greedy_invariant_vs_independent_reimplementation(spark, sf_dir):
+    """d228: an independent pure-Python greedy over the same pool must
+    reproduce the engine's slate exactly — pick 1 is the max-relevance
+    doc, every later pick maximizes lambda*rel - (1-lambda)*max-cosine
+    -to-selected over the remaining pool, ties to the lower doc_id.
+    This proves the unrolled-DataFrame greedy IS MMR, independent of
+    the DuckDB oracle sharing its formulation."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from charlotte_spark.queries.corpus_search import (
+        _D228_LAM,
+        _D228_OM,
+        _D228_POOL,
+        _D228_SELECT,
+        _d225_fused_ranked,
+        d228_mmr_rerank,
+    )
+    from charlotte_spark.catalog import load_table
+
+    pool_rows = (
+        _d225_fused_ranked(spark, sf_dir)
+        .filter(F.col("fused_rk") <= _D228_POOL)
+        .select("query_id", "doc_id", "rrf_raw")
+        .collect()
+    )
+    vec_rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in vec_rows}
+
+    def cos(a, b):
+        d = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            n1 += x * x
+            n2 += y * y
+        return d / (math.sqrt(n1) * math.sqrt(n2))
+
+    expected = {}
+    by_q: dict[int, list] = {}
+    for r in pool_rows:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["rrf_raw"]))
+    for q, cands in by_q.items():
+        rel = dict(cands)
+        selected = []
+        # pick 1: max rel, tie -> lower doc_id
+        first = min(rel, key=lambda d: (-rel[d], d))
+        selected.append(first)
+        while len(selected) < _D228_SELECT:
+            best, best_key = None, None
+            for d in rel:
+                if d in selected:
+                    continue
+                ms = max(cos(vecs[d], vecs[s]) for s in selected)
+                score = _D228_LAM * rel[d] - _D228_OM * ms
+                key = (-score, d)
+                if best_key is None or key < best_key:
+                    best, best_key = d, key
+            selected.append(best)
+        expected[q] = selected
+
+    got = {}
+    for r in d228_mmr_rerank(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append((r["sel_rank"], r["doc_id"]))
+    for q in expected:
+        ordered = [d for _, d in sorted(got[q])]
+        assert ordered == expected[q], (q, ordered, expected[q])
+
+
+def test_pq_is_exact_on_subspace_clustered_data(spark, tmp_path):
+    """a229: on a corpus whose sub-vectors are EXACTLY drawn from 8
+    distinct points per subspace — with the first 8 vectors laying out
+    each point once, so the deterministic init IS the true codebook —
+    Lloyd's is a fixpoint, encoding is lossless, and ADC distances
+    equal exact distances: recall@10 must be 1.0 and every probe's
+    true NN must sit at ADC rank 1. Fires if training, encoding, or
+    the ADC table lookup drifts from PQ semantics."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from charlotte_spark.queries.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBDIM,
+        a229_product_quantization,
+    )
+
+    rng = random.Random(229)
+    # 8 distinct sub-vector prototypes per subspace, well separated
+    protos = [
+        [
+            [float(rng.randrange(-8, 9)) + 10.0 * k for _ in range(_PQ_SUBDIM)]
+            for k in range(_PQ_K)
+        ]
+        for _ in range(_PQ_M)
+    ]
+    n = 40
+    vecs = []
+    for i in range(n):
+        codes = (
+            [i] * _PQ_M
+            if i < _PQ_K
+            else [rng.randrange(_PQ_K) for _ in range(_PQ_M)]
+        )
+        v = []
+        for m in range(_PQ_M):
+            v.extend(protos[m][codes[m]])
+        vecs.append(v)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 4 for i in range(n)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    out = a229_product_quantization(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["recall_at_10"] == 1.0, dict(r.asDict())
+        assert r["true_nn_adc_rank"] == 1, dict(r.asDict())
