@@ -47,3 +47,23 @@ def sql_cosine(a: str, b: str, dim: int = 64) -> str:
         f"({sql_dot(a, b, dim)}) / "
         f"(sqrt({sql_dot(a, a, dim)}) * sqrt({sql_dot(b, b, dim)}))"
     )
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance of two array<double> columns
+    (0.0-init left fold — bit-matches :func:`sql_sqdist`)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_sqdist(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB equivalent of :func:`sqdist` (no-init left fold == the
+    Spark 0.0-init fold, the sql_dot precedent)."""
+    t = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> {t} * {t}), (x, y) -> x + y)"
+    )

@@ -474,6 +474,25 @@ _D225_TOPK_PER_SYSTEM = 20
 _D225_TOPK_FUSED = 10
 
 
+def _d225_qmap(spark: SparkSession) -> DataFrame:
+    """The compile-time (query_id, term) map as a frame — the ONE
+    Spark-side rendering of ``_D225_QUERIES`` (mirrors the oracle's
+    ``qterms`` VALUES list), so the fusion, passage, and metrics
+    queries cannot drift onto differently-derived key frames."""
+    return spark.createDataFrame(
+        [(q, t) for q, ts in _D225_QUERIES.items() for t in ts],
+        "query_id long, term string",
+    )
+
+
+def _d225_query_ids(spark: SparkSession) -> DataFrame:
+    """The compile-time query-id key frame (== the oracle's
+    ``SELECT DISTINCT query_id FROM qterms``)."""
+    return spark.createDataFrame(
+        [(q,) for q in sorted(_D225_QUERIES)], "query_id long"
+    )
+
+
 def _d225_cte() -> str:
     """Shared oracle CTE stack through ``fused`` — used by both the
     D225 fusion release and the D226 quality metrics over it."""
@@ -637,10 +656,7 @@ def _d225_fused_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     all_terms = sorted({t for ts in _D225_QUERIES.values() for t in ts})
-    qmap = spark.createDataFrame(
-        [(q, t) for q, ts in _D225_QUERIES.items() for t in ts],
-        "query_id long, term string",
-    )
+    qmap = _d225_qmap(spark)
 
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     dl = toks.select("doc_id", F.size("t").cast("long").alias("doclen"))
@@ -757,7 +773,7 @@ def _d226_oracle() -> str:
                AS mrr,
            {sql_round(f"coalesce(a.dcg, 0.0) / {_D226_IDCG!r}", 4)}
                AS ndcg_at_10
-    FROM (SELECT DISTINCT query_id FROM fused) q
+    FROM (SELECT DISTINCT query_id FROM qterms) q
     LEFT JOIN agg a USING (query_id)
     ORDER BY query_id
     """
@@ -802,10 +818,9 @@ def d226_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The query-id key frame is the compile-time query map, not a
     # second pass over the fused pipeline (which would re-run every
-    # d225 scan — the d223 recompute lesson).
-    base = spark.createDataFrame(
-        [(q,) for q in sorted(_D225_QUERIES)], "query_id long"
-    )
+    # d225 scan — the d223 recompute lesson); the oracle keys on the
+    # same map (DISTINCT over its qterms VALUES list).
+    base = _d225_query_ids(spark)
     return (
         base.join(agg, "query_id", "left")
         .select(
@@ -923,10 +938,7 @@ def d227_passage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "fused_rk", "doc_id"
     )
     qt = (
-        spark.createDataFrame(
-            [(q, t) for q, ts in _D225_QUERIES.items() for t in ts],
-            "query_id long, term string",
-        )
+        _d225_qmap(spark)
         .groupBy("query_id")
         .agg(F.array_sort(F.collect_list("term")).alias("terms"))
     )

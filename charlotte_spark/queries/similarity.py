@@ -34,7 +34,15 @@ from ..functions.portable import (
     sql_round,
 )
 from ..functions.digest import sql_two_level_digest, two_level_digest
-from ..functions.vectors import cosine, dot, l2norm, sql_cosine, to_double
+from ..functions.vectors import (
+    cosine,
+    dot,
+    l2norm,
+    sql_cosine,
+    sql_sqdist,
+    sqdist,
+    to_double,
+)
 from ..registry import query
 
 DIM = 64
@@ -2191,14 +2199,6 @@ _PQ_PROBES = 4
 _PQ_TOPK = 10
 
 
-def _sql_sqdist(a: str, b: str, dim: int) -> str:
-    """DuckDB squared-L2 fold matching the Spark zip_with/aggregate
-    fold term-for-term (0.0-init left fold == no-init left fold)."""
-    t = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
-    return (
-        f"list_reduce(list_transform(generate_series(1, {dim}), "
-        f"i -> {t} * {t}), (x, y) -> x + y)"
-    )
 
 
 def _pq_oracle() -> str:
@@ -2218,7 +2218,7 @@ def _pq_oracle() -> str:
         SELECT vec_id AS cid, s{m} AS c FROM sub WHERE vec_id < {_PQ_K}
     )"""
         for it in range(1, _PQ_ITERS + 1):
-            d = _sql_sqdist(f"sub.s{m}", "c.c", _PQ_SUBDIM)
+            d = sql_sqdist(f"sub.s{m}", "c.c", _PQ_SUBDIM)
             sql += f""",
     asg{m}_{it} AS (
         SELECT vec_id, s{m}, cid FROM (
@@ -2236,7 +2236,7 @@ def _pq_oracle() -> str:
             GROUP BY a.cid, t.i
         ) GROUP BY cid
     )"""
-        dfin = _sql_sqdist(f"sub.s{m}", "c.c", _PQ_SUBDIM)
+        dfin = sql_sqdist(f"sub.s{m}", "c.c", _PQ_SUBDIM)
         sql += f""",
     code{m} AS (
         SELECT vec_id, cid AS code FROM (
@@ -2249,7 +2249,7 @@ def _pq_oracle() -> str:
     ),
     dtab{m} AS (
         SELECT p.vec_id AS probe_id, c.cid AS code,
-               {_sql_sqdist(f"p.s{m}", "c.c", _PQ_SUBDIM)} AS d
+               {sql_sqdist(f"p.s{m}", "c.c", _PQ_SUBDIM)} AS d
         FROM sub p CROSS JOIN cent{m}_{_PQ_ITERS} c
         WHERE p.vec_id < {_PQ_PROBES}
     )"""
@@ -2262,7 +2262,7 @@ def _pq_oracle() -> str:
     )
     adc_sum = " + ".join(f"d{m}.d" for m in range(1, _PQ_M + 1))
     ks = ", ".join(f"c{m}.code AS k{m}" for m in range(2, _PQ_M + 1))
-    de = _sql_sqdist("p.v", "q.v", _PQ_M * _PQ_SUBDIM)
+    de = sql_sqdist("p.v", "q.v", _PQ_M * _PQ_SUBDIM)
     sql += f""",
     codes AS (
         SELECT c1.vec_id, c1.code AS k1, {ks}
@@ -2351,10 +2351,13 @@ def a229_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shape; ADC pivots the per-subspace lookup onto columns and
     sums in FIXED order (never a float groupBy over subspaces, whose
     sum order is engine-specific). At 100 TB: codebooks are KBs
-    (broadcast), the corpus is touched {_PQ_ITERS + 1} times
-    (persist() the melt on a real cluster), and the probe side is the
-    documented d68 bounded-BNLJ eval class (production serving takes
-    TakeOrdered top-k; the exact side IS d68's brute-force baseline).
+    (broadcast), the corpus is touched {_PQ_ITERS} times for training
+    (persist() the melt on a real cluster) plus ONE encode pass whose
+    output — the M-codes-per-vector table, the artifact a PQ index
+    ships — is checkpointed, so ADC scoring reads codes, never a melt
+    recompute; the probe side is the documented d68 bounded-BNLJ eval
+    class (production serving takes TakeOrdered top-k; the exact side
+    IS d68's brute-force baseline and pays its own two scans).
 
     Cross-engine determinism: every distance is the shared
     sequential-fold squared-L2 (0.0-init left fold == DuckDB's
@@ -2378,11 +2381,7 @@ def a229_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sp", "s"),
     ).persist()
 
-    sqd = F.aggregate(
-        F.zip_with("s", "c", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    sqd = sqdist(F.col("s"), F.col("c"))
     w_asg = W.partitionBy("vec_id", "sp").orderBy(
         F.col("d").asc(), F.col("cid").asc()
     )
@@ -2416,7 +2415,12 @@ def a229_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cent = reliable_checkpoint(cent)
 
-    enc = assign(cent).select("vec_id", "sp", F.col("cid").alias("code"))
+    # the encoded corpus is itself checkpointed: it IS the artifact a
+    # PQ index ships (M codes/vector), and cutting it here means the
+    # output action reads codes, not a melt recompute
+    enc = reliable_checkpoint(
+        assign(cent).select("vec_id", "sp", F.col("cid").alias("code"))
+    )
     dtab = (
         melted.filter(F.col("vec_id") < _PQ_PROBES)
         .withColumnRenamed("vec_id", "probe_id")
@@ -2452,11 +2456,7 @@ def a229_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("vec_id") != F.col("probe_id"),
     )
-    de = F.aggregate(
-        F.zip_with("v", "pv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    de = sqdist(F.col("v"), F.col("pv"))
     w_ex = W.partitionBy("probe_id").orderBy(F.col("de").asc(), F.col("vec_id").asc())
     exr = (
         exact_pairs.select("probe_id", "vec_id", de.alias("de"))
