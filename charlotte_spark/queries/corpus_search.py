@@ -1121,7 +1121,7 @@ def d228_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (0.3, not Python's 1-0.7), so MMR scores are
     bit-identical and argmax ties break on doc_id both sides."""
     from ..functions.vectors import cosine, to_double
-    from ..session import reliable_checkpoint
+    from ..session import local_df, reliable_checkpoint
 
     fused = _d225_fused_ranked(spark, sf_dir)
     pool = fused.filter(F.col("fused_rk") <= _D228_POOL).select(
@@ -1170,8 +1170,18 @@ def d228_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i in range(2, _D228_SELECT + 1):
         # linear lineage: each step reads the re-cut selected frame,
-        # never the previous steps' full plans
-        selected = reliable_checkpoint(selected)
+        # never the previous steps' full plans. The cut is a bounded
+        # driver collect rebuilt as a one-partition local frame (the
+        # k×dim-centroid discipline) — |queries| x {i-1} rows by
+        # construction, so the re-cut costs ONE tiny job instead of a
+        # reliable checkpoint's persist+count+write pair, and each
+        # step's joins against it broadcast for free.
+        # bounded: <= |queries| x _D228_SELECT rows by construction
+        selected = local_df(
+            spark,
+            [(r["query_id"], r["doc_id"]) for r in selected.collect()],
+            "query_id long, doc_id long",
+        )
         mx = (
             sims.join(
                 selected.withColumnRenamed("doc_id", "db"), ["query_id", "db"]

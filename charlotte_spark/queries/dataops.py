@@ -1510,15 +1510,27 @@ def d219_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     the actual pruning difference on this table so the layout choice
     is data-driven, not folklore.
 
-    Plan shape: the Hilbert index is {_Z_BITS} chained column stages
-    (pure CASE/mask arithmetic, whole-stage codegen'd; staged through
-    real columns so the plan stays linear — the d195 compile lesson);
-    each file split is the distributed two-phase prefix rank
-    (operators.prefix, no single-partition sort); the two rankings
-    chain so orders is scanned ONCE; extents for both layouts come off
-    one exploded groupBy. Verified bit-for-bit against a pure-Python
-    reference walk AND the Hilbert adjacency property in
-    tests/test_property.py::test_hilbert_index_matches_reference."""
+    Plan shape (r15 rework — guide §2.4, VERDICT r14 #6): the ntile
+    ranks order by (hd, o_orderkey), but hd and z are BIJECTIONS of the
+    256x256 grid cell and every row of a cell shares (x, y) — so a
+    file's extent depends only on WHICH cells intersect its rank range,
+    never on which individual rows do. The query therefore aggregates
+    orders to per-cell counts FIRST (one partial-agg shuffle onto a
+    frame bounded by the 65,536-cell grid, not by the data), computes
+    the Hilbert index as {_Z_BITS} chained column stages on cells (pure
+    CASE/mask arithmetic, whole-stage codegen'd), derives each cell's
+    contiguous rank span per ordering from prefix sums over the bounded
+    cell frame (single-partition windows are safe here EXACTLY because
+    the frame is grid-bounded — # bounded: <= 65,536 grid-cell rows by
+    construction), maps spans to the ntile file range in closed form,
+    and explodes the (first_file..last_file) sequence per layout in ONE
+    Generate. Extents and hit counts are bit-identical to the row-level
+    ranking (a file's cells are exactly the cells whose spans overlap
+    its rank interval); the old plan's two ordered_prefix passes over
+    ALL orders rows (27 exchanges, 2 materializations) become one
+    linear 4-exchange plan that scans orders once. Verified bit-for-bit
+    against a pure-Python reference walk AND the Hilbert adjacency
+    property in tests/test_property.py::test_hilbert_index_matches_reference."""
 
     def ntile_of(rn: Column, n: Column, b: int) -> Column:
         q = F.floor(n / b).cast("long")
@@ -1532,14 +1544,14 @@ def d219_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     base = o.select(
-        "o_orderkey",
         (F.col("o_custkey") % 256).alias("x"),
         (
             F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {_DAY_US}") % 256
         ).alias("y"),
     )
+    cells = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
     h = (
-        base.withColumn("hx0", F.col("x"))
+        cells.withColumn("hx0", F.col("x"))
         .withColumn("hy0", F.col("y"))
         .withColumn("hd0", F.lit(0))
     )
@@ -1553,32 +1565,43 @@ def d219_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn(f"hd{i + 1}", F.col(f"hd{i}") + F.expr(dterm))
         )
     h = h.select(
-        "o_orderkey",
         "x",
         "y",
+        "cnt",
         F.col(f"hd{_Z_BITS}").alias("hd"),
         F.expr(_interleave_sql("x", "y", "spark")).alias("z"),
     )
-    rh = ordered_prefix(
-        h, ["hd", "o_orderkey"], row_number="rn", count_total="n"
-    ).select(
-        "o_orderkey", "x", "y", "z",
-        ntile_of(F.col("rn"), F.col("n"), _Z_FILES).alias("hf"),
-    )
-    t = ordered_prefix(
-        rh, ["z", "o_orderkey"], row_number="rn", count_total="n"
-    ).select(
-        "x", "y", "hf", ntile_of(F.col("rn"), F.col("n"), _Z_FILES).alias("zf")
-    )
-    layouts = t.select(
+    # Rank spans over the bounded cell frame. All three windows share
+    # one single-partition exchange; each is O(grid) = O(65,536) rows.
+    # # bounded: <= 65,536 grid-cell rows by construction (256 x 256)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_hd = W.orderBy("hd").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_z = W.orderBy("z").rowsBetween(W.unboundedPreceding, W.currentRow)
+    spans = h.select(
         "x",
         "y",
-        F.explode(
-            F.array(
-                F.struct(F.lit("h").alias("layout"), F.col("hf").alias("f")),
-                F.struct(F.lit("z").alias("layout"), F.col("zf").alias("f")),
-            )
-        ).alias("a"),
+        "cnt",
+        F.sum("cnt").over(w_all).alias("n"),
+        (F.sum("cnt").over(w_hd) - F.col("cnt")).alias("h_start"),
+        (F.sum("cnt").over(w_z) - F.col("cnt")).alias("z_start"),
+    )
+    hf1 = ntile_of(F.col("h_start") + 1, F.col("n"), _Z_FILES)
+    hf2 = ntile_of(F.col("h_start") + F.col("cnt"), F.col("n"), _Z_FILES)
+    zf1 = ntile_of(F.col("z_start") + 1, F.col("n"), _Z_FILES)
+    zf2 = ntile_of(F.col("z_start") + F.col("cnt"), F.col("n"), _Z_FILES)
+
+    def _files(layout: str, f1: Column, f2: Column) -> Column:
+        return F.transform(
+            F.sequence(f1, f2),
+            lambda f: F.struct(
+                F.lit(layout).alias("layout"), f.cast("int").alias("f")
+            ),
+        )
+
+    layouts = spans.select(
+        "x",
+        "y",
+        F.explode(F.concat(_files("h", hf1, hf2), _files("z", zf1, zf2))).alias("a"),
     ).select("x", "y", F.col("a.layout").alias("layout"), F.col("a.f").alias("f"))
     ext = layouts.groupBy("layout", "f").agg(
         F.min("x").alias("mnx"),

@@ -546,35 +546,44 @@ def _min_label_components(
     # (recomputable — lineage stays <= interval·(2 joins) deep); a
     # reliable checkpoint truncates lineage every 3rd round so a deep
     # chain never accumulates an O(rounds) plan.
-    def _pin(df: DataFrame, round_no: int) -> DataFrame:
+    #
+    # Fused fixpoint (r15, guide §1.2 "don't compute things twice"):
+    # the materializing action IS the convergence aggregate — one O(V)
+    # pass per round caches the partitions AND returns sum(chg), where
+    # the old shape paid a count() to materialize plus a second O(V)
+    # agg scan at the top of the next iteration.
+    def _pin(df: DataFrame, round_no: int) -> tuple[DataFrame, int]:
         if round_no % 3 == 2:
-            return reliable_checkpoint(df)
+            out = reliable_checkpoint(df)
+            return out, int(out.agg(F.sum("chg")).first()[0] or 0)
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
-        out.count()
-        return out
+        # the aggregate scans every partition, so it materializes the
+        # cache exactly as count() did — and reads chg in the same job
+        chg = int(out.agg(F.sum("chg")).first()[0] or 0)
+        return out, chg
 
     # Two plain propagations composed into ONE plan reach the fixpoint
     # for the common star/triangle components before the first fixpoint
     # test — the jump join only enters on the deep-chain tail.
-    pinned = [
-        _pin(_propagate(_propagate(labels, jump=False), jump=False), 0)
-    ]
-    labels = pinned[-1]
+    labels, chg = _pin(
+        _propagate(_propagate(labels, jump=False), jump=False), 0
+    )
+    pinned = [labels]
     for rnd in range(1, max_rounds):
-        # O(V) fixpoint test over the already-persisted round output: the
+        # fixpoint test off the round's own materializing aggregate: the
         # last propagate application changed nothing => identity => done.
-        if (labels.agg(F.sum("chg")).first()[0] or 0) == 0:
+        if chg == 0:
             break
-        pinned.append(_pin(_propagate(labels, jump=True), rnd))
-        labels = pinned[-1]
+        labels, chg = _pin(_propagate(labels, jump=True), rnd)
+        pinned.append(labels)
     else:
         # max_rounds exhausted without a convergence break: the final
-        # round's chg was never inspected, and silently returning its
-        # labels would be a WRONG ANSWER for a component deeper than the
-        # jump schedule covers (ADVICE r12). Pointer jumping makes this
-        # astronomically unlikely (diameter ~2^max_rounds), so failing
-        # loudly costs one more O(V) scan and buys an exact guarantee.
-        if (labels.agg(F.sum("chg")).first()[0] or 0) != 0:
+        # round's chg (read by its own _pin) must be inspected — silently
+        # returning its labels would be a WRONG ANSWER for a component
+        # deeper than the jump schedule covers (ADVICE r12). Pointer
+        # jumping makes this astronomically unlikely (diameter
+        # ~2^max_rounds), so failing loudly buys an exact guarantee.
+        if chg != 0:
             raise RuntimeError(
                 f"_min_label_components did not converge within "
                 f"{max_rounds} pointer-jumped rounds (component diameter "
@@ -1554,19 +1563,29 @@ def d181_lsh_arrival_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     _atexit.register(_shutil.rmtree, root, ignore_errors=True)
     d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
-    # round 0: bootstrap the persisted index + status ledger
+    # round 0: bootstrap the persisted index + status ledger. The
+    # status projection reads doc_id back off the just-written index
+    # (column-pruned 1-col parquet scan) instead of re-shingling the
+    # corpus through a second documents scan (r15, guide §2.3).
     _minhash_sig(d).write.mode("overwrite").parquet(f"{root}/index_r0")
-    d.select("doc_id", F.lit("accepted").alias("status")).write.mode(
-        "overwrite"
-    ).parquet(f"{root}/status/round_id=0")
+    spark.read.parquet(f"{root}/index_r0").select(
+        "doc_id", F.lit("accepted").alias("status")
+    ).write.mode("overwrite").parquet(f"{root}/status/round_id=0")
 
     for r in (1, 2):
         index_sig = spark.read.parquet(f"{root}/index_r{r - 1}")
         batch = _arrival_batch(d, r)
-        # checkpointed: the signatures feed the index probe, the
-        # within-batch probe, the status join, and the index merge —
-        # one evaluation, no forked lineage (the a66 lesson)
-        new_sig = reliable_checkpoint(_minhash_sig(batch))
+        # signature WRITE as the lineage cut (the d184 pattern — one
+        # compute+write pass where the r14 reliable_checkpoint paid a
+        # persist+count pass AND a cache→checkpoint-file pass): the
+        # persisted batch signatures feed the index probe, the
+        # within-batch probe, the status join, and the index merge as
+        # parquet reads — one evaluation, no forked lineage (the a66
+        # lesson), and the signature generation is loop state anyway
+        _minhash_sig(batch).write.mode("overwrite").parquet(
+            f"{root}/newsig/round_id={r}"
+        )
+        new_sig = spark.read.parquet(f"{root}/newsig/round_id={r}")
         drop_idx = _lsh_match_ids(new_sig, index_sig).select(
             "doc_id", F.lit(1).alias("_di")
         )
@@ -1778,8 +1797,9 @@ def d200_chunk_index_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return fresh.unionByName(rearrive)
 
-    from ..session import reliable_checkpoint
+    from ..session import local_df, reliable_checkpoint
 
+    ledger_rows = []
     for r in range(3):
         b = batch(r)
         # chunk the batch ONCE: the checkpointed per-doc hash arrays
@@ -1792,28 +1812,48 @@ def d200_chunk_index_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         occ = hashes.select(F.explode("hs").alias("h"))
         dd = occ.select("h").distinct()
-        n_docs = hashes.count()
-        n_occ = occ.count()
-        n_distinct = dd.count()
+        # ONE pass over the checkpointed batch for both doc and
+        # occurrence counts (r15, guide §1.2 — was two count() jobs)
+        # bounded: 1-row aggregate
+        docs_occ = hashes.agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.coalesce(F.sum(F.size("hs")), F.lit(0)).alias("no"),
+        ).collect()[0]
+        n_docs, n_occ = int(docs_occ["nd"]), int(docs_occ["no"])
         if r == 0:
+            # bounded: 1-row aggregate
+            n_distinct = int(dd.agg(F.count(F.lit(1))).collect()[0][0])
             n_dup = 0
             new = dd
             idx = new.select("h", F.lit(0).alias("first_round"))
         else:
             prev = spark.read.parquet(f"{root}/idx_r{r - 1}")
-            # O(batch) h-keyed probes against the persisted index
-            n_dup = dd.join(prev, "h", "left_semi").count()
+            # O(batch) h-keyed probes against the persisted index: ONE
+            # left join gives distinct AND dup counts in a single
+            # distinct+join pass (was a left_semi count plus a separate
+            # dd.count(), each re-running the distinct shuffle)
+            # bounded: 1-row aggregate
+            dist_dup = (
+                dd.join(prev.select("h", F.lit(1).alias("_in")), "h", "left")
+                .agg(
+                    F.count(F.lit(1)).alias("nds"),
+                    F.coalesce(F.sum("_in"), F.lit(0)).alias("ndup"),
+                )
+                .collect()[0]
+            )
+            n_distinct, n_dup = int(dist_dup["nds"]), int(dist_dup["ndup"])
             new = dd.join(prev, "h", "left_anti")
             idx = prev.unionByName(
                 new.select("h", F.lit(r).alias("first_round"))
             )
         idx.write.mode("overwrite").parquet(f"{root}/idx_r{r}")
         back = spark.read.parquet(f"{root}/idx_r{r}")
+        # bounded: 1-row per-round index size+digest agg
         size_dig = back.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(portable_hash_long("h", "idx|")).alias("dig"),
         ).collect()[0]
-        row = [
+        ledger_rows.append(
             (
                 r,
                 n_docs,
@@ -1825,16 +1865,19 @@ def d200_chunk_index_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 float(n_dup) / n_distinct,
                 int(size_dig["dig"]),
             )
-        ]
-        spark.createDataFrame(
-            row,
-            "round_id long, n_docs long, n_chunk_occurrences long, "
-            "n_distinct long, n_dup_index long, n_new long, index_size long, "
-            "dup_rate_raw double, index_digest long",
-        ).write.mode("overwrite").parquet(f"{root}/ledger_r{r}")
+        )
+    # ONE ledger write for the whole loop (r15 — was three 1-row write
+    # jobs); rows are driver-built scalars either way
+    local_df(
+        spark,
+        ledger_rows,
+        "round_id long, n_docs long, n_chunk_occurrences long, "
+        "n_distinct long, n_dup_index long, n_new long, index_size long, "
+        "dup_rate_raw double, index_digest long",
+    ).write.mode("overwrite").parquet(f"{root}/ledger")
 
     # declared result: read ONLY the persisted ledger state back
-    ledger = spark.read.parquet(*[f"{root}/ledger_r{r}" for r in range(3)])
+    ledger = spark.read.parquet(f"{root}/ledger")
     return (
         ledger.select(
             "round_id",

@@ -1137,8 +1137,26 @@ def d184_ann_index_arrival(
         probes = spark.read.parquet(f"{root}/assign/round_id={r}").select(
             "vec_id", "v", "cell"
         )
-        _probe_cells(probes, postings).write.mode("overwrite").parquet(
-            f"{root}/incell/round_id={r}"
+        postings.unionByName(probes).write.mode("overwrite").parquet(
+            f"{root}/postings_r{r}"
+        )
+
+    # In-cell probe results and the sampled exact-recall side, for both
+    # rounds: every input (assign generations, posting generations at
+    # probe time) is already persisted loop state, so the per-round
+    # frames are value-identical computed here — two unioned writes
+    # replace four in-loop write jobs (r15, guide §1.2: same passes,
+    # fewer job launches).
+    inc_rounds, exact_rounds = [], []
+    for r in (1, 2):
+        postings = spark.read.parquet(f"{root}/postings_r{r - 1}")
+        probes = spark.read.parquet(f"{root}/assign/round_id={r}").select(
+            "vec_id", "v", "cell"
+        )
+        inc_rounds.append(
+            _probe_cells(probes, postings).select(
+                F.lit(r).alias("round_id"), "*"
+            )
         )
         wr = W.partitionBy("probe_id").orderBy(
             F.col("cs").desc(), F.col("neighbor_id").asc()
@@ -1150,7 +1168,7 @@ def d184_ann_index_arrival(
             % recall_sample_mod
             == 0
         )
-        (
+        exact_rounds.append(
             probes_audit.select(
                 F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
             )
@@ -1162,13 +1180,14 @@ def d184_ann_index_arrival(
             )
             .withColumn("rk", F.row_number().over(wr))
             .filter(F.col("rk") <= 3)
-            .select("probe_id", "neighbor_id")
-            .write.mode("overwrite")
-            .parquet(f"{root}/exact/round_id={r}")
+            .select(F.lit(r).alias("round_id"), "probe_id", "neighbor_id")
         )
-        postings.unionByName(probes).write.mode("overwrite").parquet(
-            f"{root}/postings_r{r}"
-        )
+    inc_rounds[0].unionByName(inc_rounds[1]).write.mode("overwrite").partitionBy(
+        "round_id"
+    ).parquet(f"{root}/incell")
+    exact_rounds[0].unionByName(exact_rounds[1]).write.mode(
+        "overwrite"
+    ).partitionBy("round_id").parquet(f"{root}/exact")
 
     # incell doubles as the assignment ledger (left-join probe keeps
     # empty-cell probes as NULL-neighbor rows), so the result is one
@@ -1955,7 +1974,10 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(f"{root}/centroids")
     cents = spark.read.parquet(f"{root}/centroids")
 
-    idx = spark.createDataFrame([], "vec_id long, v array<double>, cell long")
+    empty_idx = spark.createDataFrame(
+        [], "vec_id long, v array<double>, cell long"
+    )
+    idx = empty_idx
     for r in (0, 1, 2):
         # the assignment WRITE is the lineage cut (the d184 pattern):
         # the persisted batch feeds the index probe, the within-batch
@@ -1970,12 +1992,6 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{root}/status/round_id={r}"
         )
         st = spark.read.parquet(f"{root}/status/round_id={r}")
-        # bounded exact side vs the PRIOR generation (the state the
-        # round's dup_index decision probed) — persisted like status,
-        # so the final ledger plan stays a pure state read
-        _d215_miss_stats(a, st, idx).write.mode("overwrite").parquet(
-            f"{root}/miss/round_id={r}"
-        )
         keeps = a.join(
             st.filter(F.col("status") == "kept").select("vec_id"),
             "vec_id",
@@ -1984,6 +2000,32 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{root}/index_r{r}"
         )
         idx = spark.read.parquet(f"{root}/index_r{r}")
+
+    # Bounded exact side vs each round's PRIOR generation (the state
+    # that round's dup_index decision probed). Every input is already
+    # persisted loop state (assign / status / index generations), so
+    # the three per-round frames are value-identical computed here and
+    # union into ONE partitioned write instead of three in-loop write
+    # jobs (r15, guide §1.2: same passes, fewer job launches) — and the
+    # final ledger plan stays a pure state read either way.
+    miss_rounds = []
+    for r in (0, 1, 2):
+        a = spark.read.parquet(f"{root}/assign/round_id={r}").select(
+            "vec_id", "v", "cell"
+        )
+        st = spark.read.parquet(f"{root}/status/round_id={r}")
+        prior = (
+            empty_idx if r == 0 else spark.read.parquet(f"{root}/index_r{r - 1}")
+        )
+        miss_rounds.append(
+            _d215_miss_stats(a, st, prior).select(
+                F.lit(r).alias("round_id"), "cell", "n_probes", "n_missed_twin"
+            )
+        )
+    mr = miss_rounds[0]
+    for m in miss_rounds[1:]:
+        mr = mr.unionByName(m)
+    mr.write.mode("overwrite").partitionBy("round_id").parquet(f"{root}/miss")
 
     status = spark.read.parquet(f"{root}/status").select(
         F.col("round_id").cast("int").alias("round_id"),

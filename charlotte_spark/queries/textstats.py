@@ -637,9 +637,16 @@ def d165_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over the SORTED distinct-char array so the float sum order is
     engine-identical (DuckDB's list_distinct is unordered). At 100 TB:
     map-only until the per-lang rollup's one keyed shuffle — the same
-    cost class as D69's quality score."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
+    cost class as D69's quality score. The projection is O(alphabet x
+    len) string work per row — genuinely compute-bound — so the scan is
+    fanned out first (r15, the fan_out contract: a single-file local
+    scan otherwise serializes ~1e8 char ops on one core; at 100 TB the
+    scan has natural splits and the exchange is noise next to the
+    projection)."""
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.length("text") > 0)
+        )
     )
     n = F.length("text").cast("double")
     cnt = lambda c: (F.length("text") - F.length(F.replace(F.col("text"), c))).cast("double")  # noqa: E731

@@ -379,7 +379,10 @@ def test_every_collect_site_is_bounded():
         "joins.py": 1,        # d163: ≤m bloom bit positions (same class)
         "textstats.py": 1,    # d188: the ONE argmax merge rule per BPE round
         "dataops.py": 1,      # d198: 1-row global max -> 64 probe ids
-        "dedup.py": 1,        # d200: 1-row per-round index size+digest agg
+        "dedup.py": 4,        # d200: four 1-row per-round scalar aggs (docs+occ
+                              # fold, r0 distinct count, distinct+dup join fold,
+                              # index size+digest) — each "# bounded:" commented
+        "corpus_search.py": 1,  # d228: <= |queries| x SELECT selected-set rows
     }
     found: dict[str, int] = {}
     for p in root.rglob("*.py"):
@@ -401,8 +404,8 @@ def test_every_collect_site_is_bounded():
     # belong in mapInPandas/applyInPandas, never a driver gather).
     allowed_first = {
         "aggregates.py": 1,   # a90: freqItems sketch row (<= 1/support items)
-        "dedup.py": 2,        # CC engine convergence + post-loop fixpoint:
-                              # both 1-row sum(chg) aggs
+        "dedup.py": 2,        # CC engine: the two _pin branches' fused
+                              # materialize+convergence 1-row sum(chg) aggs
         "similarity.py": 1,   # d215: 1-row max(vec_id) injection-offset base
     }
     found_first: dict[str, int] = {}
@@ -1991,18 +1994,25 @@ def test_salt_planner_windows_grouped_frame_only(audits):
 
 
 def test_hilbert_audit_same_shape_as_zorder(audits):
-    """d219: same plan discipline as d142 — the Hilbert index is pure
-    staged column arithmetic (no Python, no join to compute it), the
-    two rankings chain over one materialized lineage, and the
-    two-layout explode is ONE Generate."""
+    """d219 (r15 rework): one LINEAR plan — orders is scanned exactly
+    once into a partial-aggregated per-cell count (the grid-bounded
+    frame), the Hilbert index is pure staged column arithmetic (no
+    Python, no join to compute it), the rank spans are prefix sums over
+    the bounded cell frame (no ordered_prefix materialization needed),
+    and the two-layout file-range explode is ONE Generate. No joins of
+    any kind survive into the plan."""
     a = audits("d219_hilbert_layout")
-    assert len([s for s in a["scans"] if "orders" in s["path"]]) <= 1, (
-        "orders must be scanned at most once (inside the prefix persist)"
+    assert len([s for s in a["scans"] if "orders" in s["path"]]) == 1, (
+        "orders must be scanned exactly once (into the cell aggregate)"
     )
     assert not (a["sort_merge_join"] or a["nested_loop_join"])
-    assert "InMemoryTableScan" in a["plan"], "prefix input must be persisted"
+    assert not a["broadcast_hash_join"], "cell-frame plan needs no joins"
+    assert a["partial_aggregate"], "per-cell count must partial-aggregate"
     assert a["plan"].count("Generate") <= 2
     assert "EvalPython" not in a["plan"]
+    # every unpartitioned window runs over the grid-bounded cell frame
+    # (allowlisted in UNPARTITIONED_WINDOW_BOUNDED below)
+    assert all("sum" in w["functions"] for w in a["windows"]), a["windows"]
 
 
 def test_nn_histogram_cell_keyed_self_join(audits):
@@ -2103,6 +2113,7 @@ def test_join_size_estimator_sample_filter_pushes_down(audits):
 # ordered_prefix) or traced to a bounded frame and listed here.
 UNPARTITIONED_WINDOW_BOUNDED = {
     "d218_salt_planner": "salt plan rows: O(distinct hot keys), <= target_tasks",
+    "d219_hilbert_layout": "prefix/ntile folds over the <= 65,536-row (256x256) grid-cell frame",
     "d220_nn_similarity_histogram": "histogram fold over <= 64 similarity bins",
     "d173_token_budget_waterfill": "water-fill cursor over O(sources) capacity rows",
     "d95_vocab_topk": "rank over the top-100 limit result (TakeOrdered upstream)",

@@ -74,9 +74,14 @@ def main(sf_dir: str, cpus: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, osql = mod.queries(), mod.oracle_sql()
+    subset = {
+        n.strip() for n in os.environ.get("SWEEP_QUERIES", "").split(",") if n.strip()
+    }
     ok = bad = err = 0
     for name, fn in qs.items():
         if name not in osql:
+            continue
+        if subset and name not in subset:
             continue
         try:
             sdf = fn(spark, sf_dir)
