@@ -1521,32 +1521,35 @@ def d181_lsh_arrival_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus bootstraps a persisted signature index (round 0); each
     arriving batch signatures ONLY itself, probes the on-disk index for
     near-dups (drop), applies the keep-first rule within its own batch
-    (drop vs any smaller-id same-batch arrival), then COMPACTS the
-    index — accepted signatures merge with the prior index into a new
-    on-disk generation the next round probes. Round 2's +4e6 docs are
+    (drop vs any smaller-id same-batch arrival), then APPENDS the
+    accepted signatures as a new on-disk index generation the next
+    round probes (union of generations). Round 2's +4e6 docs are
     near-dups of docs accepted in round 1, so a correct answer REQUIRES
     the cross-round index growth; a loop that probes only the original
     corpus mis-accepts them and hash-mismatches.
 
     Per-round state on disk: status/round_id=r (arrival verdicts) and
-    index_r{{r}} (compacted signature generations) under a per-process
-    scratch root; the declared result is computed entirely from the
-    persisted state (one fold over status + one count per index
-    generation), so the hash also proves the state survived the loop.
-    Greedy-online semantics deliberately differ from d74's global batch
-    closure: a doc whose only match was itself dropped is still dropped
-    (conservative — transitively near the indexed survivor), and the
-    oracle simulates the SAME per-round chain in SQL CTEs rather than a
-    recursive closure.
+    index/gen_id={{r}} (accepted-signature generations) under a
+    per-process scratch root; the declared result is computed entirely
+    from the persisted state (one fold over status + one fold over the
+    generation tree), so the hash also proves the state survived the
+    loop. Greedy-online semantics deliberately differ from d74's global
+    batch closure: a doc whose only match was itself dropped is still
+    dropped (conservative — transitively near the indexed survivor),
+    and the oracle simulates the SAME per-round chain in SQL CTEs
+    rather than a recursive closure.
 
     At 100 TB/day: per-arrival work is O(batch) signatures + a band
     equi-join against the index (shuffle keyed on (band_idx, bhash) —
-    never all-pairs, the corpus text never re-shingled); compaction is
-    one merge-write of O(corpus) fixed-width signature rows (12 longs
-    per doc, ~1% of corpus bytes), amortizable with generational
-    layouts; the accepted-id digest is the shared two-level bucketed
-    fold (functions/digest.py), so no reducer buffers a round's
-    accepted set."""
+    never all-pairs, the corpus text never re-shingled); the index
+    update is a generational APPEND of O(batch) fixed-width signature
+    rows (12 longs per doc — r15: the r14 shape re-wrote the merged
+    O(corpus) index every round; probes read the union of generations,
+    and offline compaction folds generations back together exactly like
+    d192's layout-maintenance loop); the accepted-id digest is the
+    shared two-level bucketed fold (functions/digest.py), so no reducer
+    buffers a round's accepted set."""
+    from pyspark.sql import Window as W
     import atexit as _atexit
     import os as _os
     import shutil as _shutil
@@ -1567,13 +1570,23 @@ def d181_lsh_arrival_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # status projection reads doc_id back off the just-written index
     # (column-pruned 1-col parquet scan) instead of re-shingling the
     # corpus through a second documents scan (r15, guide §2.3).
-    _minhash_sig(d).write.mode("overwrite").parquet(f"{root}/index_r0")
-    spark.read.parquet(f"{root}/index_r0").select(
+    _minhash_sig(d).write.mode("overwrite").parquet(f"{root}/index/gen_id=0")
+    # explicit schema for every later multi-generation read: a
+    # generation whose arrivals ALL drop is an empty dir, which a
+    # schema-inferring read would refuse
+    sig_schema = spark.read.parquet(f"{root}/index/gen_id=0").schema
+
+    def index_gens(upto: int):  # union of generations 0..upto (one scan)
+        return spark.read.schema(sig_schema).parquet(
+            *[f"{root}/index/gen_id={g}" for g in range(upto + 1)]
+        )
+
+    index_gens(0).select(
         "doc_id", F.lit("accepted").alias("status")
     ).write.mode("overwrite").parquet(f"{root}/status/round_id=0")
 
     for r in (1, 2):
-        index_sig = spark.read.parquet(f"{root}/index_r{r - 1}")
+        index_sig = index_gens(r - 1)
         batch = _arrival_batch(d, r)
         # signature WRITE as the lineage cut (the d184 pattern — one
         # compute+write pass where the r14 reliable_checkpoint paid a
@@ -1611,10 +1624,16 @@ def d181_lsh_arrival_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("status") == "accepted")
             .select("doc_id")
         )
-        # compaction: merge the accepted generation into one new index
-        index_sig.unionByName(new_sig.join(accepted, "doc_id", "semi")).write.mode(
+        # generational append (r15): write ONLY the accepted arrivals as
+        # generation r — the docstring's "amortizable with generational
+        # layouts" made real. The r14 shape re-wrote the ENTIRE merged
+        # index every round (O(corpus) write per arrival batch); probes
+        # read the union of generations instead (one multi-path scan),
+        # so per-arrival index I/O is O(batch). Values are identical:
+        # union-of-generations == the compacted merge, row for row.
+        new_sig.join(accepted, "doc_id", "semi").write.mode(
             "overwrite"
-        ).parquet(f"{root}/index_r{r}")
+        ).parquet(f"{root}/index/gen_id={r}")
 
     status = spark.read.parquet(f"{root}/status")
     counts = status.groupBy("round_id").agg(
@@ -1633,18 +1652,23 @@ def d181_lsh_arrival_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_alias="n_accepted",
         digest_alias="accepted_md5",
     )
-    sizes = None
-    for r in (0, 1, 2):
-        one = (
-            spark.read.parquet(f"{root}/index_r{r}")
-            .groupBy()
-            .count()
-            .select(
-                F.lit(r).cast("int").alias("round_id"),
-                F.col("count").cast("long").alias("index_size_after"),
-            )
+    # index_size_after(r) = |union of generations 0..r| — ONE read of
+    # the generation tree with the partition column as the round key,
+    # folded by a running sum over <= 3 per-generation counts (the r14
+    # shape re-counted each compacted index: 3 scans of O(corpus) rows)
+    sizes = (
+        spark.read.schema(sig_schema).parquet(f"{root}/index")
+        .groupBy(F.col("gen_id").cast("int").alias("round_id"))
+        .agg(F.count(F.lit(1)).alias("gen_n"))
+        # bounded: <= 3 generation-count rows by construction
+        .select(
+            "round_id",
+            F.sum("gen_n")
+            .over(W.orderBy("round_id").rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("long")
+            .alias("index_size_after"),
         )
-        sizes = one if sizes is None else sizes.unionByName(one)
+    )
     return (
         # left join: a round whose arrivals ALL drop has no digest group
         # — it must still report (n_accepted 0, digest NULL), not vanish

@@ -1122,34 +1122,39 @@ def d184_ann_index_arrival(
 
     _assign_cells(emb.filter(F.col("vec_id") % 4 != 3), cents).write.mode(
         "overwrite"
-    ).parquet(f"{root}/postings_r0")
+    ).parquet(f"{root}/assign/round_id=0")
+
+    def postings_at(upto: int):
+        """Posting state at probe time = union of assignment
+        generations 0..upto, as ONE multi-path scan. The assignment
+        dirs ARE the posting generations (r15, the d181 generational
+        move): the r14 shape additionally re-wrote the merged
+        O(corpus) postings_r{r} every round — a write the union read
+        makes redundant, since every appended row is already persisted
+        as its round's assignment ledger."""
+        return spark.read.parquet(
+            *[f"{root}/assign/round_id={g}" for g in range(upto + 1)]
+        ).select("vec_id", "v", "cell")
 
     for r in (1, 2):
-        postings = spark.read.parquet(f"{root}/postings_r{r - 1}")
         batch = emb.filter(F.col("vec_id") % 8 == (3 if r == 1 else 7))
-        # the assignment WRITE is the lineage cut: the persisted batch
-        # feeds the probe, the exact-recall side, and the index merge
-        # as parquet reads (cheaper than a checkpoint's persist+count,
-        # and the assignment ledger is loop state anyway)
+        # the assignment WRITE is the lineage cut AND the round's
+        # posting generation: the persisted batch feeds the probe, the
+        # exact-recall side, and every later round's posting union as
+        # parquet reads (cheaper than a checkpoint's persist+count)
         _assign_cells(batch, cents).write.mode("overwrite").parquet(
             f"{root}/assign/round_id={r}"
         )
-        probes = spark.read.parquet(f"{root}/assign/round_id={r}").select(
-            "vec_id", "v", "cell"
-        )
-        postings.unionByName(probes).write.mode("overwrite").parquet(
-            f"{root}/postings_r{r}"
-        )
 
     # In-cell probe results and the sampled exact-recall side, for both
-    # rounds: every input (assign generations, posting generations at
+    # rounds: every input (assign generations = posting generations at
     # probe time) is already persisted loop state, so the per-round
     # frames are value-identical computed here — two unioned writes
     # replace four in-loop write jobs (r15, guide §1.2: same passes,
     # fewer job launches).
     inc_rounds, exact_rounds = [], []
     for r in (1, 2):
-        postings = spark.read.parquet(f"{root}/postings_r{r - 1}")
+        postings = postings_at(r - 1)
         probes = spark.read.parquet(f"{root}/assign/round_id={r}").select(
             "vec_id", "v", "cell"
         )
@@ -1977,7 +1982,16 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty_idx = spark.createDataFrame(
         [], "vec_id long, v array<double>, cell long"
     )
-    idx = empty_idx
+
+    def index_gens(upto: int):
+        """Union of keep generations 0..upto as ONE multi-path scan —
+        explicit schema so an all-dup (empty) generation still reads."""
+        if upto < 0:
+            return empty_idx
+        return spark.read.schema(empty_idx.schema).parquet(
+            *[f"{root}/index/gen_id={g}" for g in range(upto + 1)]
+        )
+
     for r in (0, 1, 2):
         # the assignment WRITE is the lineage cut (the d184 pattern):
         # the persisted batch feeds the index probe, the within-batch
@@ -1988,18 +2002,22 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = spark.read.parquet(f"{root}/assign/round_id={r}").select(
             "vec_id", "v", "cell"
         )
-        _d215_flags(a, idx).write.mode("overwrite").parquet(
+        _d215_flags(a, index_gens(r - 1)).write.mode("overwrite").parquet(
             f"{root}/status/round_id={r}"
         )
         st = spark.read.parquet(f"{root}/status/round_id={r}")
-        keeps = a.join(
+        # generational append (r15, the d181 move): ONLY the round's
+        # keeps are written as generation r — the r14 shape re-wrote
+        # the entire merged index each round (O(index) write per
+        # arrival); probes read the union of generations instead, so
+        # per-arrival index I/O is O(batch). Identical values: the
+        # union of keep generations IS the compacted index, row for row.
+        a.join(
             st.filter(F.col("status") == "kept").select("vec_id"),
             "vec_id",
-        ).select("vec_id", "v", "cell")
-        idx.unionByName(keeps).write.mode("overwrite").parquet(
-            f"{root}/index_r{r}"
+        ).select("vec_id", "v", "cell").write.mode("overwrite").parquet(
+            f"{root}/index/gen_id={r}"
         )
-        idx = spark.read.parquet(f"{root}/index_r{r}")
 
     # Bounded exact side vs each round's PRIOR generation (the state
     # that round's dup_index decision probed). Every input is already
@@ -2014,9 +2032,7 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "v", "cell"
         )
         st = spark.read.parquet(f"{root}/status/round_id={r}")
-        prior = (
-            empty_idx if r == 0 else spark.read.parquet(f"{root}/index_r{r - 1}")
-        )
+        prior = index_gens(r - 1)
         miss_rounds.append(
             _d215_miss_stats(a, st, prior).select(
                 F.lit(r).alias("round_id"), "cell", "n_probes", "n_missed_twin"

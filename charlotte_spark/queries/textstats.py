@@ -876,9 +876,13 @@ def d188_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for r in range(1, _BPE_ROUNDS + 1):
         lsym, rsym, pair_n = _bpe_best_pair(cur)
-        cur = reliable_checkpoint(
-            cur.select(_bpe_apply(F.col("seq"), lsym, rsym).alias("seq"), "freq")
-        )
+        # no per-round cut (r15): after the ONE vocab checkpoint the
+        # lineage is r chained codegen'd regexp projections over a
+        # vocab-sized frame — recomputing <= _BPE_ROUNDS layers per
+        # action is cheaper than a reliable checkpoint's two passes
+        # per round, and the plan stays linear (the d195 compile
+        # hazard was expression NESTING, not a short projection chain)
+        cur = cur.select(_bpe_apply(F.col("seq"), lsym, rsym).alias("seq"), "freq")
         rows.append(
             cur.agg(
                 F.count(F.lit(1)).alias("n_words"),
@@ -1001,9 +1005,9 @@ def d193_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = reliable_checkpoint(vocab)
     for _ in range(_BPE_ROUNDS):
         lsym, rsym, _n = _bpe_best_pair(cur)
-        cur = reliable_checkpoint(
-            cur.withColumn("seq", _bpe_apply(F.col("seq"), lsym, rsym))
-        )
+        # no per-round cut (r15) — see d188: <= _BPE_ROUNDS chained
+        # regexp projections over the one vocab checkpoint
+        cur = cur.withColumn("seq", _bpe_apply(F.col("seq"), lsym, rsym))
     vf = cur.select(
         "w", F.size(F.split("seq", " ")).alias("n_tok"), "n_chars_sym"
     )
@@ -1387,9 +1391,9 @@ def d202_tokenizer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = None
     for r in range(1, _D202_GEN_B + 1):
         lsym, rsym, _n = _bpe_best_pair(cur)
-        cur = reliable_checkpoint(
-            cur.withColumn("seq", _bpe_apply(F.col("seq"), lsym, rsym))
-        )
+        # no per-round cut (r15) — see d188: <= GEN_B chained regexp
+        # projections over the one vocab checkpoint
+        cur = cur.withColumn("seq", _bpe_apply(F.col("seq"), lsym, rsym))
         if r == _D202_GEN_A:
             va = cur.select(
                 "w", F.size(F.split("seq", " ")).alias("n_tok_a")

@@ -1815,7 +1815,10 @@ def d187_curation_arrival_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-round work: O(batch) hashing/flagging + ONE h-keyed equi-join
     against the persisted index (never all-pairs, never a corpus
     rescan) + one h-keyed window within the batch; the index update is
-    a distinct-union merge-write (the d181 compaction shape). The
+    a generational APPEND of the round's O(batch) distinct accepted
+    hashes (the d181 shape — r15: the r14 merge re-wrote the distinct
+    union of the whole index every round; probes read the union of
+    disjoint generations instead, which is the same row set). The
     declared 15-row ledger (round x lang: arrival accounting, packed
     tokens, cursor, bin span, accepted-membership digest) is computed
     entirely FROM the persisted status/index state; the global packing
@@ -1846,21 +1849,36 @@ def d187_curation_arrival_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     empty_idx = spark.createDataFrame([], "h string")
-    for r in (0, 1, 2):
-        idx = (
-            empty_idx if r == 0 else spark.read.parquet(f"{root}/index_r{r - 1}")
+
+    def index_gens(upto: int):
+        """Union of accepted-hash generations 0..upto, one multi-path
+        scan with an explicit schema (an all-reject generation is an
+        empty dir a schema-inferring read would refuse). Generations
+        are DISJOINT by construction — an h already in the index flags
+        the arrival dup_index, never accepted — so the union IS the
+        distinct-merged index of the r14 shape, row for row."""
+        if upto < 0:
+            return empty_idx
+        return spark.read.schema(empty_idx.schema).parquet(
+            *[f"{root}/index/gen_id={g}" for g in range(upto + 1)]
         )
-        _d187_flags(_d187_batch(d, r), idx, eval_pfx).write.mode(
+
+    for r in (0, 1, 2):
+        _d187_flags(_d187_batch(d, r), index_gens(r - 1), eval_pfx).write.mode(
             "overwrite"
         ).parquet(f"{root}/status/round_id={r}")
-        accepted_h = (
+        # generational append (r15, the d181 move): write ONLY the
+        # round's distinct accepted hashes — the r14 shape re-read,
+        # re-unioned and re-DISTINCTed the whole index every round
+        # (O(index) shuffle+write per arrival); per-arrival index I/O
+        # is now O(batch)
+        (
             spark.read.parquet(f"{root}/status/round_id={r}")
             .filter(F.col("status") == "accepted")
             .select("h")
             .distinct()
-        )
-        idx.unionByName(accepted_h).distinct().write.mode("overwrite").parquet(
-            f"{root}/index_r{r}"
+            .write.mode("overwrite")
+            .parquet(f"{root}/index/gen_id={r}")
         )
 
     status = spark.read.parquet(f"{root}/status").select(

@@ -2114,6 +2114,7 @@ def test_join_size_estimator_sample_filter_pushes_down(audits):
 UNPARTITIONED_WINDOW_BOUNDED = {
     "d218_salt_planner": "salt plan rows: O(distinct hot keys), <= target_tasks",
     "d219_hilbert_layout": "prefix/ntile folds over the <= 65,536-row (256x256) grid-cell frame",
+    "d181_lsh_arrival_loop": "cumulative index size over <= 3 per-generation count rows",
     "d220_nn_similarity_histogram": "histogram fold over <= 64 similarity bins",
     "d173_token_budget_waterfill": "water-fill cursor over O(sources) capacity rows",
     "d95_vocab_topk": "rank over the top-100 limit result (TakeOrdered upstream)",

@@ -48,8 +48,12 @@ def _wrap(cls, name):
     setattr(cls, name, timed)
 
 
+try:  # Spark 4: the ABC's methods are overridden by the classic class
+    from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+except ImportError:
+    _ClassicDF = DataFrame
 for m in ("count", "collect", "first", "head", "checkpoint", "localCheckpoint"):
-    _wrap(DataFrame, m)
+    _wrap(_ClassicDF, m)
 for m in ("save", "parquet", "orc", "json", "csv", "text"):
     _wrap(DataFrameWriter, m)
 
