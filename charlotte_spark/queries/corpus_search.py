@@ -1174,8 +1174,12 @@ def d228_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver collect rebuilt as a one-partition local frame (the
         # k×dim-centroid discipline) — |queries| x {i-1} rows by
         # construction, so the re-cut costs ONE tiny job instead of a
-        # reliable checkpoint's persist+count+write pair, and each
-        # step's joins against it broadcast for free.
+        # reliable checkpoint's persist+count+write pair. The local
+        # frame is a LogicalRDD with NO size statistics, so every join
+        # against it (and against the mx frame derived from it) carries
+        # an explicit broadcast hint — without the hints the planner
+        # fell back to SortMergeJoin (16 SMJ / +16 Exchange measured
+        # r15) even though both sides are KB-scale by construction.
         # bounded: <= |queries| x _D228_SELECT rows by construction
         selected = local_df(
             spark,
@@ -1184,15 +1188,16 @@ def d228_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         mx = (
             sims.join(
-                selected.withColumnRenamed("doc_id", "db"), ["query_id", "db"]
+                F.broadcast(selected.withColumnRenamed("doc_id", "db")),
+                ["query_id", "db"],
             )
             .groupBy("query_id", "da")
             .agg(F.max("s").alias("maxsim"))
             .withColumnRenamed("da", "doc_id")
         )
         pick = (
-            pool_v.join(selected, ["query_id", "doc_id"], "left_anti")
-            .join(mx, ["query_id", "doc_id"])
+            pool_v.join(F.broadcast(selected), ["query_id", "doc_id"], "left_anti")
+            .join(F.broadcast(mx), ["query_id", "doc_id"])
             .withColumn("mmr", lam * F.col("rel") - om * F.col("maxsim"))
             .withColumn("rk", F.row_number().over(w_mmr))
             .filter(F.col("rk") == 1)
