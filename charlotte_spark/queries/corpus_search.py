@@ -89,7 +89,13 @@ def d105_fuzzy_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blk",
     )
     cand = (
-        dirty.join(clean, "blk")
+        # fan_out (r15, guide §2.5 input skew): part is ONE parquet file
+        # at test SFs, so the broadcast join streamed every block's
+        # Levenshtein DP through a single task (measured: the whole
+        # 4.4 s noop ran as 1 task); round-robin the probe side so the
+        # DP stage uses the full core count. At 100 TB the scan has
+        # natural splits and the exchange is noise next to the DP.
+        fan_out(dirty).join(clean, "blk")
         # length prefilter: |len diff| ≤ 1 is NECESSARY for lev ≤ 1 and
         # costs O(1) vs the O(len²) DP — prunes most block pairs first
         .filter(F.abs(F.length("d_name") - F.length("p_name")) <= 1)
