@@ -642,12 +642,7 @@ def _evo_decoded(spark: SparkSession, parent: str, streaming: bool) -> DataFrame
     read_spools' union-per-directory cannot grow at day 2 — but a new
     subdirectory under one glob source is just new FILES to the same
     source, which the file-source seen-files log admits incrementally."""
-    from ..sources.u2_spark import (
-        ALERT_FLAT_SCHEMA,
-        DECODED_SCHEMA,
-        _decode_frames,
-        _parse_files,
-    )
+    from ..sources.u2_spark import DECODED_SCHEMA, _parse_and_decode
 
     schema = "path string, modificationTime timestamp, length long, content binary"
     if streaming:
@@ -670,8 +665,7 @@ def _evo_decoded(spark: SparkSession, parent: str, streaming: bool) -> DataFrame
         F.regexp_extract("path", r"([^/]+)/snort\.u2", 1).alias("sensor_name"),
         "content",
     )
-    flat = tagged.mapInPandas(_parse_files, ALERT_FLAT_SCHEMA)
-    return flat.mapInPandas(_decode_frames, DECODED_SCHEMA)
+    return tagged.mapInPandas(_parse_and_decode, DECODED_SCHEMA)
 
 
 def _evo_payload(decoded: DataFrame) -> DataFrame:

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..functions.portable import portable_hash_long, pround, sql_hash_long, sql_round
 from ..operators.asof import asof_join
 from ..registry import query
@@ -651,7 +651,12 @@ def d163_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
         words[pb // 64] |= 1 << (pb % 64)
     mask = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
 
-    g = li.select("l_orderkey").withColumn("__mask", mask)
+    # fan_out (r15, guide §2.5 input skew): lineitem at test SFs is ONE
+    # parquet split, so the 4-hash md5 probe projection serialized on a
+    # single task; round-robin the 1-column probe side first. At 100 TB
+    # the scan has natural splits and the exchange is noise next to the
+    # per-row hashing.
+    g = fan_out(li.select("l_orderkey")).withColumn("__mask", mask)
     hit = F.lit(True)
     for i in range(_BJ_K):
         g = g.withColumn(

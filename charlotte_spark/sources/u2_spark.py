@@ -93,6 +93,15 @@ def _parse_files(batches):
         )
 
 
+def _parse_and_decode(batches):
+    """Fused mapInPandas body: parse + header decode in ONE Python
+    boundary crossing — the flat alert rows (with their binary frames)
+    never round-trip JVM→Arrow→JVM between the two steps (guide §4:
+    cross the Python boundary once, pass only what the next step
+    needs). Row-for-row identical to chaining the two stages."""
+    return _decode_frames(_parse_files(batches))
+
+
 def _decode_frames(batches):
     """mapInPandas body: attach flat decoded header columns (R7)."""
     hdr_cols = [
@@ -311,5 +320,4 @@ def read_spools(
         src = parts[0]
         for p in parts[1:]:
             src = src.unionByName(p)  # R4: one logical stream per deployment
-    flat = src.mapInPandas(_parse_files, ALERT_FLAT_SCHEMA)
-    return flat.mapInPandas(_decode_frames, DECODED_SCHEMA)
+    return src.mapInPandas(_parse_and_decode, DECODED_SCHEMA)

@@ -233,19 +233,16 @@ def enrich(alerts: DataFrame, sig_map: DataFrame, class_map: DataFrame) -> DataF
     ).drop("c_classid", "c_name")
 
 
-def _upsert_sensor(db: SnorbyDB, batch: DataFrame) -> DataFrame:
+def _upsert_sensor(db: SnorbyDB, batch_names: set[str]) -> DataFrame:
     """R16: insert-if-absent on (hostname, interface); returns full dim.
 
-    One Spark job (the distinct over the batch — the only side that is
-    big at scale); the KB-sized dim merge itself runs driver-side, the
-    set-wise analog of the reference's sensor-id cache (:360, :550)."""
+    The batch's distinct hostnames arrive pre-collected (one shared
+    dim-distinct job per batch — see `_apply_batch_body`); the KB-sized
+    dim merge itself runs driver-side, the set-wise analog of the
+    reference's sensor-id cache (:360, :550)."""
     dim = db.read_small("sensor", SENSOR_SCHEMA)
     seen = {r["hostname"] for r in dim}
-    batch_names = [
-        r.hostname
-        for r in batch.select(F.col("sensor_name").alias("hostname")).distinct().collect()
-    ]
-    new_names = sorted(n for n in set(batch_names) - seen)
+    new_names = sorted(set(batch_names) - seen)
     if new_names:
         n = len(dim)
         dim = dim + [
@@ -267,26 +264,15 @@ def _upsert_sensor(db: SnorbyDB, batch: DataFrame) -> DataFrame:
 _SIG_NATURAL = ("sig_sid", "sig_gid", "sig_rev", "sig_class_id", "sig_priority", "sig_name")
 
 
-def _upsert_signature(db: SnorbyDB, batch: DataFrame) -> DataFrame:
+def _upsert_signature(db: SnorbyDB, naturals: set[tuple]) -> DataFrame:
     """R17: insert-if-absent on the 6-column natural key; dense sig_id.
-    Same split as `_upsert_sensor`: batch distinct in Spark, KB-sized
-    key merge driver-side (the reference's (gid,sid) cache, :592)."""
+    Same split as `_upsert_sensor`: the batch's distinct natural keys
+    arrive pre-collected, the KB-sized key merge runs driver-side (the
+    reference's (gid,sid) cache, :592)."""
     dim = db.read_small("signature", SIGNATURE_SCHEMA)
     seen = {tuple(r[k] for k in _SIG_NATURAL) for r in dim}
-    naturals = batch.select(
-        F.col("signature_id").alias("sig_sid"),
-        F.col("generator_id").alias("sig_gid"),
-        F.col("sig_rev"),
-        F.col("sig_classid").alias("sig_class_id"),
-        F.col("sig_priority"),
-        F.col("sig_msg").alias("sig_name"),
-    ).distinct().collect()
     new = sorted(
-        (
-            tuple(r[k] for k in _SIG_NATURAL)
-            for r in naturals
-            if tuple(r[k] for k in _SIG_NATURAL) not in seen
-        ),
+        (t for t in naturals if t not in seen),
         key=lambda t: (t[1], t[0], t[5]),  # sig_gid, sig_sid, sig_name
     )
     if new:
@@ -303,19 +289,12 @@ def _upsert_signature(db: SnorbyDB, batch: DataFrame) -> DataFrame:
     )
 
 
-def _upsert_sig_class(db: SnorbyDB, batch: DataFrame) -> DataFrame:
+def _upsert_sig_class(db: SnorbyDB, current: dict[int, str]) -> DataFrame:
     """R18: insert-if-absent on classid; UPDATE name if it drifted
-    (charlotte/__init__.py:606-608 — SCD-1 overwrite)."""
+    (charlotte/__init__.py:606-608 — SCD-1 overwrite). ``current`` is
+    the batch's pre-collected classid -> name map."""
     dim = db.read_small("sig_class", SIG_CLASS_SCHEMA)
-    current = {
-        r.sig_class_id: r.new_name
-        for r in batch.select(
-            F.col("classification_id").alias("sig_class_id"),
-            F.col("class_name").alias("new_name"),
-        )
-        .distinct()
-        .collect()
-    }
+    current = dict(current)  # consumed destructively below
     merged = [
         {
             "sig_class_id": r["sig_class_id"],
@@ -345,14 +324,18 @@ def apply_batch(
     if batch_id in db.applied_batches():
         return  # idempotent replay after restart
 
-    # The ~20 jobs in this body all operate on one micro-batch (KBs-MBs
-    # of dims + the batch's facts); in a session tuned for analytic scans
-    # (e.g. 200 shuffle partitions) every tiny job would spawn hundreds
-    # of near-empty tasks. Pin a batch-appropriate count for the body.
-    # At 100 TB per-batch this constant is sized to batch volume instead.
+    # The jobs in this body all operate on one micro-batch; in a session
+    # tuned for analytic scans (e.g. 200 shuffle partitions) every tiny
+    # job would spawn hundreds of near-empty tasks, and every fact
+    # append would commit that many output files. Size the pin to the
+    # batch's own input split count (scale-adaptive: a 1-spool-file
+    # micro-batch shuffles into 4 partitions, a 100 TB batch with
+    # thousands of splits keeps the session's configured width).
     spark = enriched.sparkSession
+    batch_splits = enriched.rdd.getNumPartitions()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev_parts), 16)))
+    pin = min(int(prev_parts), max(2 * batch_splits, 4))
+    spark.conf.set("spark.sql.shuffle.partitions", str(pin))
     try:
         _apply_batch_body(db, enriched, batch_id)
     finally:
@@ -371,21 +354,41 @@ def _apply_batch_body(
     # a checkpoint write per batch would be pure overhead (measured ~15%
     # of ingest throughput). Unpersisted at the end of the batch.
     enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
-    if enriched.isEmpty():
+
+    # ONE distinct+collect feeds the emptiness check AND all three dim
+    # upserts (was: an isEmpty job plus one distinct+collect per dim —
+    # 4 Spark jobs per batch collapsed to 1; guide §1.2 remove work).
+    # The combined tuple's cardinality is bounded by the batch's
+    # distinct (sensor, signature, class) combinations — dim-sized, not
+    # batch-sized, and the partial-agg shuffle dedups map-side.
+    combos = (
+        enriched.select(
+            "sensor_name", "signature_id", "generator_id", "sig_rev",
+            "sig_classid", "sig_priority", "sig_msg",
+            "classification_id", "class_name",
+        )
+        .distinct()
+        .collect()
+    )
+    if not combos:
+        enriched.unpersist()
         db.mark_applied(batch_id)
         return
 
-    # the three dims live in separate tables and read only the
-    # checkpointed batch — run their upserts as concurrent Spark jobs
-    # (the scheduler interleaves them; wall-clock ≈ the slowest one,
-    # which matters because each is a chain of tiny jobs)
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_sensor = pool.submit(_upsert_sensor, db, enriched)
-        f_signature = pool.submit(_upsert_signature, db, enriched)
-        f_class = pool.submit(_upsert_sig_class, db, enriched)
-        sensor = f_sensor.result()
-        signature = f_signature.result()
-        f_class.result()
+    # dim upserts are now pure driver work (KB-sized merges + pyarrow
+    # writes) over the shared collect — no per-dim Spark jobs to overlap
+    sensor = _upsert_sensor(db, {r.sensor_name for r in combos})
+    signature = _upsert_signature(
+        db,
+        {
+            (
+                r.signature_id, r.generator_id, r.sig_rev,
+                r.sig_classid, r.sig_priority, r.sig_msg,
+            )
+            for r in combos
+        },
+    )
+    _upsert_sig_class(db, {r.classification_id: r.class_name for r in combos})
 
     # attach sid + sig_id
     a = enriched.join(
