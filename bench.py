@@ -200,7 +200,10 @@ def main() -> None:
         blob = json.dumps(detail, indent=1, sort_keys=True) + "\n"
         with open(os.path.join(here, "BENCH_DETAIL_LAST.json"), "w") as fh:
             fh.write(blob)
-        promoted = (detail["cpu_steal_pct"] or 0.0) <= 0.5
+        # an UNMEASURABLE window (steal None: unreadable /proc/stat or
+        # dt<=0) is NOT quiet — never promote it (ADVICE r14)
+        steal = detail["cpu_steal_pct"]
+        promoted = steal is not None and steal <= 0.5
         if promoted:
             with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
                 fh.write(blob)

@@ -87,9 +87,14 @@ def extract_windows(plan: str) -> list[dict]:
         if key in seen:
             continue
         seen.add(key)
+        fns_full = groups[0] if groups else ""
         out.append(
             {
-                "functions": (groups[0] if groups else "")[:120],
+                "functions": fns_full[:120],
+                # classified on the UNTRUNCATED string (ADVICE r14): a
+                # long function list whose _pid reference falls past the
+                # 120-char display cut must still read as a prefix fold
+                "is_prefix": "_pid" in fns_full,
                 "partition_cols": partition_cols,
                 "partitioned": bool(partition_cols),
             }

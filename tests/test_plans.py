@@ -2146,7 +2146,7 @@ def test_unpartitioned_window_inventory_is_exactly_the_bounded_set(spark):
         non_prefix = [
             w["functions"]
             for w in a["windows"]
-            if not w["partitioned"] and "_pid" not in w["functions"]
+            if not w["partitioned"] and not w["is_prefix"]
         ]
         if non_prefix:
             found[name] = non_prefix

@@ -126,12 +126,18 @@ def run(runs_per_point: int = 2) -> dict:
 
                 return crashing
 
+            # the fired flag lives OUTSIDE the try so the "did not
+            # fire" failure cannot be swallowed by the except arm's own
+            # sentinel match (ADVICE r14)
+            fired = False
             try:
                 _stream(spark, fx, db, ckpt, sink_wrap=wrap)
-                raise AssertionError("injected crash did not fire")
             except Exception as e:
                 if "injected crash" not in str(e):
                     raise
+                fired = True
+            if not fired:
+                raise AssertionError("injected crash did not fire")
             t0 = time.time()
             _stream(spark, fx, db, ckpt)  # re-delivery skip + 2 files
             best_resume = min(best_resume, time.time() - t0)
