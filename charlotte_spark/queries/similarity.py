@@ -1827,6 +1827,10 @@ def _d215_flags(assigned: DataFrame, idx: DataFrame) -> DataFrame:
             .otherwise(F.lit("kept"))
             .alias("status"),
             F.coalesce(F.col("_ik"), F.col("_bk")).alias("kept_id"),
+            # carried so the status write doubles as the keeps index
+            # (kept rows ARE generation r — see index_gens); pruned away
+            # by every consumer that doesn't need it
+            "v",
         )
     )
 
@@ -1953,9 +1957,12 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-batch pass (O(Σ per-cell batch²), batch-bounded; a
     corpus-scale BOOTSTRAP would ride d118's tiled per-cell Gram
     instead — this loop's batches are arrival-rate-bounded by
-    definition). Index updates are append-only generation writes (the
-    d181/d187 merge shape); rejected arrivals are NOT indexed — the
-    index carries exactly what the curated corpus carries."""
+    definition). Index updates are append-only generations (the
+    d181/d187 merge shape) carried BY the round's status write — the
+    kept rows carry v, so the index append costs zero extra jobs and
+    probes read the kept rows back with a pushed filter; rejected
+    arrivals are NOT indexed — the index carries exactly what the
+    curated corpus carries."""
     import atexit as _atexit
     import os as _os
     import shutil as _shutil
@@ -1982,46 +1989,50 @@ def d215_semantic_dedup_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty_idx = spark.createDataFrame(
         [], "vec_id long, v array<double>, cell long"
     )
+    status_schema = (
+        "vec_id long, cell long, status string, kept_id long, v array<double>"
+    )
 
     def index_gens(upto: int):
-        """Union of keep generations 0..upto as ONE multi-path scan —
-        explicit schema so an all-dup (empty) generation still reads."""
+        """Union of keep generations 0..upto as ONE multi-path scan.
+        The status write carries ``v``, so the kept rows of rounds
+        0..upto ARE the index generations (r15 second pass, guide §1.2:
+        the r15 first pass wrote each round's keeps as a separate
+        ``index/gen_id=r`` file — a read+join+write job per round whose
+        rows were a filtered copy of the status state just written one
+        job earlier). The filter/projection prune to the kept rows'
+        (vec_id, v, cell) at the parquet scan; per-arrival index I/O
+        stays O(batch)."""
         if upto < 0:
             return empty_idx
-        return spark.read.schema(empty_idx.schema).parquet(
-            *[f"{root}/index/gen_id={g}" for g in range(upto + 1)]
+        return (
+            spark.read.schema(status_schema)
+            .parquet(*[f"{root}/status/round_id={g}" for g in range(upto + 1)])
+            .filter(F.col("status") == "kept")
+            .select("vec_id", "v", "cell")
         )
 
     for r in (0, 1, 2):
         # the assignment WRITE is the lineage cut (the d184 pattern):
-        # the persisted batch feeds the index probe, the within-batch
-        # pass and the keeps append as parquet reads
+        # the persisted batch feeds the index probe and the
+        # within-batch pass as parquet reads
         _assign_cells(_d215_batch(emb, r, base), cents).write.mode(
             "overwrite"
         ).parquet(f"{root}/assign/round_id={r}")
         a = spark.read.parquet(f"{root}/assign/round_id={r}").select(
             "vec_id", "v", "cell"
         )
+        # the status write IS the round's index append: kept rows carry
+        # v, so index_gens reads them back with a pushed status filter —
+        # no separate generation write (r15 second pass)
         _d215_flags(a, index_gens(r - 1)).write.mode("overwrite").parquet(
             f"{root}/status/round_id={r}"
-        )
-        st = spark.read.parquet(f"{root}/status/round_id={r}")
-        # generational append (r15, the d181 move): ONLY the round's
-        # keeps are written as generation r — the r14 shape re-wrote
-        # the entire merged index each round (O(index) write per
-        # arrival); probes read the union of generations instead, so
-        # per-arrival index I/O is O(batch). Identical values: the
-        # union of keep generations IS the compacted index, row for row.
-        a.join(
-            st.filter(F.col("status") == "kept").select("vec_id"),
-            "vec_id",
-        ).select("vec_id", "v", "cell").write.mode("overwrite").parquet(
-            f"{root}/index/gen_id={r}"
         )
 
     # Bounded exact side vs each round's PRIOR generation (the state
     # that round's dup_index decision probed). Every input is already
-    # persisted loop state (assign / status / index generations), so
+    # persisted loop state (assign / status — whose kept rows are the
+    # index generations), so
     # the three per-round frames are value-identical computed here and
     # union into ONE partitioned write instead of three in-loop write
     # jobs (r15, guide §1.2: same passes, fewer job launches) — and the
