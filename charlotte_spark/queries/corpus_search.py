@@ -1098,6 +1098,71 @@ def _d228_oracle() -> str:
     return sql
 
 
+def _d228_greedy(pdf):
+    """Greedy MMR over ONE query's candidate pool (<=_D228_POOL rows by
+    construction — the applyInPandas group is bounded at any corpus
+    size). Bit-exact twin of the oracle's unrolled SQL: the cosine is
+    the shared sequential left-fold dot product (0.0-init, in-order
+    adds — each IEEE op replayed in the same order as the JVM
+    expression in functions/vectors.py), maxsim is a max over the
+    identical doubles, mmr = lam*rel - om*maxsim with the same Python
+    float literals both engines interpolate, and argmax ties break on
+    doc_id ascending."""
+    import pandas as pd
+
+    lam, om = _D228_LAM, _D228_OM
+    qid = int(pdf["query_id"].iloc[0])
+    cands = [
+        (int(d), int(fk), float(r), [float(x) for x in v])
+        for d, fk, r, v in zip(
+            pdf["doc_id"], pdf["fused_rk"], pdf["rel"], pdf["v"]
+        )
+    ]
+
+    def _dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + x * y
+        return s
+
+    nrm = {d: math.sqrt(_dot(v, v)) for d, _fk, _r, v in cands}
+    vec = {d: v for d, _fk, _r, v in cands}
+
+    def _cos(da, db):
+        return _dot(vec[da], vec[db]) / (nrm[da] * nrm[db])
+
+    first = min(cands, key=lambda c: (-c[2], c[0]))
+    out = [(qid, 1, first[0], first[1], first[2], 0.0, lam * first[2])]
+    selected = [first[0]]
+    remaining = [c for c in cands if c[0] != first[0]]
+    for i in range(2, _D228_SELECT + 1):
+        if not remaining:
+            break
+        scored = [
+            (d, fk, r, max(_cos(d, s) for s in selected))
+            for d, fk, r, _v in remaining
+        ]
+        best = min(
+            scored, key=lambda c: (-(lam * c[2] - om * c[3]), c[0])
+        )
+        d, fk, r, ms = best
+        out.append((qid, i, d, fk, r, ms, lam * r - om * ms))
+        selected.append(d)
+        remaining = [c for c in remaining if c[0] != d]
+    cols = list(zip(*out))
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(cols[0], dtype="int64"),
+            "sel_rank": pd.Series(cols[1], dtype="int32"),
+            "doc_id": pd.Series(cols[2], dtype="int64"),
+            "fused_rk": pd.Series(cols[3], dtype="int32"),
+            "rel": pd.Series(cols[4], dtype="float64"),
+            "maxsim": pd.Series(cols[5], dtype="float64"),
+            "mmr": pd.Series(cols[6], dtype="float64"),
+        }
+    )
+
+
 @query("d228_mmr_rerank", tags=("D228", "D225", "D68"), oracle=_d228_oracle())
 def d228_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware rerank of the D225 fused candidates: greedy
@@ -1109,25 +1174,25 @@ def d228_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     slate-construction step a RAG stack runs so five near-identical
     syndicated copies don't fill the whole context window.
 
-    The greedy loop is UNROLLED as {_D228_SELECT} fixed DataFrame
-    steps (the d86 fixed-iteration discipline — no Python, no driver
-    loop over data): step i is one bounded equi-join (candidates x
-    max-sim-to-selected) plus one window PARTITIONED by query_id over
-    the <={_D228_POOL}-row pool. The corpus-scale work is stage 1
-    (D225's scans); the pool-with-vectors frame is checkpointed ONCE
-    (|queries| x {_D228_POOL} rows), the pairwise-sim frame derives
-    from the cut, and the accumulated selected set (<=|queries| x
-    {_D228_SELECT} rows) is re-cut per step so lineage stays linear —
-    at 100 TB every MMR step is KB-scale arithmetic regardless of
-    corpus size.
+    Shape (r15 optimization, guide §1.2/§4.2): the corpus-scale work is
+    stage 1 (D225's scans + the embedding join), checkpointed ONCE as
+    the |queries| x {_D228_POOL}-row pool; the greedy selection itself
+    is a per-query-bounded problem (<= {_D228_POOL} candidates, always,
+    by construction), so it runs as ONE grouped applyInPandas over the
+    cut — one KB-scale shuffle by query_id, groups fan out across
+    cores. This replaces the r14 unrolled-DataFrame form (4 sequential
+    driver collects + a 5-subtree union plan, 52 Exchanges / 32
+    broadcast joins of fixed per-job latency each); the sims/argmax
+    arithmetic is identical, just evaluated inside the worker.
 
     Exactly hash-checkable: rel is the IEEE-exact RRF double (D225's
-    pin), cosines use the shared sequential-fold dot product, and
-    lambda/(1-lambda) are interpolated from the SAME Python repr into
-    both engines (0.3, not Python's 1-0.7), so MMR scores are
-    bit-identical and argmax ties break on doc_id both sides."""
-    from ..functions.vectors import cosine, to_double
-    from ..session import local_df, reliable_checkpoint
+    pin) carried through Arrow losslessly, cosines replay the shared
+    sequential-fold dot product op-for-op in IEEE doubles (see
+    _d228_greedy), and lambda/(1-lambda) are the SAME Python floats
+    both engines interpolate (0.3, not Python's 1-0.7), so MMR scores
+    are bit-identical and argmax ties break on doc_id both sides."""
+    from ..functions.vectors import to_double
+    from ..session import reliable_checkpoint
 
     fused = _d225_fused_ranked(spark, sf_dir)
     pool = fused.filter(F.col("fused_rk") <= _D228_POOL).select(
@@ -1141,87 +1206,13 @@ def d228_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "doc_id", "fused_rk", "rel", "v"
         )
     )
-    a = pool_v.select(
-        "query_id", F.col("doc_id").alias("da"), F.col("v").alias("va")
+    out = pool_v.groupBy("query_id").applyInPandas(
+        _d228_greedy,
+        schema=(
+            "query_id long, sel_rank int, doc_id long, fused_rk int, "
+            "rel double, maxsim double, mmr double"
+        ),
     )
-    b = pool_v.select(
-        "query_id", F.col("doc_id").alias("db"), F.col("v").alias("vb")
-    )
-    sims = (
-        a.join(b, "query_id")
-        .filter(F.col("da") != F.col("db"))
-        .select("query_id", "da", "db", cosine(F.col("va"), F.col("vb")).alias("s"))
-    )
-    lam, om = F.lit(_D228_LAM), F.lit(_D228_OM)
-    w_rel = W.partitionBy("query_id").orderBy(  # bounded: <=POOL rows/query
-        F.col("rel").desc(), F.col("doc_id").asc()
-    )
-    first = (
-        pool_v.withColumn("rk", F.row_number().over(w_rel))
-        .filter(F.col("rk") == 1)
-        .select(
-            "query_id",
-            "doc_id",
-            "fused_rk",
-            "rel",
-            F.lit(0.0).alias("maxsim"),
-            (lam * F.col("rel")).alias("mmr"),
-            F.lit(1).alias("sel_rank"),
-        )
-    )
-    picks = [first]
-    selected = first.select("query_id", "doc_id")
-    w_mmr = W.partitionBy("query_id").orderBy(  # bounded: <=POOL rows/query
-        F.col("mmr").desc(), F.col("doc_id").asc()
-    )
-    for i in range(2, _D228_SELECT + 1):
-        # linear lineage: each step reads the re-cut selected frame,
-        # never the previous steps' full plans. The cut is a bounded
-        # driver collect rebuilt as a one-partition local frame (the
-        # k×dim-centroid discipline) — |queries| x {i-1} rows by
-        # construction, so the re-cut costs ONE tiny job instead of a
-        # reliable checkpoint's persist+count+write pair. The local
-        # frame is a LogicalRDD with NO size statistics, so every join
-        # against it (and against the mx frame derived from it) carries
-        # an explicit broadcast hint — without the hints the planner
-        # fell back to SortMergeJoin (16 SMJ / +16 Exchange measured
-        # r15) even though both sides are KB-scale by construction.
-        # bounded: <= |queries| x _D228_SELECT rows by construction
-        selected = local_df(
-            spark,
-            [(r["query_id"], r["doc_id"]) for r in selected.collect()],
-            "query_id long, doc_id long",
-        )
-        mx = (
-            sims.join(
-                F.broadcast(selected.withColumnRenamed("doc_id", "db")),
-                ["query_id", "db"],
-            )
-            .groupBy("query_id", "da")
-            .agg(F.max("s").alias("maxsim"))
-            .withColumnRenamed("da", "doc_id")
-        )
-        pick = (
-            pool_v.join(F.broadcast(selected), ["query_id", "doc_id"], "left_anti")
-            .join(F.broadcast(mx), ["query_id", "doc_id"])
-            .withColumn("mmr", lam * F.col("rel") - om * F.col("maxsim"))
-            .withColumn("rk", F.row_number().over(w_mmr))
-            .filter(F.col("rk") == 1)
-            .select(
-                "query_id",
-                "doc_id",
-                "fused_rk",
-                "rel",
-                "maxsim",
-                "mmr",
-                F.lit(i).alias("sel_rank"),
-            )
-        )
-        picks.append(pick)
-        selected = selected.union(pick.select("query_id", "doc_id"))
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.union(p)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("sel_rank").cast("int").alias("sel_rank"),

@@ -382,7 +382,6 @@ def test_every_collect_site_is_bounded():
         "dedup.py": 4,        # d200: four 1-row per-round scalar aggs (docs+occ
                               # fold, r0 distinct count, distinct+dup join fold,
                               # index size+digest) — each "# bounded:" commented
-        "corpus_search.py": 1,  # d228: <= |queries| x SELECT selected-set rows
     }
     found: dict[str, int] = {}
     for p in root.rglob("*.py"):
@@ -2222,21 +2221,23 @@ def test_passage_retrieval_prunes_to_retrieved_docs(audits):
     assert "Generate" in a["plan"]
 
 
-def test_mmr_rerank_steps_are_bounded_joins(audits):
-    """d228: every MMR step in the FINAL plan must be a bounded join +
-    a query-partitioned window over the checkpointed pool cut — no
-    corpus rescans (the corpus-scale work runs once, pre-checkpoint),
-    no Python, no cartesian, no unpartitioned windows."""
+def test_mmr_rerank_is_one_grouped_pass_over_the_pool_cut(audits):
+    """d228 (r15 shape): the greedy MMR runs as ONE grouped
+    applyInPandas over the checkpointed |queries| x POOL pool cut —
+    exactly one FlatMapGroupsInPandas keyed by query_id, no corpus
+    rescans (the corpus-scale work runs once, pre-checkpoint), no
+    cartesian, no windows, no driver collects (the r14 unrolled form
+    paid 4 sequential collects + a 5-subtree union plan)."""
     a = audits("d228_mmr_rerank")
-    assert "EvalPython" not in a["plan"]
+    # formatted plans print each node twice (tree + detail section):
+    # count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", a["plan"])) == 1, a[
+        "plan"
+    ]
     assert "CartesianProduct" not in a["plan"]
-    unpart = [w for w in a["windows"] if not w["partitioned"]]
-    assert not unpart, f"unpartitioned windows: {unpart}"
-    assert all(
-        "query_id" in w["partition_cols"] for w in a["windows"]
-    ), a["windows"]
-    # the pool/selected frames enter as checkpoint cuts: the final plan
-    # must not re-scan any source parquet
+    assert not a["windows"], a["windows"]
+    # the pool enters as a checkpoint cut: the final plan must not
+    # re-scan any source parquet
     assert not a["scans"], [s["path"] for s in a["scans"]]
 
 
