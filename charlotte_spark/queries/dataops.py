@@ -657,29 +657,36 @@ def d142_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     lakehouses make, reduced to its measurable core: multi-dimensional
     locality means fewer files overlap any 2-D rectangle.
 
-    Plan shape: the Morton key is a pure projection (16 shift/mask
-    terms, whole-stage codegen'd); each file split is the two-phase
-    distributed prefix rank (``operators.prefix``: range repartition on
-    the layout order — materialized once, see the operator's docstring
-    — broadcast row-count offsets) with the SQL-standard ntile
-    arithmetic applied to the global row number — value-identical to a
-    naive ntile window but with no single-partition sort. The two
-    rankings CHAIN (the linear rank runs over the z-rank's output)
-    instead of rejoining on the order key, so orders is scanned exactly
-    once and the only joins in the plan are the two tiny broadcast
-    offset joins. This mirrors the production writer exactly:
-    ``repartitionByRange(64, z)`` + ``sortWithinPartitions`` IS phase 1
-    of the same plan (the D84 layout path). Each row is exploded into
-    its two layout assignments map-side, so per-file extents for BOTH
-    layouts come off one groupBy; the final row folds the extents
-    against the query rectangle. File-level min/max pruning is exactly
-    what the parquet writer's footer stats give the scan for free
-    afterwards."""
+    Plan shape (r15 rework — guide §2.4, the d219 precedent): the ntile
+    ranks order by (z, o_orderkey) and (x, y, o_orderkey), but z is a
+    BIJECTION of the 256x256 grid cell and every row of a cell shares
+    (x, y) — so a file's extent depends only on WHICH cells intersect
+    its rank range, never on which individual rows do, and the in-rect
+    row total is layout-independent (every row lands in exactly one
+    z-file). The query therefore aggregates orders to per-cell counts
+    FIRST (one partial-agg shuffle onto a frame bounded by the
+    65,536-cell grid, not by the data), computes the Morton key as a
+    pure projection on cells (16 shift/mask terms, whole-stage
+    codegen'd), derives each cell's contiguous rank span per ordering
+    from prefix sums over the bounded cell frame (single-partition
+    windows are safe here EXACTLY because the frame is grid-bounded —
+    # bounded: <= 65,536 grid-cell rows by construction), maps spans
+    to ntile file ranges in closed form, and explodes the
+    (first_file..last_file) sequence per layout in ONE Generate. The
+    in-rect total rides the same bounded window (no join of any kind
+    in the plan). Extents and counts are value-identical to the
+    row-level ranking (a file's cells are exactly the cells whose
+    spans overlap its rank interval; proven by the unchanged oracle,
+    which keeps the naive row-level ntile windows). The old plan's two
+    chained ordered_prefix passes over ALL orders rows (27 exchanges,
+    2 materializations) become one linear plan that scans orders once.
+    File-level min/max pruning is exactly what the parquet writer's
+    footer stats give the scan for free afterwards."""
 
     def ntile_of(rn: Column, n: Column, b: int) -> Column:
         # SQL-standard ntile: q = n div b, r = n mod b; the first r
         # buckets hold q+1 rows — identical to Spark's and DuckDB's
-        # built-in, computed from the DISTRIBUTED global row number.
+        # built-in, computed from the cell's global rank span.
         q = F.floor(n / b).cast("long")
         r = (n % b).cast("long")
         boundary = r * (q + 1)
@@ -691,42 +698,64 @@ def d142_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     base = o.select(
-        "o_orderkey",
         (F.col("o_custkey") % 256).alias("x"),
         (
             F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {_DAY_US}") % 256
         ).alias("y"),
-    ).withColumn("z", F.expr(_interleave_sql("x", "y", "spark")))
-    rz = ordered_prefix(
-        base, ["z", "o_orderkey"], row_number="rn", count_total="n"
-    ).select(
-        "o_orderkey",
-        "x",
-        "y",
-        ntile_of(F.col("rn"), F.col("n"), _Z_FILES).alias("zf"),
     )
-    t = ordered_prefix(
-        rz, ["x", "y", "o_orderkey"], row_number="rn", count_total="n"
-    ).select(
-        "x", "y", "zf", ntile_of(F.col("rn"), F.col("n"), _Z_FILES).alias("lf")
-    )
-    layouts = t.select(
-        "x",
-        "y",
-        F.explode(
-            F.array(
-                F.struct(F.lit("z").alias("layout"), F.col("zf").alias("f")),
-                F.struct(F.lit("lin").alias("layout"), F.col("lf").alias("f")),
-            )
-        ).alias("a"),
-    ).select("x", "y", F.col("a.layout").alias("layout"), F.col("a.f").alias("f"))
+    cells = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    cz = cells.withColumn("z", F.expr(_interleave_sql("x", "y", "spark")))
     in_rect = F.col("x").between(64, 127) & F.col("y").between(64, 127)
+    # Rank spans over the bounded cell frame. All three windows share
+    # one single-partition exchange; each is O(grid) rows.
+    # # bounded: <= 65,536 grid-cell rows by construction (256 x 256)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_z = W.orderBy("z").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_lin = W.orderBy("x", "y").rowsBetween(W.unboundedPreceding, W.currentRow)
+    spans = cz.select(
+        "x",
+        "y",
+        "cnt",
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum(F.when(in_rect, F.col("cnt")).otherwise(0))
+        .over(w_all)
+        .alias("rect_total"),
+        (F.sum("cnt").over(w_z) - F.col("cnt")).alias("z_start"),
+        (F.sum("cnt").over(w_lin) - F.col("cnt")).alias("l_start"),
+    )
+    zf1 = ntile_of(F.col("z_start") + 1, F.col("n"), _Z_FILES)
+    zf2 = ntile_of(F.col("z_start") + F.col("cnt"), F.col("n"), _Z_FILES)
+    lf1 = ntile_of(F.col("l_start") + 1, F.col("n"), _Z_FILES)
+    lf2 = ntile_of(F.col("l_start") + F.col("cnt"), F.col("n"), _Z_FILES)
+
+    def _files(layout: str, f1: Column, f2: Column) -> Column:
+        return F.transform(
+            F.sequence(f1, f2),
+            lambda f: F.struct(
+                F.lit(layout).alias("layout"), f.cast("int").alias("f")
+            ),
+        )
+
+    layouts = spans.select(
+        "x",
+        "y",
+        "rect_total",
+        F.explode(F.concat(_files("z", zf1, zf2), _files("lin", lf1, lf2))).alias(
+            "a"
+        ),
+    ).select(
+        "x",
+        "y",
+        "rect_total",
+        F.col("a.layout").alias("layout"),
+        F.col("a.f").alias("f"),
+    )
     ext = layouts.groupBy("layout", "f").agg(
         F.min("x").alias("mnx"),
         F.max("x").alias("mxx"),
         F.min("y").alias("mny"),
         F.max("y").alias("mxy"),
-        F.sum(F.when(in_rect, 1).otherwise(0)).alias("nr"),
+        F.max("rect_total").alias("rt"),
     )
     overlap = (
         (F.col("mnx") <= 127)
@@ -742,9 +771,7 @@ def d142_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((F.col("layout") == "lin") & overlap, 1).otherwise(0))
         .cast("long")
         .alias("files_hit_linear"),
-        F.sum(F.when(F.col("layout") == "z", F.col("nr")).otherwise(0))
-        .cast("long")
-        .alias("n_rows_rect"),
+        F.max("rt").cast("long").alias("n_rows_rect"),
     )
 
 

@@ -592,20 +592,26 @@ def test_constraint_audit_scan_budget(audits):
     )
 
 
-def test_zorder_audit_chained_ranks_one_generate(audits):
-    """d142: the two layout rankings CHAIN over one materialized
-    lineage — orders is read only at the prefix checkpoint (no parquet
-    scan in the final plan), the only join is the tiny broadcast
-    offset join from ordered_prefix (never a sort-merge or nested-loop
-    rejoin of the two rankings), and the two-layout explode is ONE
+def test_zorder_audit_same_shape_as_hilbert(audits):
+    """d142 (r15 rework, the d219 precedent): one LINEAR plan — orders
+    is scanned exactly once into a partial-aggregated per-cell count
+    (the grid-bounded frame), the Morton key is a pure projection on
+    cells, the rank spans and the in-rect total are prefix/total sums
+    over the bounded cell frame (no ordered_prefix materialization, no
+    join of ANY kind), and the two-layout file-range explode is ONE
     Generate (count 2 in formatted explain = tree + detail)."""
     a = audits("d142_zorder_layout")
-    assert len([s for s in a["scans"] if "orders" in s["path"]]) <= 1, (
-        "orders must be scanned at most once (inside the prefix persist)"
+    assert len([s for s in a["scans"] if "orders" in s["path"]]) == 1, (
+        "orders must be scanned exactly once (into the cell aggregate)"
     )
     assert not (a["sort_merge_join"] or a["nested_loop_join"])
-    assert "InMemoryTableScan" in a["plan"], "prefix input must be persisted"
+    assert not a["broadcast_hash_join"], "cell-frame plan needs no joins"
+    assert a["partial_aggregate"], "per-cell count must partial-aggregate"
     assert a["plan"].count("Generate") <= 2
+    assert "EvalPython" not in a["plan"]
+    # every unpartitioned window runs over the grid-bounded cell frame
+    # (allowlisted in UNPARTITIONED_WINDOW_BOUNDED below)
+    assert all("sum" in w["functions"] for w in a["windows"]), a["windows"]
 
 
 def test_woe_and_seasonal_single_scan_no_join(audits):
@@ -782,14 +788,16 @@ def test_orc_roundtrip_digest_is_two_level(audits):
 def test_prefix_caches_never_accumulate(spark, sf_dir):
     """ordered_prefix persists DISK_ONLY for fork consistency; without
     eviction each call leaks blocks for the whole session (ADVICE r08
-    #1). Contract: at most ONE call's cache is live at any time — even
-    d142, which chains two prefixes — and release_prefix_caches()
-    drains it."""
+    #1). Contract: at most ONE call's cache is live at any time — back
+    to back callers evict each other — and release_prefix_caches()
+    drains it. (d142 was the chained-two-prefixes example until its
+    r15 grid-cell rework removed both prefix calls; d156 is the other
+    plain caller.)"""
     from charlotte_spark.operators import prefix
 
     REG["d139_ks_drift"].fn(spark, sf_dir).collect()
     assert len(prefix._LIVE_CACHES) == 1
-    REG["d142_zorder_layout"].fn(spark, sf_dir).collect()
+    REG["d156_revenue_concentration"].fn(spark, sf_dir).collect()
     assert len(prefix._LIVE_CACHES) == 1
     # grouped mode shares the same lifecycle (d186/d187 call sites)
     REG["d186_grouped_prefix_budget"].fn(spark, sf_dir).collect()
@@ -2113,6 +2121,7 @@ def test_join_size_estimator_sample_filter_pushes_down(audits):
 UNPARTITIONED_WINDOW_BOUNDED = {
     "d218_salt_planner": "salt plan rows: O(distinct hot keys), <= target_tasks",
     "d219_hilbert_layout": "prefix/ntile folds over the <= 65,536-row (256x256) grid-cell frame",
+    "d142_zorder_layout": "prefix/ntile folds over the <= 65,536-row (256x256) grid-cell frame",
     "d181_lsh_arrival_loop": "cumulative index size over <= 3 per-generation count rows",
     "d220_nn_similarity_histogram": "histogram fold over <= 64 similarity bins",
     "d173_token_budget_waterfill": "water-fill cursor over O(sources) capacity rows",
