@@ -157,13 +157,24 @@ def run_batch_pipeline(spark: SparkSession, db: SnorbyDB) -> None:
 
 
 def run_streaming_pipeline(
-    spark: SparkSession, db: SnorbyDB, ckpt: str, max_files_per_trigger: int = 3
+    spark: SparkSession,
+    db: SnorbyDB,
+    ckpt: str,
+    max_files_per_trigger: int = 3,
+    fx: dict | None = None,
 ) -> None:
     """Streaming run over the spools (R1/R2/R5/D60). Default 3 files per
     trigger → a 2-micro-batch replay: still exercises cross-batch cid
     sequencing / dim upserts at a fraction of the per-batch fixed cost;
-    tests that need strict one-file-per-batch pass 1 explicitly."""
-    fx = u2_fixture()
+    tests that need strict one-file-per-batch pass 1 explicitly.
+
+    ``fx`` selects the spool fixture (default: the 200-event
+    ``u2_fixture()``). Until r15 this was silently pinned to the
+    default, which made bench.py's ingest leg time a 200-event replay
+    while REPORTING its own 10k-event fixture's count — the measurement
+    bug behind the cross-round ingest whipsaw (4,679–6,894 "ev/s" of
+    pure stream-start fixed cost; VERDICT r14 "What's wrong")."""
+    fx = fx or u2_fixture()
     alerts = read_spools(
         spark, fx["spools"], streaming=True, max_files_per_trigger=max_files_per_trigger
     )

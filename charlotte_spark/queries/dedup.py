@@ -126,7 +126,15 @@ def _minhash_sig(corpus: DataFrame) -> DataFrame:
     One select for all 12 permutations — a withColumn per hash re-runs
     analysis over the whole (HOF-heavy) plan each time, and the
     driver-side analysis cost was comparable to executing the query."""
-    df = with_shingles(corpus, 3).withColumn(
+    return _sig_from_shingled(with_shingles(corpus, 3))
+
+
+def _sig_from_shingled(df: DataFrame) -> DataFrame:
+    """Minhash signature from an ALREADY-SHINGLED frame (doc_id +
+    shingles) — split from :func:`_minhash_sig` so a caller that also
+    needs the shingle sets themselves (d176's exact-Jaccard side) can
+    shingle the corpus ONCE and derive both tables from the cut."""
+    df = df.withColumn(
         "bases",
         F.transform("shingles", lambda s: _spark_phash(s, "mh|") % MH_P),
     )
@@ -1222,11 +1230,19 @@ def d176_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact side joins the once-materialized shingle table twice by
     doc id — every join is keyed, candidates come only from band
     buckets (never all-pairs), and the rollup is O(candidates) into
-    <= 11 buckets. At 100 TB the calibration runs on a SAMPLE of
-    candidates (hash-filter on the pair key) — the report is
-    distribution-level, so a 1% sample gives the same curve; sampling
-    hook documented here rather than forced at test SF."""
-    sig = reliable_checkpoint(_minhash_sig(_corpus_near(spark, sf_dir)).coalesce(8))
+    <= 11 buckets. The corpus is shingled ONCE (r15, guide §1.2): the
+    shingle table is the first cut and the signature table derives
+    from it — the pre-r15 shape scanned and re-shingled the corpus a
+    second time for the exact-Jaccard side. At 100 TB the calibration
+    runs on a SAMPLE of candidates (hash-filter on the pair key) — the
+    report is distribution-level, so a 1% sample gives the same curve;
+    sampling hook documented here rather than forced at test SF."""
+    sh = reliable_checkpoint(
+        with_shingles(_corpus_near(spark, sf_dir), 3)
+        .select("doc_id", "shingles")
+        .coalesce(8)
+    )
+    sig = reliable_checkpoint(_sig_from_shingled(sh))
     band_cols = [
         F.struct(
             F.lit(i).alias("band_idx"),
@@ -1261,11 +1277,6 @@ def d176_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = pairs.join(sa, "a_id").join(sb, "b_id").select(
         "a_id", "b_id", matches.alias("matches")
-    )
-    sh = reliable_checkpoint(
-        with_shingles(_corpus_near(spark, sf_dir), 3)
-        .select("doc_id", "shingles")
-        .coalesce(8)
     )
     ja = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
     jb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
