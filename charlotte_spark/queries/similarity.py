@@ -1120,9 +1120,10 @@ def d184_ann_index_arrival(
     ).write.mode("overwrite").parquet(f"{root}/centroids")
     cents = spark.read.parquet(f"{root}/centroids")
 
-    _assign_cells(emb.filter(F.col("vec_id") % 4 != 3), cents).write.mode(
-        "overwrite"
-    ).parquet(f"{root}/assign/round_id=0")
+    def _write_assign(r: int, batch) -> None:
+        _assign_cells(batch, cents).write.mode("overwrite").parquet(
+            f"{root}/assign/round_id={r}"
+        )
 
     def postings_at(upto: int):
         """Posting state at probe time = union of assignment
@@ -1136,15 +1137,23 @@ def d184_ann_index_arrival(
             *[f"{root}/assign/round_id={g}" for g in range(upto + 1)]
         ).select("vec_id", "v", "cell")
 
-    for r in (1, 2):
-        batch = emb.filter(F.col("vec_id") % 8 == (3 if r == 1 else 7))
-        # the assignment WRITE is the lineage cut AND the round's
-        # posting generation: the persisted batch feeds the probe, the
-        # exact-recall side, and every later round's posting union as
-        # parquet reads (cheaper than a checkpoint's persist+count)
-        _assign_cells(batch, cents).write.mode("overwrite").parquet(
-            f"{root}/assign/round_id={r}"
-        )
+    # the assignment WRITE is the lineage cut AND the round's posting
+    # generation: the persisted batch feeds the probe, the exact-recall
+    # side, and every later round's posting union as parquet reads
+    # (cheaper than a checkpoint's persist+count). The three per-round
+    # assignments read only (cents, emb slice) — never each other — so
+    # the three independent write jobs overlap from a thread pool
+    # (guide §2.6: back-fill the tail); the probe/recall data
+    # dependencies start strictly after the pool joins.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(_write_assign, 0, emb.filter(F.col("vec_id") % 4 != 3))]
+        for r in (1, 2):
+            batch = emb.filter(F.col("vec_id") % 8 == (3 if r == 1 else 7))
+            futs.append(pool.submit(_write_assign, r, batch))
+        for f in futs:
+            f.result()
 
     # In-cell probe results and the sampled exact-recall side, for both
     # rounds: every input (assign generations = posting generations at
@@ -1187,12 +1196,22 @@ def d184_ann_index_arrival(
             .filter(F.col("rk") <= 3)
             .select(F.lit(r).alias("round_id"), "probe_id", "neighbor_id")
         )
-    inc_rounds[0].unionByName(inc_rounds[1]).write.mode("overwrite").partitionBy(
-        "round_id"
-    ).parquet(f"{root}/incell")
-    exact_rounds[0].unionByName(exact_rounds[1]).write.mode(
-        "overwrite"
-    ).partitionBy("round_id").parquet(f"{root}/exact")
+    # the probe and exact-recall consolidations read only persisted
+    # assignment state and write disjoint trees — overlap the two
+    # independent jobs (guide §2.6)
+    def _write_incell() -> None:
+        inc_rounds[0].unionByName(inc_rounds[1]).write.mode(
+            "overwrite"
+        ).partitionBy("round_id").parquet(f"{root}/incell")
+
+    def _write_exact() -> None:
+        exact_rounds[0].unionByName(exact_rounds[1]).write.mode(
+            "overwrite"
+        ).partitionBy("round_id").parquet(f"{root}/exact")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_write_incell), pool.submit(_write_exact)]:
+            f.result()
 
     # incell doubles as the assignment ledger (left-join probe keeps
     # empty-cell probes as NULL-neighbor rows), so the result is one
