@@ -664,16 +664,25 @@ def _d225_fused_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_terms = sorted({t for ts in _D225_QUERIES.values() for t in ts})
     qmap = _d225_qmap(spark)
 
+    # ONE tokenize pass feeds both the postings and the doc lengths
+    # (r16, guide §2.4/§6): doclen rides the tf aggregation as a
+    # grouping column (constant per doc_id), so the former separate
+    # `dl` frame — a third documents scan + re-split AND an O(corpus)
+    # doc_id equi-join into `scored` — is gone. Only the corpus-wide
+    # n_docs/avgdl aggregate still needs its own (column-pruned) scan.
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    dl = toks.select("doc_id", F.size("t").cast("long").alias("doclen"))
-    stats = dl.agg(
+    tokstats = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("doclen"),
+        F.filter("t", lambda w: w.isin(*all_terms)).alias("qt"),
+    )
+    stats = tokstats.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.col("doclen") * 1.0).alias("avgdl"),
     )
     tf = (
-        toks.select("doc_id", F.explode("t").alias("term"))
-        .filter(F.col("term").isin(*all_terms))
-        .groupBy("doc_id", "term")
+        tokstats.select("doc_id", "doclen", F.explode("qt").alias("term"))
+        .groupBy("doc_id", "doclen", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -686,7 +695,6 @@ def _d225_fused_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(qmap), "term")
         .join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(
