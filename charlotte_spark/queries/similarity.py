@@ -1147,13 +1147,14 @@ def d184_ann_index_arrival(
     # dependencies start strictly after the pool joins.
     from concurrent.futures import ThreadPoolExecutor
 
+    from ..session import join_futures
+
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [pool.submit(_write_assign, 0, emb.filter(F.col("vec_id") % 4 != 3))]
         for r in (1, 2):
             batch = emb.filter(F.col("vec_id") % 8 == (3 if r == 1 else 7))
             futs.append(pool.submit(_write_assign, r, batch))
-        for f in futs:
-            f.result()
+        join_futures(futs)
 
     # In-cell probe results and the sampled exact-recall side, for both
     # rounds: every input (assign generations = posting generations at
@@ -1210,8 +1211,7 @@ def d184_ann_index_arrival(
         ).partitionBy("round_id").parquet(f"{root}/exact")
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        for f in [pool.submit(_write_incell), pool.submit(_write_exact)]:
-            f.result()
+        join_futures([pool.submit(_write_incell), pool.submit(_write_exact)])
 
     # incell doubles as the assignment ledger (left-join probe keeps
     # empty-cell probes as NULL-neighbor rows), so the result is one
@@ -2440,12 +2440,16 @@ def a229_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums in FIXED order (never a float groupBy over subspaces, whose
     sum order is engine-specific). At 100 TB: codebooks are KBs
     (broadcast), the corpus is touched {_PQ_ITERS} times for training
-    (persist() the melt on a real cluster) plus ONE encode pass whose
-    output — the M-codes-per-vector table, the artifact a PQ index
-    ships — is checkpointed, so ADC scoring reads codes, never a melt
-    recompute; the probe side is the documented d68 bounded-BNLJ eval
-    class (production serving takes TakeOrdered top-k; the exact side
-    IS d68's brute-force baseline and pays its own two scans).
+    (persist() the melt on a real cluster) plus ONE encode pass that
+    flows straight into the ADC rank table; the two per-probe rank
+    tables (approximate and exact) are each materialized ONCE behind a
+    checkpoint — they both feed two consumers (recall hits + the NN
+    rank join), which the r15 shape recomputed corpus-scale twice —
+    and the two independent checkpoint jobs overlap from a thread
+    pool (guide §2.6); the probe side is the documented d68
+    bounded-BNLJ eval class (production serving takes TakeOrdered
+    top-k; the exact side IS d68's brute-force baseline and pays its
+    own two scans).
 
     Cross-engine determinism: every distance is the shared
     sequential-fold squared-L2 (0.0-init left fold == DuckDB's
@@ -2503,12 +2507,12 @@ def a229_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cent = reliable_checkpoint(cent)
 
-    # the encoded corpus is itself checkpointed: it IS the artifact a
-    # PQ index ships (M codes/vector), and cutting it here means the
-    # output action reads codes, not a melt recompute
-    enc = reliable_checkpoint(
-        assign(cent).select("vec_id", "sp", F.col("cid").alias("code"))
-    )
+    # encode lazily: the codes flow straight into the ADC rank table,
+    # which is the frame that actually has two consumers (r16 — the
+    # r15 shape checkpointed the single-consumer codes table and then
+    # recomputed the ADC join+pivot+window TWICE inside the output
+    # action, once under `hits` and once under the final rank join)
+    enc = assign(cent).select("vec_id", "sp", F.col("cid").alias("code"))
     dtab = (
         melted.filter(F.col("vec_id") < _PQ_PROBES)
         .withColumnRenamed("vec_id", "probe_id")
@@ -2550,10 +2554,32 @@ def a229_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_pairs.select("probe_id", "vec_id", de.alias("de"))
         .withColumn("rke", F.row_number().over(w_ex))
     )
+    # adcr and exr each feed TWO consumers below (hits + the rank/nn
+    # joins); materialize each ONCE and cut lineage there, and since
+    # the two chains are independent (adcr reads codes+codebook, exr
+    # reads only the cached corpus) overlap the two checkpoint jobs
+    # from a thread pool (guide §2.6, the d184 write-overlap pattern).
+    # The r15 shape recomputed both corpus-scale chains twice inside
+    # the single output action.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..session import join_futures
+
+    ckpt: dict[str, DataFrame] = {}
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        join_futures(
+            [
+                _pool.submit(lambda: ckpt.__setitem__("adcr", reliable_checkpoint(adcr))),
+                _pool.submit(lambda: ckpt.__setitem__("exr", reliable_checkpoint(exr))),
+            ]
+        )
+    adcr, exr = ckpt["adcr"], ckpt["exr"]
     hits = (
         exr.filter(F.col("rke") <= _PQ_TOPK)
         .join(
-            adcr.filter(F.col("rka") <= _PQ_TOPK).select("probe_id", "vec_id"),
+            F.broadcast(
+                adcr.filter(F.col("rka") <= _PQ_TOPK).select("probe_id", "vec_id")
+            ),
             ["probe_id", "vec_id"],
         )
         .groupBy("probe_id")
@@ -2562,21 +2588,19 @@ def a229_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = exr.filter(F.col("rke") == 1).select(
         "probe_id", F.col("vec_id").alias("true_nn_id"), F.col("de").alias("nn_de")
     )
-    # the training chain is already materialized behind the codebook
-    # checkpoint; drop the caches so the shared session doesn't
+    # the per-probe rank tables are materialized behind the two
+    # checkpoints; drop the caches so the shared session doesn't
     # accumulate blocks across the bench inventory (d86 discipline)
     melted.unpersist()
     emb.unpersist()
     return (
-        nn.join(
-            adcr.select(
-                "probe_id",
-                F.col("vec_id").alias("true_nn_id"),
-                F.col("adc").alias("nn_adc"),
-                F.col("rka").alias("nn_adc_rank"),
-            ),
-            ["probe_id", "true_nn_id"],
+        adcr.select(
+            "probe_id",
+            F.col("vec_id").alias("true_nn_id"),
+            F.col("adc").alias("nn_adc"),
+            F.col("rka").alias("nn_adc_rank"),
         )
+        .join(F.broadcast(nn), ["probe_id", "true_nn_id"])
         .join(hits, "probe_id", "left")
         .select(
             F.col("probe_id").cast("long").alias("probe_id"),

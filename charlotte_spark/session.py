@@ -63,6 +63,28 @@ def reliable_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+def join_futures(futs) -> None:
+    """Join concurrently submitted Spark jobs, surfacing the FIRST
+    failure as soon as it happens (ADVICE r15): a plain
+    ``for f in futs: f.result()`` loop only raises in submission order,
+    so a crash in a later job is masked until every earlier job's
+    result is consumed and sibling jobs keep running after one fails.
+    Queued-but-unstarted siblings are cancelled; already-running Spark
+    jobs finish on their own (harmless — their writes are idempotent
+    overwrites/appends the caller retries or discards)."""
+    from concurrent.futures import FIRST_EXCEPTION, wait
+
+    done, not_done = wait(futs, return_when=FIRST_EXCEPTION)
+    for f in done:
+        exc = f.exception()
+        if exc is not None:
+            for nf in not_done:
+                nf.cancel()
+            raise exc
+    for f in not_done:  # no failure: wait() returned with all done
+        f.result()
+
+
 def get_spark(app_name: str = "charlotte-spark", cpus: str | int | None = None) -> SparkSession:
     """Return the shared SparkSession, creating it on first call."""
     cpus = str(cpus or _DEFAULT_CPUS)

@@ -2251,12 +2251,14 @@ def test_mmr_rerank_is_one_grouped_pass_over_the_pool_cut(audits):
 
 
 def test_pq_training_is_join_based_and_codebooks_stay_distributed(audits):
-    """a229: Lloyd iterations must be broadcast joins against the
-    KB-scale codebook frame with argmin windows PARTITIONED by the
-    high-cardinality (vec_id, sp) key — no unpartitioned windows, no
-    Python, no cartesian; the ADC sum rides pivoted columns (a
-    partial-aggregated groupBy), and the only BNLJ is the documented
-    bounded probe class."""
+    """a229 (r16 shape): the corpus-scale work — Lloyd training, encode,
+    the ADC and exact rank tables — runs ONCE behind the two rank-table
+    checkpoints, so the declared plan must not re-scan any source
+    parquet (the d228 checkpoint-cut discipline) and keeps the bounded
+    recall fold (partial-aggregated groupBy) plus broadcast joins of
+    the O(probes)-row sides; no Python, no cartesian, no windows left
+    in the final plan (the argmin/rank windows run inside the
+    checkpoint jobs, pinned by the oracle's value identity)."""
     a = audits("a229_product_quantization")
     assert "EvalPython" not in a["plan"]
     assert "CartesianProduct" not in a["plan"]
@@ -2264,3 +2266,8 @@ def test_pq_training_is_join_based_and_codebooks_stay_distributed(audits):
     assert a["broadcast_hash_join"]
     unpart = [w for w in a["windows"] if not w["partitioned"]]
     assert not unpart, f"unpartitioned windows: {unpart}"
+    # corpus-scale chains are cut: no source parquet scan in the
+    # declared plan (embeddings are touched only inside the
+    # training/encode/exact checkpoint jobs)
+    emb_scans = [s for s in a["scans"] if "embeddings" in s["path"]]
+    assert not emb_scans, f"embeddings re-scanned: {emb_scans}"
