@@ -174,7 +174,9 @@ def run_streaming_pipeline(
     while REPORTING its own 10k-event fixture's count — the measurement
     bug behind the cross-round ingest whipsaw (4,679–6,894 "ev/s" of
     pure stream-start fixed cost; VERDICT r14 "What's wrong")."""
-    fx = fx or u2_fixture()
+    fx = u2_fixture() if fx is None else fx  # `is None` IS the contract:
+    # an (erroneous) empty dict must fail loudly, not silently time the
+    # default fixture — the r15 ingest-leg bug class (ADVICE r15)
     alerts = read_spools(
         spark, fx["spools"], streaming=True, max_files_per_trigger=max_files_per_trigger
     )
@@ -551,11 +553,26 @@ def d182_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     kill -9 between sink commit and checkpoint commit is the ONE window
     where at-least-once delivery shows, and the sink-side ledger is
     what closes it (foreachBatch is at-least-once by contract)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     fx = u2_fixture()
     db = _fresh_db(spark, "restart_audit")
     ckpt = f"{db.path}_ckpt"
     if os.path.exists(ckpt):
         shutil.rmtree(ckpt)
+
+    # The uninterrupted reference star is INDEPENDENT of the
+    # crash/resume sequence (separate db dir, same deterministic
+    # fixture) — build it concurrently so it back-fills the stream
+    # starts' idle capacity (guide §2.6). It runs in a CLONED session:
+    # apply_batch pins spark.sql.shuffle.partitions per batch, which is
+    # session state — two concurrent pipelines on ONE session would
+    # race the pin/restore (and could leave the session pinned);
+    # newSession() isolates the SQLConf while sharing the context.
+    ref_spark = spark.newSession()
+    db_ref_w = _fresh_db(ref_spark, "restart_audit_ref")
+    ref_pool = ThreadPoolExecutor(max_workers=1)
+    ref_fut = ref_pool.submit(run_batch_pipeline, ref_spark, db_ref_w)
 
     applied = {"n": 0}
 
@@ -595,9 +612,14 @@ def d182_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ledger skips it, the remaining spool files apply once each
     run_streaming_pipeline(spark, db, ckpt)
 
-    # independent reference: one uninterrupted batch run
-    db_ref = _fresh_db(spark, "restart_audit_ref")
-    run_batch_pipeline(spark, db_ref)
+    # join the concurrently-built uninterrupted reference star; re-bind
+    # its (now fully written) path to the MAIN session so the summary
+    # frames below all live in one session
+    try:
+        ref_fut.result()
+    finally:
+        ref_pool.shutdown(wait=False)
+    db_ref = SnorbyDB(spark, db_ref_w.path)
 
     def star_payload(star_db) -> DataFrame:
         return _star_summary(spark, star_db).select(

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from pyspark.storagelevel import StorageLevel
 
-from ..session import local_df
+from ..session import join_futures, local_df
 
 FACT_TABLES = ("event", "iphdr", "tcphdr", "udphdr", "icmphdr", "data")
 DIM_TABLES = ("sensor", "signature", "sig_class")
@@ -355,19 +355,24 @@ def _apply_batch_body(
     # of ingest throughput). Unpersisted at the end of the batch.
     enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # ONE distinct+collect feeds the emptiness check AND all three dim
-    # upserts (was: an isEmpty job plus one distinct+collect per dim —
-    # 4 Spark jobs per batch collapsed to 1; guide §1.2 remove work).
-    # The combined tuple's cardinality is bounded by the batch's
-    # distinct (sensor, signature, class) combinations — dim-sized, not
-    # batch-sized, and the partial-agg shuffle dedups map-side.
+    # ONE grouped collect feeds the emptiness check, all three dim
+    # upserts AND the per-sensor last_cid watermark (r15 collapsed an
+    # isEmpty job plus one distinct+collect per dim into one distinct;
+    # r16 turns the distinct into the equivalent groupBy + count so the
+    # batch's per-sensor row counts ride the same job — cid is a dense
+    # row_number per sensor, so max assigned cid == last_cid + n_rows,
+    # and the separate distributed max(cid) aggregate per batch is
+    # deleted; guide §1.2 remove work). The combined tuple's
+    # cardinality is bounded by the batch's distinct (sensor,
+    # signature, class) combinations — dim-sized, not batch-sized, and
+    # the partial-agg shuffle dedups/counts map-side.
     combos = (
-        enriched.select(
+        enriched.groupBy(
             "sensor_name", "signature_id", "generator_id", "sig_rev",
             "sig_classid", "sig_priority", "sig_msg",
             "classification_id", "class_name",
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_rows"))
         .collect()
     )
     if not combos:
@@ -467,28 +472,26 @@ def _apply_batch_body(
             "sid", "cid", F.lower(F.hex("payload")).alias("data_payload")
         ),
     }
-    # R19 persist: sensor.last_cid = max assigned cid (:566-569).
-    # The aggregate runs distributed; the dim update is driver-side KBs.
-    def writeback_last_cid() -> None:
-        max_cids = {
-            r.sid: r.new_last_cid
-            for r in a.groupBy("sid").agg(F.max("cid").alias("new_last_cid")).collect()
-        }
-        dim = [
-            {**r, "last_cid": max(max_cids.get(r["sid"], 0), r["last_cid"])}
-            for r in db.read_small("sensor", SENSOR_SCHEMA)
-        ]
-        db.overwrite_small("sensor", dim, SENSOR_SCHEMA)
+    # the six fact appends read only the checkpointed `a` and write
+    # disjoint tables — run them as concurrent Spark jobs; the
+    # applied-batch marker comes strictly last (it is the idempotence
+    # commit point)
+    with ThreadPoolExecutor(max_workers=len(facts)) as pool:
+        join_futures([pool.submit(db.append, name, df) for name, df in facts.items()])
 
-    # the six fact appends and the last_cid aggregate read only the
-    # checkpointed `a` and touch disjoint tables — run them as
-    # concurrent Spark jobs; the applied-batch marker comes strictly
-    # last (it is the idempotence commit point)
-    with ThreadPoolExecutor(max_workers=len(facts) + 1) as pool:
-        futs = [pool.submit(db.append, name, df) for name, df in facts.items()]
-        futs.append(pool.submit(writeback_last_cid))
-        for f in futs:
-            f.result()
+    # R19 persist: sensor.last_cid = max assigned cid (:566-569).
+    # cid is row_number + the sensor's pre-batch last_cid, so the max
+    # equals last_cid + the sensor's batch row count — already summed
+    # map-side into the shared combos collect; pure driver work, the
+    # r15 shape's per-batch distributed max(cid) job is gone.
+    n_per_sensor: dict[str, int] = {}
+    for r in combos:
+        n_per_sensor[r.sensor_name] = n_per_sensor.get(r.sensor_name, 0) + r.n_rows
+    dim = [
+        {**s, "last_cid": s["last_cid"] + n_per_sensor.get(s["hostname"], 0)}
+        for s in db.read_small("sensor", SENSOR_SCHEMA)
+    ]
+    db.overwrite_small("sensor", dim, SENSOR_SCHEMA)
     a.unpersist()
     enriched.unpersist()
     db.mark_applied(batch_id)

@@ -372,7 +372,9 @@ def test_every_collect_site_is_bounded():
     allowed = {
         # file -> max number of .collect() sites, all documented bounded
         "cli.py": 1,          # test-mode console print (bounded alert fixture)
-        "snorby.py": 4,       # dim naturals + per-sensor max(cid) (KB-scale)
+        "snorby.py": 1,       # the ONE per-batch grouped dim/watermark collect
+                              # (dim-cardinality-bounded; r16 folded the
+                              # per-sensor max(cid) into it)
         "jdbc.py": 2,         # dim-table reads + batch-id marker set
         "similarity.py": 3,   # k seeds, k×dim centroids, dim-length PCA vec
         "sketches.py": 1,     # ≤m bloom bit positions
