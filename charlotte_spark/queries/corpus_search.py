@@ -1135,6 +1135,10 @@ def _d228_greedy(pdf):
 
     nrm = {d: math.sqrt(_dot(v, v)) for d, _fk, _r, v in cands}
     vec = {d: v for d, _fk, _r, v in cands}
+    # the vec/nrm dicts silently collapse duplicate doc_ids; fused_rk
+    # makes (query_id, doc_id) unique upstream — pin that invariant
+    # where the dicts rely on it (ADVICE r15; <=12 rows, free)
+    assert len(vec) == len(cands), "duplicate doc_id in MMR pool group"
 
     def _cos(da, db):
         return _dot(vec[da], vec[db]) / (nrm[da] * nrm[db])

@@ -1847,9 +1847,16 @@ def _d215_flags(assigned: DataFrame, idx: DataFrame) -> DataFrame:
             .alias("status"),
             F.coalesce(F.col("_ik"), F.col("_bk")).alias("kept_id"),
             # carried so the status write doubles as the keeps index
-            # (kept rows ARE generation r — see index_gens); pruned away
-            # by every consumer that doesn't need it
-            "v",
+            # (kept rows ARE generation r — see index_gens), but ONLY
+            # for kept rows: index_gens' pushed status='kept' filter
+            # never reads a rejected row's vector, so persisting it was
+            # pure write amplification — at a high dup rate the ledger
+            # would carry the full embedding of every REJECTED arrival
+            # (VERDICT r15 watch item). NULL keeps the append O(keeps)
+            # vector bytes; every other consumer prunes the column.
+            F.when(
+                F.col("_ik").isNull() & F.col("_bk").isNull(), F.col("v")
+            ).alias("v"),
         )
     )
 
