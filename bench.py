@@ -105,12 +105,11 @@ def bench_ingest(spark) -> dict:
         u2_fixture,
     )
 
-    def one_replay(events_per_file: int, tag: str, i: int) -> float:
+    def one_replay(fx: dict, tag: str, i: int) -> float:
         # NOTE r15 measurement-bug fix: the fixture is now PASSED to the
         # pipeline. run_streaming_pipeline used to re-derive the default
         # 200-event fixture internally, so every bench before r15 timed
         # a 200-event replay while reporting this fixture's event count.
-        fx = u2_fixture(n_files=3, events_per_file=events_per_file)
         db = _fresh_db(spark, f"bench_ingest_{tag}_{i}")
         ckpt = f"{db.path}_ckpt"
         if os.path.exists(ckpt):
@@ -122,6 +121,18 @@ def bench_ingest(spark) -> dict:
         # split 3+2 and pay a phantom extra micro-batch of overhead)
         run_streaming_pipeline(spark, db, ckpt, max_files_per_trigger=6, fx=fx)
         return time.perf_counter() - t0
+
+    def fx_events(fx: dict, events_per_file: int) -> int:
+        """Event count DERIVED from the fixture's actual files (ADVICE
+        r15: the former hard-coded literals had to stay in sync with
+        u2_fixture's internal per-sensor file-count rule — the exact
+        reported-vs-timed drift class the r15 fix closed)."""
+        n_files = sum(
+            len(os.listdir(d))
+            for cfg in fx["spools"].values()
+            for d in cfg["directories"]
+        )
+        return n_files * events_per_file
 
     # Headline leg fields are UNCHANGED (10k events, one micro-batch,
     # median of >=3 replays). Fixed/marginal split (VERDICT r14 #4,
@@ -136,12 +147,14 @@ def bench_ingest(spark) -> dict:
     # the 10k scalar is mostly made of. A non-positive median delta
     # reports marginal as null (window too noisy to split) rather than
     # a fabricated number.
-    n_events = 3 * 2000 + 2 * 2000  # sensor_a: 3 files, sensor_b: 2 files
-    n_large = 5 * 40000
+    fx_s = u2_fixture(n_files=3, events_per_file=2000)
+    fx_l = u2_fixture(n_files=3, events_per_file=40000)
+    n_events = fx_events(fx_s, 2000)
+    n_large = fx_events(fx_l, 40000)
     secs, secs_large = [], []
     for i in range(max(RUNS, 3)):  # ingest is always median-of->=3
-        secs.append(one_replay(2000, "s", i))
-        secs_large.append(one_replay(40000, "l", i))
+        secs.append(one_replay(fx_s, "s", i))
+        secs_large.append(one_replay(fx_l, "l", i))
     dt = _median(secs)
     dt_large = _median(secs_large)
     deltas = sorted(b - a for a, b in zip(secs, secs_large))
@@ -159,6 +172,28 @@ def bench_ingest(spark) -> dict:
                 if marginal
                 else None
             )}
+
+
+# Untouched, stable queries used as ambient-regime probes: their quiet
+# costs are pinned by the committed BENCH_DETAIL.json, so this window's
+# readings expose uniform host inflation that cumulative steal cannot
+# see (VERDICT r15 #7: the r15 driver window read sentinels ~1.4x the
+# committed quiet detail while steal said 0.82%).
+SENTINELS = ("d223_decayed_heavy_hitters", "q1_pricing_summary")
+
+
+def _sentinel_ratio(times: dict, committed: dict | None) -> float | None:
+    """Median ratio of this window's sentinel timings to the COMMITTED
+    (pre-run) quiet-window detail. ~1.0 = same regime as the committed
+    baseline; >>1 = hot window, cross-window absolutes untrustworthy."""
+    if not committed:
+        return None
+    rs = [
+        times[q] / committed[q]
+        for q in SENTINELS
+        if times.get(q) and committed.get(q)
+    ]
+    return round(_median(rs), 3) if rs else None
 
 
 def main() -> None:
@@ -230,15 +265,37 @@ def main() -> None:
     # one). Every full run writes BENCH_DETAIL_LAST.json; promotion to
     # BENCH_DETAIL.json happens only when the window measured quiet.
     here = os.path.dirname(os.path.abspath(__file__))
+    # sentinel ratio vs the COMMITTED detail, read BEFORE any promotion
+    # below can overwrite it (the ratio must compare against the prior
+    # quiet window, not this run's own numbers)
+    committed_q = None
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
+            committed = json.load(fh)
+        if committed.get("sf") == sf:  # cross-SF ratios are meaningless
+            committed_q = committed.get("queries")
+    except (OSError, ValueError):
+        pass
+    detail["sentinel_ratio"] = _sentinel_ratio(times, committed_q)
     promoted = None  # subset runs: promotion not applicable
     if subset is None:  # subset runs never clobber full-run artifacts
         blob = json.dumps(detail, indent=1, sort_keys=True) + "\n"
         with open(os.path.join(here, "BENCH_DETAIL_LAST.json"), "w") as fh:
             fh.write(blob)
         # an UNMEASURABLE window (steal None: unreadable /proc/stat or
-        # dt<=0) is NOT quiet — never promote it (ADVICE r14)
+        # dt<=0) is NOT quiet — never promote it (ADVICE r14). r16: a
+        # window whose UNTOUCHED sentinels read >1.25x the committed
+        # quiet detail is ambient-inflated even at steal 0 (the r15
+        # steal-0.19% window read 1.39x and had to be manually
+        # restored) — formalize that manual check into the gate. A
+        # missing committed detail (ratio None) does not block.
         steal = detail["cpu_steal_pct"]
-        promoted = steal is not None and steal <= 0.5
+        sratio = detail["sentinel_ratio"]
+        promoted = (
+            steal is not None
+            and steal <= 0.5
+            and (sratio is None or sratio <= 1.25)
+        )
         if promoted:
             with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
                 fh.write(blob)
