@@ -133,21 +133,23 @@ def _commit_time_evidence(
     the moment the driver writes this round's CORRECTNESS artifact, the
     still-current window "holds newer evidence than the leftovers
     outside it" by construction (VERDICT r12 "What's wrong" #1 — the
-    test went red at the end of every round). Phase detection: if the
-    NEWEST artifact's key set equals the current window, the driver has
-    already run on this window, so staleness is evaluated against the
-    rounds strictly BEFORE it (the pre-run state the rotation was
-    committed under). Otherwise (round start / mid-round) all evidence
-    counts.
+    test went red at the end of every round). Phase detection: every
+    TRAILING artifact whose key set equals the current window is a
+    post-commit run OF this window — staleness is evaluated against
+    the rounds strictly before the first of them (the pre-run state
+    the rotation was committed under). Trailing plural (r16): the
+    window is frozen across OPTIMIZATION rounds — rotating it would
+    change the driver's checked set, which those rounds' rules forbid —
+    so one window legitimately accumulates several consecutive
+    artifacts (r14 + r15 here); the r14-era newest-only rule
+    misclassified the second one as aging evidence and went red at r16
+    start with no registry change at all.
     """
     if not per_round:
         return {}
-    newest = max(per_round)
-    rounds = (
-        [r for r in per_round if r < newest]
-        if per_round[newest] == set(window)
-        else list(per_round)
-    )
+    rounds = sorted(per_round)
+    while rounds and per_round[rounds[-1]] == set(window):
+        rounds.pop()
     latest: dict[str, int] = {}
     for rnd in rounds:
         for k in per_round[rnd]:
