@@ -2608,7 +2608,7 @@ def a229_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rka").alias("nn_adc_rank"),
         )
         .join(F.broadcast(nn), ["probe_id", "true_nn_id"])
-        .join(hits, "probe_id", "left")
+        .join(F.broadcast(hits), "probe_id", "left")
         .select(
             F.col("probe_id").cast("long").alias("probe_id"),
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
